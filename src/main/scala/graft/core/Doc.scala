@@ -1,0 +1,451 @@
+package graft.core
+
+/** Document tree: streams, fonts, resources, pages, catalog — body.rs. */
+
+sealed trait BodyFilter
+case object FlateDecodeFilter extends BodyFilter
+
+object BodyFilter {
+  /** body.rs:42-54 — only FlateDecode supported. */
+  def from(name: String): BodyFilter = name match {
+    case "FlateDecode" => FlateDecodeFilter
+    case other         => Err.fail(s"Filter name $other is currently not supported")
+  }
+}
+
+/** Stream dictionary projection — body.rs:56-85. */
+final case class StreamDict(length: Num, filter: Option[BodyFilter])
+
+object StreamDict {
+  def from(dict: Map[String, PdfObj]): StreamDict = StreamDict(
+    length = dict.get("Length") match {
+      case Some(PNum(n)) => n
+      case Some(PRef(obj, gen, ctx)) =>
+        ctx.xref.getAndFix((obj, gen), ctx.bytes) match {
+          case Some(address) =>
+            ObjParser.parseAt(ctx, address) match {
+              case PNum(n) => n
+              case _       => Err.fail("Length should be a numeric")
+            }
+          case None => Err.fail("Length should be an indirect object")
+        }
+      case None => Err.fail("stream dict has no Length")
+      case _    => Err.fail("Length should be a numeric")
+    },
+    filter = dict.get("Filter") match {
+      case Some(PName(name)) => Some(BodyFilter.from(name))
+      case None              => None
+      case _                 => Err.fail("Filter should be a name")
+    }
+  )
+}
+
+/** Typed stream — body.rs:87-116. */
+final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
+  /** body.rs:103-109 — FlateDecode (with 10x zero-pad semantics) or raw. */
+  def getData: Array[Byte] = dict.filter match {
+    case Some(FlateDecodeFilter) => Flate.flateDecode(content)
+    case None                    => content
+  }
+}
+
+object BodyStream {
+  def parseAt(ctx: Ctx, at: Int): BodyStream = ObjParser.parseAt(ctx, at) match {
+    case PStream(header, bytes) => BodyStream(StreamDict.from(header), bytes)
+    case _                      => Err.fail("Stream should be a dictionary")
+  }
+  def from(s: PStream): BodyStream = BodyStream(StreamDict.from(s.header), s.bytes)
+}
+
+/** Font record — body.rs:150-299. */
+final case class PdfFont(
+    subtype: String,
+    name: Option[String],
+    baseFont: String,
+    firstChar: Option[Num],
+    lastChar: Option[Num],
+    widths: Option[Vector[Num]],
+    toUnicode: Option[ToUnicodeCMap],
+    encoding: Option[String]
+) {
+
+  /** Horizontal displacement for byte c — body.rs:186-203. Left = the reference's
+    * Err strings (recoverable: width treated as 0); panics stay exceptions.
+    */
+  def getWidth(c: Int): Either[String, Num] = {
+    firstChar match {
+      case Some(NInt(fc)) if c < fc =>
+        return Left("Cannot get character width from the current font range")
+      case _ => ()
+    }
+    widths match {
+      case Some(ws) =>
+        val fc = firstChar.getOrElse(Err.fail("font has widths but no FirstChar")) // unwrap — body.rs:195
+        val off = c - fc.toSize
+        if (off >= 0 && off < ws.length) Right(ws(off) / NReal(1000.0f))
+        else Left("Width of char was not found in the font")
+      case None => Left("No character widths stored in the current font")
+    }
+  }
+
+  /** body.rs:163-171 — dead code in the reference (call site commented out);
+    * kept for API completeness.
+    */
+  def estimateSpaceWidth: Num = getWidth(' ') match {
+    case Right(w) => w
+    case Left(_) =>
+      widths match {
+        case Some(ws) if ws.nonEmpty =>
+          var sum: Num = NReal(0.0f)
+          ws.foreach(n => sum = sum + n)
+          sum / NInt(ws.length) / NReal(1000.0f)
+        case _ => NInt(200)
+      }
+  }
+
+  /** Rust `Display for Font` — body.rs:206-213 (diagnostic `--font` mode only;
+    * nondeterministic in the reference via HashMap iteration, so never gated).
+    */
+  def display: String = {
+    def optStr(o: Option[String]) = o.map(s => s"""Some("$s")""").getOrElse("None")
+    def numDbg(n: Num) = n match {
+      case NInt(i)  => s"Integer($i)"
+      case NReal(f) => s"Real(${RustFmt.f32(f)})"
+    }
+    def optNum(o: Option[Num]) = o.map(n => s"Some(${numDbg(n)})").getOrElse("None")
+    val w = widths.map(ws => s"Some([${ws.map(numDbg).mkString(", ")}])").getOrElse("None")
+    val tu = toUnicode.map(_ => "Some(ToUnicodeCMap)").getOrElse("None")
+    s"""Subtype: "$subtype"\nName: ${optStr(name)}\nBaseFont: "$baseFont"\nFirstChar: ${optNum(firstChar)}\nLastChar: ${optNum(lastChar)}\nWidths: $w\nToUnicode: $tu"""
+  }
+}
+
+object PdfFont {
+  /** `Font::from(Dictionary)` — body.rs:215-299. */
+  def from(dict: Map[String, PdfObj]): PdfFont = {
+    dict.get("Type") match {
+      case Some(PName(t)) =>
+        if (t != "Font") Err.fail(s"Font dictionnary 'Type' key should be 'Font', found $t")
+      case Some(o) => Err.fail(s"Font dictionnary 'Type' key a Name object, found $o")
+      case None    => Err.fail("Font dictionnary should have a 'Type' key")
+    }
+    def numsOf(a: Vector[PdfObj]): Vector[Num] = a.map {
+      case PNum(n) => n
+      case o       => Err.fail(s"Widths should be an array containing only numbers, found $o")
+    }
+    PdfFont(
+      subtype = dict.get("Subtype") match {
+        case Some(PName(n)) => n
+        case _              => Err.fail("Subtype should be a name")
+      },
+      name = dict.get("Name") match {
+        case Some(PName(n)) => Some(n)
+        case None           => None
+        case Some(o)        => Err.fail(s"Name should be a name, found $o")
+      },
+      baseFont = dict.get("BaseFont") match {
+        case Some(PName(n)) => n
+        case _              => Err.fail("BaseFont should be a name")
+      },
+      firstChar = dict.get("FirstChar") match {
+        case Some(PNum(n)) => Some(n)
+        case None          => None
+        case Some(o)       => Err.fail(s"FirstChar should be a numeric object, found $o")
+      },
+      lastChar = dict.get("LastChar") match {
+        case Some(PNum(n)) => Some(n)
+        case None          => None
+        case Some(o)       => Err.fail(s"LastChar should be a numeric object, found $o")
+      },
+      widths = dict.get("Widths") match {
+        case Some(PRef(obj, gen, ctx)) =>
+          ctx.xref.getAndFix((obj, gen), ctx.bytes) match {
+            case Some(address) =>
+              ObjParser.parseAt(ctx, address) match {
+                case PArr(a) => Some(numsOf(a))
+                case o       => Err.fail(s"ToUnicode should be a stream object, found $o")
+              }
+            case None => Err.fail("ToUnicode stream object not found in xref table")
+          }
+        case Some(PArr(a)) => Some(numsOf(a))
+        case None          => None
+        case Some(o)       => Err.fail(s"Widths should be an array of objects, found $o")
+      },
+      toUnicode = dict.get("ToUnicode") match {
+        case Some(PRef(obj, gen, ctx)) =>
+          ctx.xref.getAndFix((obj, gen), ctx.bytes) match {
+            case Some(address) =>
+              ObjParser.parseAt(ctx, address) match {
+                case s: PStream =>
+                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s).getData)))
+                case o => Err.fail(s"ToUnicode should be a stream object, found $o")
+              }
+            case None => Err.fail("ToUnicode stream object not found in xref table")
+          }
+        case None => None
+        case _    => Err.fail("ToUnicode should be an indirect object")
+      },
+      encoding = dict.get("Encoding") match {
+        case Some(PName(n)) => Some(n)
+        case Some(_)        => None // dictionary encoding dropped — body.rs:294
+        case None           => None
+      }
+    )
+  }
+}
+
+/** FontMap — body.rs:301-335. Every entry must be an indirect ref. */
+final case class FontMap(fonts: Map[String, PdfFont]) {
+  /** Rust Display joins with "\n" over unordered HashMap values — body.rs:304-314.
+    * We iterate in sorted-key order for determinism (documented divergence; mode is
+    * not golden-gated because the reference itself is nondeterministic here).
+    */
+  def display: String =
+    fonts.toSeq.sortBy(_._1).map { case (_, f) => s"${f.display}\n" }.mkString("\n")
+}
+
+object FontMap {
+  def from(dict: Map[String, PdfObj]): FontMap = FontMap(
+    dict.map {
+      case (key, PRef(obj, gen, ctx)) =>
+        ctx.xref.getAndFix((obj, gen), ctx.bytes) match {
+          case Some(address) =>
+            ObjParser.parseAt(ctx, address) match {
+              case PDict(d) => key -> PdfFont.from(d)
+              case o        => Err.fail(s"Font object is not a dictionary, found $o")
+            }
+          case None =>
+            Err.fail(s"Font dictionnary object associated to $key was not found in xref table")
+        }
+      case _ => Err.fail("Font should be an indirect object")
+    }
+  )
+}
+
+/** Resources — body.rs:337-369: only /Font is materialized. */
+final case class PdfResources(font: Option[FontMap])
+
+object PdfResources {
+  def parseAt(ctx: Ctx, at: Int): PdfResources = ObjParser.parseAt(ctx, at) match {
+    case PDict(d) => from(d)
+    case _        => Err.fail("Trailer should be a dictionary")
+  }
+
+  def from(dict: Map[String, PdfObj]): PdfResources = PdfResources(
+    font = dict.get("Font") match {
+      case Some(PRef(obj, gen, ctx)) =>
+        ctx.xref.getAndFix((obj, gen), ctx.bytes).map { address =>
+          ObjParser.parseAt(ctx, address) match {
+            case PDict(d) => FontMap.from(d)
+            case _        => Err.fail("Font should be a dictionary")
+          }
+        }
+      case Some(PDict(d)) => Some(FontMap.from(d))
+      case None           => None
+      case Some(f)        => Err.fail(s"Font should be an indirect object or a dictionary; found $f")
+    }
+  )
+}
+
+/** Page-tree node / page — body.rs:371-579. Parent link enables Resources
+  * inheritance up the tree (the only inherited attribute the reference uses).
+  */
+sealed trait PageTreeKid {
+  def extract(mode: ExtractMode): ExtractResult
+}
+
+final class PageTreeNode(
+    val kids: Vector[PageTreeKid],
+    val resources: Option[PdfResources]
+) extends PageTreeKid {
+  var parent: PageTreeNode = null
+
+  def getResources: Option[PdfResources] = resources match {
+    case some @ Some(_) => some
+    case None           => if (parent != null) parent.getResources else None
+  }
+
+  /** Kids joined with "\n" at EVERY tree level — body.rs:413-419. */
+  def extract(mode: ExtractMode): ExtractResult =
+    ExtractResult.joinNewline(kids.map(_.extract(mode)))
+}
+
+final class PdfPage(
+    val resources: Option[PdfResources],
+    val contents: Option[BodyStream]
+) extends PageTreeKid {
+  var parent: PageTreeNode = null
+
+  /** Own resources else parent chain; panic at page level — body.rs:493-504. */
+  def getResources: PdfResources = resources match {
+    case Some(r) => r
+    case None =>
+      if (parent == null) Err.fail("Unable to retrieve Page Resource, current page with no parent")
+      else parent.getResources match {
+        case Some(r) => r
+        case None    => Err.fail("Resources not found for current Page and in parent tree")
+      }
+  }
+
+  def extract(mode: ExtractMode): ExtractResult = mode match {
+    case ExtractText       => extractText(displayChar = false)
+    case ExtractChars      => extractText(displayChar = true)
+    case ExtractRawContent => ExtractResult.plain(extractStream)
+    case ExtractFont       => ExtractResult.plain(extractFont)
+  }
+
+  private def extractFont: String = getResources.font match {
+    case Some(fm) => fm.display
+    case None     => Err.fail("Missing font in current page resources")
+  }
+
+  /** body.rs:522-527 — content bytes round-trip through UTF-8-lossy BEFORE lexing. */
+  private def extractText(displayChar: Boolean): ExtractResult = {
+    val contentString = extractStream
+    val contentBytes = contentString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    TextAssembly.getText(contentBytes, getResources, displayChar)
+  }
+
+  /** body.rs:529-535. */
+  private def extractStream: String = contents match {
+    case Some(stream) => Utf8.lossy(stream.getData)
+    case None         => Err.fail("Contents should not be empty")
+  }
+}
+
+object PageTree {
+  /** `PageTreeKids::new` dispatch on /Type — body.rs:125-140. */
+  def kid(ctx: Ctx, at: Int): PageTreeKid = ObjParser.parseAt(ctx, at) match {
+    case PDict(dict) =>
+      dict.get("Type") match {
+        case Some(PName("Pages")) => node(ctx, at)
+        case Some(PName("Page"))  => page(ctx, at)
+        case Some(PName(_))       => Err.fail("Unexpected dictionnary type")
+        case Some(o)              => Err.fail(s"Type should be a name, found object $o")
+        case None                 => Err.fail(s"Type was not found in dictionnary, $dict")
+      }
+    case _ => Err.fail("PageTreeKids should be a dictionary")
+  }
+
+  /** `PageTreeNode::new` — body.rs:384-401 incl. parent backpatch. */
+  def node(ctx: Ctx, at: Int): PageTreeNode = ObjParser.parseAt(ctx, at) match {
+    case PDict(dict) =>
+      val kids: Vector[PageTreeKid] = dict.get("Kids") match {
+        case Some(PArr(arr)) =>
+          arr.map {
+            case PRef(obj, gen, rctx) =>
+              rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
+                case Some(address) => kid(rctx, address)
+                case None          => Err.fail("Kid not found in xref table")
+              }
+            case _ => Err.fail("Kid should be an indirect object")
+          }
+        case None => Err.fail("Kids missing in page tree node")
+        case _    => Err.fail("Kids should be an array")
+      }
+      val resources = dict.get("Resources") match {
+        case Some(PRef(obj, gen, rctx)) =>
+          rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
+            case Some(address) => Some(PdfResources.parseAt(rctx, address))
+            case None          => Err.fail("Kid not found in xref table")
+          }
+        case None => None
+        case _    => Err.fail("Resources should be an indirect object")
+      }
+      val n = new PageTreeNode(kids, resources)
+      kids.foreach {
+        case p: PdfPage      => p.parent = n
+        case t: PageTreeNode => t.parent = n
+      }
+      n
+    case _ => Err.fail("Trailer should be a dictionary")
+  }
+
+  /** `Page::from(Dictionary)` — body.rs:538-579. Resources REQUIRED at page level
+    * (body.rs:547 unwrap).
+    */
+  def page(ctx: Ctx, at: Int): PdfPage = ObjParser.parseAt(ctx, at) match {
+    case PDict(dict) =>
+      val resources = dict.get("Resources") match {
+        case Some(PDict(d)) => Some(PdfResources.from(d))
+        case Some(PRef(obj, gen, rctx)) =>
+          rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
+            case Some(address) => Some(PdfResources.parseAt(rctx, address))
+            case None          => Err.fail("Resource dictionnary address not found in xref keys")
+          }
+        case Some(t) => Err.fail(s"Resources should be an dictionary object $t")
+        case None    => Err.fail("page has no Resources key")
+      }
+      val contents = dict.get("Contents") match {
+        case Some(PRef(obj, gen, rctx)) =>
+          rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
+            case Some(address) => Some(BodyStream.parseAt(rctx, address))
+            case None          => Err.fail("Resource dictionnary address not found in xref keys")
+          }
+        case None => None
+        case _    => Err.fail("Contents should be an indirect object")
+      }
+      new PdfPage(resources, contents)
+    case _ => Err.fail("Trailer should be a dictionary")
+  }
+}
+
+/** Document catalog — body.rs:583-617. */
+final case class PdfCatalog(pages: Option[PageTreeNode]) {
+  def extract(mode: ExtractMode): ExtractResult = pages match {
+    case Some(root) => root.extract(mode)
+    case None       => Err.fail("Pages should not be empty")
+  }
+}
+
+object PdfCatalog {
+  def parseAt(ctx: Ctx, at: Int): PdfCatalog = ObjParser.parseAt(ctx, at) match {
+    case PDict(dict) =>
+      PdfCatalog(pages = dict.get("Pages") match {
+        case Some(PRef(obj, gen, rctx)) =>
+          rctx.xref.getAndFix((obj, gen), rctx.bytes).map(addr => PageTree.node(rctx, addr))
+        case None => Err.fail("catalog has no Pages key")
+        case _    => Err.fail("Pages should be an indirect object")
+      })
+    case o => Err.fail(s"Catalog should be a dictionary, found $o")
+  }
+}
+
+/** Document info dictionary — info.rs:6-75. */
+final case class PdfInfo(
+    title: Option[String],
+    author: Option[String],
+    creator: Option[String],
+    producer: Option[String],
+    creationDate: Option[String],
+    modDate: Option[String]
+)
+
+object PdfInfo {
+  def parseAt(ctx: Ctx, at: Int): PdfInfo = ObjParser.parseAt(ctx, at) match {
+    case PDict(d) => from(d)
+    case _        => Err.fail("Trailer should be a dictionary")
+  }
+
+  def from(d: Map[String, PdfObj]): PdfInfo = {
+    def str(key: String): Option[String] = d.get(key) match {
+      case Some(PStr(s)) => Some(s)
+      case None          => None
+      case _             => Err.fail(s"$key should be a string")
+    }
+    def strOrHex(key: String): Option[String] = d.get(key) match {
+      case Some(PStr(s)) => Some(s)
+      case Some(PHexStr(b)) =>
+        Some(try Utf8.strict(b) catch { case _: PdfParseException => "" })
+      case None => None
+      case _    => Err.fail(s"$key should be a string")
+    }
+    PdfInfo(
+      title = str("Title"),
+      author = str("Author"),
+      creator = strOrHex("Creator"),
+      producer = strOrHex("Producer"),
+      creationDate = str("CreationDate"),
+      modDate = str("ModDate")
+    )
+  }
+}

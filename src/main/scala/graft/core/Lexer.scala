@@ -1,0 +1,299 @@
+package graft.core
+
+import java.util.Arrays
+
+/** PDF token — tokenizer.rs:35-51. Byte-payload tokens override equality so ported
+  * reference test vectors can assert structurally.
+  */
+sealed trait Tok
+final case class TNum(n: Num) extends Tok
+/** Bareword (reference `Token::String`) — keywords other than stream/endstream/endobj. */
+final class TBare(val bytes: Array[Byte]) extends Tok {
+  override def equals(o: Any): Boolean = o match {
+    case t: TBare => Arrays.equals(bytes, t.bytes)
+    case _        => false
+  }
+  override def hashCode: Int = Arrays.hashCode(bytes)
+  override def toString: String = s"TBare(${new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)})"
+}
+object TBare { def apply(b: Array[Byte]) = new TBare(b) }
+final class TLit(val bytes: Array[Byte]) extends Tok {
+  override def equals(o: Any): Boolean = o match {
+    case t: TLit => Arrays.equals(bytes, t.bytes)
+    case _       => false
+  }
+  override def hashCode: Int = Arrays.hashCode(bytes)
+  override def toString: String = s"TLit(${bytes.mkString(",")})"
+}
+object TLit { def apply(b: Array[Byte]) = new TLit(b) }
+final class THex(val bytes: Array[Byte]) extends Tok {
+  override def equals(o: Any): Boolean = o match {
+    case t: THex => Arrays.equals(bytes, t.bytes)
+    case _       => false
+  }
+  override def hashCode: Int = Arrays.hashCode(bytes)
+  override def toString: String = s"THex(${bytes.mkString(",")})"
+}
+object THex { def apply(b: Array[Byte]) = new THex(b) }
+final case class TName(name: String) extends Tok
+final class TComment(val bytes: Array[Byte]) extends Tok {
+  override def equals(o: Any): Boolean = o match {
+    case t: TComment => Arrays.equals(bytes, t.bytes)
+    case _           => false
+  }
+  override def hashCode: Int = Arrays.hashCode(bytes)
+  override def toString: String = s"TComment(${new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)})"
+}
+object TComment { def apply(b: Array[Byte]) = new TComment(b) }
+/** Fused `a b R` — carries only the key; resolution context lives in the Lemmatizer. */
+final case class TRef(num: Int, gen: Int) extends Tok
+case object TDictBegin extends Tok
+case object TDictEnd extends Tok
+case object TArrayBegin extends Tok
+case object TArrayEnd extends Tok
+case object TStreamBegin extends Tok
+case object TStreamEnd extends Tok
+case object TObjBegin extends Tok
+case object TObjEnd extends Tok
+
+object CharClass {
+  /** Character classification — tokenizer.rs:74-90. NUL (0) IS whitespace. */
+  @inline def isWhite(b: Byte): Boolean =
+    b == 0 || b == 9 || b == 10 || b == 12 || b == 13 || b == 32
+  @inline def isDelim(b: Byte): Boolean = b match {
+    case '(' | ')' | '<' | '>' | '[' | ']' | '{' | '}' | '/' | '%' => true
+    case _                                                          => false
+  }
+  @inline def isRegular(b: Byte): Boolean = !isWhite(b) && !isDelim(b)
+  @inline def isHexDigit(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'F') || (b >= 'a' && b <= 'f')
+}
+
+/** Pull lexer over the whole payload byte array with an index cursor (the reference
+  * uses a cloneable slice iterator — tokenizer.rs:160-374). `copyCursor` mirrors the
+  * reference's cheap iterator clone used for lookahead.
+  */
+final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
+  import CharClass._
+
+  def copyCursor: PdfTokenizer = new PdfTokenizer(bytes, pos)
+
+  /** Raw read used for stream bodies — tokenizer.rs:173-185: skip leading whitespace
+    * (consuming), then copy up to `length` bytes WITHOUT consuming them (the reference
+    * clones the iterator for the take).
+    */
+  def nextN(length: Int): Array[Byte] = {
+    while (true) {
+      if (pos >= bytes.length) Err.fail("End of stream reached")
+      if (isWhite(bytes(pos))) pos += 1
+      else {
+        val end = math.min(pos + length, bytes.length)
+        return Arrays.copyOfRange(bytes, pos, end)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Next token or null at end — tokenizer.rs:204-374. */
+  def next(): Tok = {
+    while (pos < bytes.length) {
+      val c = bytes(pos)
+      pos += 1
+      if (isWhite(c)) {
+        // absorb whitespace between tokens — tokenizer.rs:369
+      } else if (c == '%') {
+        // comment to CR/LF — tokenizer.rs:212-224
+        val buf = new java.io.ByteArrayOutputStream()
+        var done = false
+        while (!done && pos < bytes.length) {
+          val b = bytes(pos)
+          if (b == 13 || b == 10) done = true
+          else { buf.write(b.toInt); pos += 1 }
+        }
+        return TComment(buf.toByteArray)
+      } else if (c == '<') {
+        if (pos < bytes.length && bytes(pos) == '<') { pos += 1; return TDictBegin }
+        else if (pos < bytes.length && isHexDigit(bytes(pos))) {
+          // hex string — tokenizer.rs:233-261; odd length padded with '0'
+          val sb = new StringBuilder
+          var done = false
+          while (!done) {
+            if (pos >= bytes.length) return null // reference: None
+            val b = bytes(pos); pos += 1
+            if (b == '>') done = true else sb.append(b.toChar)
+          }
+          if (sb.length % 2 == 1) sb.append('0')
+          val out = new Array[Byte](sb.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = Integer.parseInt(sb.substring(2 * i, 2 * i + 2), 16).toByte
+            i += 1
+          }
+          return THex(out)
+        } else if (pos >= bytes.length) Err.fail("No character following '<'")
+        else Err.fail(s"Character ${bytes(pos)} is not interpreted as hexstring")
+      } else if (c == '>') {
+        if (pos < bytes.length && bytes(pos) == '>') { pos += 1; return TDictEnd }
+        else if (pos >= bytes.length) Err.fail("Reached end of stream before end of litteral")
+        // lone '>' before non-'>': silently skipped — tokenizer.rs:267
+      } else if (c == '[') return TArrayBegin
+      else if (c == ']') return TArrayEnd
+      else if (c == '{' || c == '}') Err.fail(s"Character ${c.toChar} is not covered")
+      else if (c == '/') {
+        // Name: regular chars only, no #xx escapes — tokenizer.rs:275-285
+        val sb = new StringBuilder
+        while (pos < bytes.length && isRegular(bytes(pos))) {
+          sb.append((bytes(pos) & 0xff).toChar)
+          pos += 1
+        }
+        return TName(sb.toString)
+      } else if (c == '(') {
+        // literal string with nested parens + escapes — tokenizer.rs:287-331
+        val buf = new java.io.ByteArrayOutputStream()
+        var opened = 1
+        var closed = 0
+        var done = false
+        while (!done && pos < bytes.length) {
+          val cur = bytes(pos); pos += 1
+          if (cur == '(') opened += 1
+          else if (cur == ')') closed += 1
+          if (opened == closed) { done = true }
+          else {
+            if (cur == '\\') {
+              if (pos >= bytes.length) {
+                // reference: None => continue (loop then ends)
+              } else {
+                val e = bytes(pos); pos += 1
+                val out: Int = e match {
+                  case 'n'  => '\n'
+                  case 'r'  => '\r'
+                  case 't'  => '\t'
+                  case 'b'  => 8
+                  case 'f'  => 12
+                  case '\\' => '\\'
+                  case '('  => '('
+                  case ')'  => ')'
+                  case d if d >= '0' && d <= '9' =>
+                    // reference octal bug replicated: ((c*8)+d*8)+e — tokenizer.rs:313-321
+                    val c0 = digit(e)
+                    if (pos >= bytes.length) Err.fail("octal escape: end of stream")
+                    val d0 = digit(bytes(pos)); pos += 1
+                    if (pos >= bytes.length) Err.fail("octal escape: end of stream")
+                    val e0 = digit(bytes(pos)); pos += 1
+                    ((c0 * 8) + d0 * 8) + e0
+                  case other => other & 0xff
+                }
+                buf.write(out & 0xff)
+              }
+            } else {
+              buf.write(cur & 0xff)
+            }
+          }
+        }
+        return TLit(buf.toByteArray)
+      } else {
+        // regular-char run — tokenizer.rs:334-366
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(c & 0xff)
+        var isNumeric = true
+        var break = false
+        while (!break && pos < bytes.length) {
+          val b = bytes(pos)
+          if (!isRegular(b)) break = true
+          else {
+            if (!((b >= '0' && b <= '9') || b == '.')) isNumeric = false
+            buf.write(b & 0xff)
+            pos += 1
+          }
+        }
+        val arr = buf.toByteArray
+        if (isNumeric) {
+          val s = new String(arr, java.nio.charset.StandardCharsets.US_ASCII)
+          try return TNum(NInt(java.lang.Integer.parseInt(s)))
+          catch {
+            case _: NumberFormatException =>
+              try return TNum(NReal(java.lang.Float.parseFloat(s)))
+              catch { case _: NumberFormatException => () }
+          }
+        }
+        return keywordOrBare(arr)
+      }
+    }
+    null
+  }
+
+  private def keywordOrBare(arr: Array[Byte]): Tok = {
+    if (same(arr, "stream")) TStreamBegin
+    else if (same(arr, "endstream")) TStreamEnd
+    else if (same(arr, "endobj")) TObjEnd
+    else TBare(arr)
+  }
+
+  private def same(a: Array[Byte], s: String): Boolean = {
+    if (a.length != s.length) return false
+    var i = 0
+    while (i < a.length) { if (a(i) != s.charAt(i)) return false; i += 1 }
+    true
+  }
+
+  private def digit(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0' else Err.fail("byte_to_digit: not a digit")
+}
+
+object PdfTokenizer {
+  def apply(bytes: Array[Byte], at: Int = 0): PdfTokenizer = new PdfTokenizer(bytes, at)
+}
+
+/** Token fuser: `Int Int R` -> TRef, `Int Int obj` -> TObjBegin, comments dropped —
+  * tokenizer.rs:119-157. Carries the resolution context (file bytes + xref) that the
+  * reference threads through `Token::IndirectRef`.
+  *
+  * Quirk replicated: a lookahead of `Int Int <bareword other than R/obj>` makes the
+  * reference's `next()` fall through every arm and return None — the token stream
+  * appears to end (tokenizer.rs:122-155 control flow).
+  */
+final class Lemmatizer(val tok: PdfTokenizer, val ctx: Ctx) {
+  def nextN(length: Int): Array[Byte] = tok.nextN(length)
+
+  def next(): Tok = {
+    var t = tok.next()
+    // comments skipped — tokenizer.rs:151
+    while (t != null && t.isInstanceOf[TComment]) t = tok.next()
+    t match {
+      case TNum(NInt(a)) =>
+        val look = tok.copyCursor
+        look.next() match {
+          case TNum(NInt(b)) =>
+            look.next() match {
+              case bare: TBare if javaEq(bare.bytes, "R") =>
+                tok.next(); tok.next()
+                TRef(a, b)
+              case bare: TBare if javaEq(bare.bytes, "obj") =>
+                tok.next(); tok.next()
+                TObjBegin
+              case _: TBare => null // reference quirk: falls through to None
+              case _        => TNum(NInt(a))
+            }
+          case _ => TNum(NInt(a))
+        }
+      case other => other
+    }
+  }
+
+  private def javaEq(a: Array[Byte], s: String): Boolean = {
+    if (a.length != s.length) return false
+    var i = 0
+    while (i < a.length) { if (a(i) != s.charAt(i)) return false; i += 1 }
+    true
+  }
+}
+
+/** Resolution context: the byte array refs resolve against + the xref index.
+  * Mirrors the (bytes, Rc<XRef>) pair the reference stores inside IndirectRef/Object::Ref.
+  */
+final class Ctx(val bytes: Array[Byte], val xref: XRef)
+
+object Lemmatizer {
+  def apply(bytes: Array[Byte], at: Int, ctx: Ctx): Lemmatizer =
+    new Lemmatizer(new PdfTokenizer(bytes, at), ctx)
+}

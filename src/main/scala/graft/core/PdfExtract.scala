@@ -1,0 +1,57 @@
+package graft.core
+
+/** Facade mirroring `Pdf` — lib.rs:55-93.
+  *
+  * Byte-handling quirk replicated from lib.rs:60-72: the %%EOF check and the xref
+  * PARSE run over the whitespace-TRIMMED bytes, while `startxref` is located in the
+  * RAW bytes and the catalog/body parse also uses the RAW bytes.
+  */
+final class Pdf(val raw: Array[Byte]) {
+  private val trimmed: Array[Byte] = Pdf.trimAscii(raw)
+  if (trimmed.length < 5 || !Pdf.endsWith(trimmed, "%%EOF"))
+    Err.fail("PDF file is corrupted; not consistent trailing charaters")
+
+  val xref: XRef = XRef.parse(trimmed, XRef.startxref(raw))
+
+  /** `Pdf::extract` — lib.rs:75-80. */
+  def extract(mode: ExtractMode): String = extractResult(mode).text
+
+  /** Text + spans (engine addition; spans populated for Text mode only). */
+  def extractResult(mode: ExtractMode): ExtractResult = {
+    val catalogOffset = xref.getCatalogOffset.getOrElse(Err.fail("catalog offset not found"))
+    val ctx = new Ctx(raw, xref)
+    val catalog = PdfCatalog.parseAt(ctx, catalogOffset)
+    catalog.extract(mode)
+  }
+
+  /** Document metadata via the trailer Info ref — lib.rs:90-92 / info.rs (the
+    * reference never wires this to its CLI; exposed here as a library call).
+    */
+  def readInfo: Option[PdfInfo] = xref.infoKey.flatMap { key =>
+    xref.getAndFix(key, raw).map(off => PdfInfo.parseAt(new Ctx(raw, xref), off))
+  }
+}
+
+object Pdf {
+  def apply(bytes: Array[Byte]): Pdf = new Pdf(bytes)
+
+  /** Rust `<[u8]>::trim_ascii` — ascii whitespace is space, \t, \n, \f(0x0C), \r. */
+  def trimAscii(b: Array[Byte]): Array[Byte] = {
+    def isWs(x: Byte) = x == ' ' || x == '\t' || x == '\n' || x == 0x0c || x == '\r'
+    var start = 0
+    while (start < b.length && isWs(b(start))) start += 1
+    var end = b.length
+    while (end > start && isWs(b(end - 1))) end -= 1
+    java.util.Arrays.copyOfRange(b, start, end)
+  }
+
+  private def endsWith(b: Array[Byte], s: String): Boolean = {
+    if (b.length < s.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (b(b.length - s.length + i) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+}

@@ -1,0 +1,71 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** End-to-end fixture parity — ported from /root/reference/tests/integration.rs.
+  * helloworld is the reference's only byte-exact golden; the four other enabled
+  * fixtures are smoke (no-exception) + determinism + committed self-snapshots
+  * (SURVEY §5.2). pdflatex-4-pages is excluded exactly as the reference excludes it
+  * (xref-stream catalog stub, /root/reference/src/xref.rs:331-333).
+  */
+class IntegrationSpec extends AnyFunSuite {
+
+  private val dataDir = "/root/reference/data"
+  private def read(name: String): Array[Byte] = Files.readAllBytes(Paths.get(dataDir, name))
+
+  private val goldenDir = Paths.get("src/test/resources/golden")
+
+  private def snapshotCheck(name: String, kind: String, value: String): Unit = {
+    val p = goldenDir.resolve(s"$name.$kind.txt")
+    if (Files.exists(p)) {
+      val expected = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      assert(value == expected, s"snapshot mismatch for $name.$kind")
+    } else {
+      Files.createDirectories(goldenDir)
+      Files.write(p, value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  test("helloworld golden Text + RawContent (integration.rs:1-10)") {
+    val pdf = Pdf(read("helloworld.pdf"))
+    assert(pdf.extract(ExtractText) == "Hello, world!")
+    assert(pdf.extract(ExtractRawContent) == "BT\n70 50 TD\n/F1 12 Tf\n(Hello, world!) Tj\nET\n")
+  }
+
+  test("helloworld spans cover the shown text") {
+    val res = Pdf(read("helloworld.pdf")).extractResult(ExtractText)
+    assert(res.spans.nonEmpty)
+    res.spans.foreach { s =>
+      assert(s.start >= 0 && s.end <= res.text.length && s.start < s.end)
+    }
+    assert(res.spans.head == Span("Tj", 0, 13))
+  }
+
+  for (name <- Seq("sample.pdf", "tracemonkey.pdf", "002-trivial-libre-office-writer.pdf", "index.pdf")) {
+    test(s"$name smoke: Text + RawContent extract without error, deterministic (integration.rs:12-42)") {
+      val bytes = read(name)
+      val t1 = Pdf(bytes).extract(ExtractText)
+      val r1 = Pdf(bytes).extract(ExtractRawContent)
+      val t2 = Pdf(bytes).extract(ExtractText)
+      assert(t1 == t2, "nondeterministic Text output")
+      snapshotCheck(name, "text", t1)
+      snapshotCheck(name, "raw", r1)
+    }
+  }
+
+  test("tracemonkey structural sanity: 14 pages joined, known substrings") {
+    val t = Pdf(read("tracemonkey.pdf")).extract(ExtractText)
+    assert(t.nonEmpty)
+    assert(t.contains("race"), "expected recognizable body text")
+  }
+
+  test("spans substring invariant on all smoke fixtures") {
+    for (name <- Seq("sample.pdf", "002-trivial-libre-office-writer.pdf", "index.pdf")) {
+      val res = Pdf(read(name)).extractResult(ExtractText)
+      res.spans.foreach { s =>
+        assert(s.start >= 0 && s.start <= s.end && s.end <= res.text.length, s"bad span $s in $name")
+      }
+    }
+  }
+}
