@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Deterministic single-page PDF writer used by the synthetic transcript generator.
+  * Emits the classic-xref document shape of the reference's helloworld fixture
+  * (/root/reference/data/helloworld.pdf: catalog -> pages -> page -> contents with a
+  * single `BT .. Tj .. ET`), so a synthesized PDF round-trips byte-exactly through
+  * the extraction engine: extractText(synthesize(text)) == text for printable-ASCII
+  * text not starting with '\n' or ' ' (leading '\n'/' ' are trimmed per page —
+  * content.rs:950 semantics).
+  */
+object MiniPdf {
+
+  /** Escape a literal string payload: backslash and parens (PDF 1.7 table 3.2). */
+  def escapeLiteral(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '('  => sb.append("\\(")
+      case ')'  => sb.append("\\)")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Build a complete PDF whose Extract::Text equals `text` (modulo the per-page
+    * leading '\n'/' ' trim). Newlines in `text` pass through Tj byte-as-char.
+    */
+  def synthesize(text: String): Array[Byte] = {
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n")
+    sb.append(s"0 ${objects.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
+    sb.append("trailer\n")
+    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  def synthesizeBase64(text: String): String =
+    java.util.Base64.getEncoder.encodeToString(synthesize(text))
+}

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+/** North-rule table shapes — BASELINE.json input_hint + SURVEY §1.2. */
+
+/** Input row: one transcript turn. `tool` tags the payload kind
+  * (pdf-b64 | html | plain); `text` carries the payload (base64 for PDF bytes).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+final case class SpanRow(op: String, start: Int, end: Int)
+
+/** Output row: per-turn extracted text + character-offset spans. `error` carries
+  * the reference's panic message for poison payloads instead of failing the stage.
+  */
+final case class ExtractedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    extracted_text: String,
+    spans: Seq[SpanRow],
+    payload_kind: String,
+    error: String
+)
+
+/** Golden fixture row for the equality gate (FIXTURES.md §2). */
+final case class Golden(
+    conv_id: String,
+    turn_idx: Int,
+    expected_text: String,
+    gate: String // "exact" | "smoke"
+)
+
+/** Per-partition checkpoint manifest (SURVEY §1.2 / P8). */
+final case class PartManifest(
+    part_id: Int,
+    conv_salt: Int,
+    rows: Long,
+    bytes: Long,
+    wall_ms: Long,
+    status: String
+)

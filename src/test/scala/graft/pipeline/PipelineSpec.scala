@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{ExtractText, Pdf}
+import graft.html.HtmlBoilerplate
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+}
+
+class MiniPdfSpec extends AnyFunSuite {
+  test("synthesized PDF round-trips byte-exactly through the extractor") {
+    for (text <- Seq(
+        "Hello, world!",
+        "parens (nested (deep)) and \\ backslash",
+        "multi\nline\ntext",
+        SynthGen.prose(7L, 8, 40))) {
+      val pdf = Pdf(MiniPdf.synthesize(text))
+      assert(pdf.extract(ExtractText) == text)
+    }
+  }
+
+  test("synthesized PDF raw content matches the content stream shape") {
+    val raw = Pdf(MiniPdf.synthesize("Hi")).extract(graft.core.ExtractRawContent)
+    assert(raw == "BT\n70 50 TD\n/F1 12 Tf\n(Hi) Tj\nET\n")
+  }
+}
+
+class HtmlSpec extends AnyFunSuite {
+  test("boilerplate strip keeps article text, drops nav/header/footer/aside/links") {
+    val body = "the quick brown fox jumps over the lazy dog"
+    val res = HtmlBoilerplate.extract(SynthGen.wrapHtml(body))
+    assert(res.text == body)
+    assert(res.spans == Vector(graft.core.Span("html", 0, body.length)))
+  }
+
+  test("entities decode and scripts are dropped") {
+    val html = "<html><body><script>var x = '<p>no</p>';</script><p>a &amp; b &lt;c&gt; d e f</p></body></html>"
+    assert(HtmlBoilerplate.extract(html).text == "a & b <c> d e f")
+  }
+
+  test("link-dense block outside containers is dropped") {
+    val html = "<body><div><a href='x'>one two three four five six</a></div><p>real content stays right here ok</p></body>"
+    assert(HtmlBoilerplate.extract(html).text == "real content stays right here ok")
+  }
+
+  test("multiple paragraphs join with newline and spans align") {
+    val html = "<body><p>first paragraph has five words</p><p>second paragraph also has words</p></body>"
+    val res = HtmlBoilerplate.extract(html)
+    assert(res.text == "first paragraph has five words\nsecond paragraph also has words")
+    res.spans.foreach(s => assert(!res.text.substring(s.start, s.end).contains("\n")))
+  }
+}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+
+  test("golden gate: extraction matches expectations on the synthetic corpus") {
+    import spark.implicits._
+    val gen = SynthGen.generate(spark, nConvs = 60, turnsPerConv = 6, longConvs = 2, longTurns = 150).cache()
+    val turns = SynthGen.turns(gen)
+    val extracted = ExtractJob.extract(turns, partitions = 8)
+    val diffs = ExtractJob.goldenDiff(extracted, SynthGen.golden(gen))
+    val bad = diffs.limit(5).collect()
+    assert(bad.isEmpty, s"golden mismatches: ${bad.mkString("\n")}")
+    assert(extracted.count() == turns.count())
+    gen.unpersist()
+  }
+
+  test("generator is deterministic across runs") {
+    import spark.implicits._
+    val a = SynthGen.generate(spark, 20, 5, 1, 50).collect().sortBy(r => (r.conv_id, r.turn_idx))
+    val b = SynthGen.generate(spark, 20, 5, 1, 50).collect().sortBy(r => (r.conv_id, r.turn_idx))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ordering stability: results identical under different partition counts") {
+    import spark.implicits._
+    val gen = SynthGen.generate(spark, 30, 5, 1, 80, includeFixturePdfs = false).cache()
+    val turns = SynthGen.turns(gen)
+    val r2 = ExtractJob.extract(turns, 2).orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "extracted_text").collect()
+    val r8 = ExtractJob.extract(turns, 8).orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "extracted_text").collect()
+    assert(r2.toSeq == r8.toSeq)
+    gen.unpersist()
+  }
+
+  test("salted repartition bounds long-conversation share per partition") {
+    import spark.implicits._
+    val gen = SynthGen.generate(spark, 10, 4, 1, 400, includeFixturePdfs = false)
+    val turns = SynthGen.turns(gen)
+    val parts = ExtractJob.saltedRepartition(turns, 16)
+      .mapPartitions(it => Iterator.single(it.count(_.conv_id == "conv-000010")))
+      .collect()
+    val total = parts.sum
+    assert(total == 400)
+    // without salting one partition would hold all 400; with SALT=64 over 16
+    // partitions expect a roughly uniform spread
+    assert(parts.max <= 100, s"skew not defeated: ${parts.mkString(",")}")
+  }
+
+  test("checkpoint manifests: resume after injected failure completes identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val gen = SynthGen.generate(spark, 40, 5, 0, 0, includeFixturePdfs = false).cache()
+    val turns = SynthGen.turns(gen).cache()
+
+    val failed = intercept[RuntimeException] {
+      ExtractJob.runWithManifests(spark, turns, dir, shards = 6, partitions = 4, failAtShard = 3)
+    }
+    assert(failed.getMessage.contains("injected failure"))
+    val doneBefore = ExtractJob.completedShards(spark, dir)
+    assert(doneBefore.size == 3)
+
+    ExtractJob.runWithManifests(spark, turns, dir, shards = 6, partitions = 4)
+    assert(ExtractJob.completedShards(spark, dir).size == 6)
+
+    val out = ExtractJob.readOutput(spark, dir)
+      .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "extracted_text").collect()
+    val direct = ExtractJob.extract(turns, 4)
+      .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "extracted_text").collect()
+    assert(out.toSeq == direct.toSeq)
+
+    // extraction-rate metrics intact: every shard has rows + wall time
+    val ms = ExtractJob.manifests(spark, dir).collect()
+    assert(ms.length == 6 && ms.forall(m => m.rows > 0 && m.wall_ms >= 0 && m.status == "done"))
+    assert(ms.map(_.rows).sum == turns.count())
+    gen.unpersist(); turns.unpersist()
+  }
+}
