@@ -1,13 +1,256 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{ExtractText, Pdf}
+import graft.functions.TextFunctions
+import graft.html.HtmlBoilerplate
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.pipeline._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries run against the driver's parquet tables in `dir`
+  * (region/nation/customer/supplier/part/orders/lineitem/events/documents/
+  * embeddings). Each `queries` entry with an `oracleSql` twin is compared
+  * byte-for-byte against DuckDB by the driver; entries without one get a weaker
+  * rows-only check and are separately spec-gated in `sbt test`.
+  *
+  * Numeric discipline for oracle parity: aggregates over doubles go through
+  * DECIMAL casts (bit-exact in any engine); float similarity queries emit ranks,
+  * not raw floats.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full transcript-extraction pipeline on a seeded synthetic
+    * corpus (north-rule shape) — returns per-payload-kind counts.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val gen = SynthGen.generate(spark, nConvs = 120, turnsPerConv = 5, longConvs = 2, longTurns = 300)
+    val turns = SynthGen.turns(gen)
+    val extracted = ExtractJob.extract(turns, partitions = 8)
+    extracted.groupBy(col("payload_kind"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(length(col("extracted_text"))).as("n_chars"),
+        sum(size(col("spans"))).as("n_spans"))
+      .orderBy("payload_kind")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction engine round-trips (the pdfrust-semantics core, end to end) --
+    "q_pdf_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Pdf(MiniPdf.synthesize(text)).extract(ExtractText))
+        })
+        .toDF("doc_id", "extracted_text").orderBy("doc_id")
+    }),
+    "q_pdf_spans" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val r = Pdf(MiniPdf.synthesize(text)).extractResult(ExtractText)
+          (id, r.spans.length, r.spans.head.op, r.spans.head.start, r.spans.head.end)
+        })
+        .toDF("doc_id", "n_spans", "span_op", "span_start", "span_end")
+        .orderBy("doc_id")
+    }),
+    "q_html_strip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, HtmlBoilerplate.extract(SynthGen.wrapHtml(text)).text)
+        })
+        .toDF("doc_id", "extracted_text").orderBy("doc_id")
+    }),
+    "q_plain_identity" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user", text, "plain", null))
+          (id, e.extracted_text, e.error == null)
+        })
+        .toDF("doc_id", "extracted_text", "ok").orderBy("doc_id")
+    }),
+
+    // ---- text analysis -----------------------------------------------------------
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_obs"))
+        .orderBy("doc_id")
+    }),
+    "q_quality_counts" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.nAlpha(col("text")).as("n_alpha"),
+        TextFunctions.nDigit(col("text")).as("n_digit"),
+        TextFunctions.nPunct(col("text")).as("n_punct"),
+        TextFunctions.nStopwords(col("text")).as("n_stop"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, TextFunctions.langId(text)) })
+        .toDF("doc_id", "lang_pred").orderBy("doc_id")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, TextFunctions.fnv1a64(text), TextFunctions.rollingMinHash(text))
+        })
+        .toDF("doc_id", "fnv64", "rolling_min").orderBy("doc_id")
+    }),
+
+    // ---- deduplication -------------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      Dedup.exact(dupes, "text", "doc_id").orderBy("text_hash")
+    }),
+    "q_minhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      Dedup.minhashNearDups(dupes, "text", "doc_id")
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+    "q_simhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      Dedup.simhashNearDups(dupes, "text", "doc_id").orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search ----------------------------------------------------------
+    "q_ann_brute" -> ((s, dir) => {
+      Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
+        .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
+        .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+    }),
+    "q_cosine_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dupes = emb.select(col("vec_id"), col("embedding"))
+        .union(emb.select(col("vec_id") + 10000, col("embedding")))
+      Similarity.cosineNearDups(dupes, threshold = 0.999)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------------------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeAndFeaturize(
+        Multimodal.fromTextTable(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().select("doc_id", "width", "height", "frames", "bytes")
+        .orderBy("doc_id")
+    }),
+
+    // ---- relational plane (scan/filter/agg/join/window/sort/limit) ------------------
+    "q1_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)")).cast("decimal(28,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_join_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val customer = t(s, dir, "customer")
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)")).cast("decimal(28,4)").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q_window_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q_events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    "q_sort_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    }),
+
+    // ---- the transcript pipeline itself (no sfDir input; rows-only smoke) ------------
+    "q_extract_pipeline" -> ((s, _) => {
+      entry(s)
+    })
+  )
+
+  /** DuckDB oracles. Omitted entries (lang_id, fingerprint, minhash/simhash/cosine
+    * near-dups, ann_ivf, extract_pipeline) are not SQL-expressible or intentionally
+    * approximate; they are gated by ScalaTest specs against brute-force oracles
+    * instead (see OperatorsSpec) and get the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_pdf_roundtrip" ->
+      "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    "q_pdf_spans" ->
+      "SELECT doc_id, 1 AS n_spans, 'Tj' AS span_op, 0 AS span_start, length(text) AS span_end FROM documents ORDER BY doc_id",
+    "q_html_strip" ->
+      "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    "q_plain_identity" ->
+      "SELECT doc_id, text AS extracted_text, true AS ok FROM documents ORDER BY doc_id",
+    "q_token_count" ->
+      "SELECT doc_id, CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> CAST(ceil(length(w)/4.0) AS INT)), 'sum') AS INT) END AS bpe_tokens, length(text) AS n_chars_obs FROM documents ORDER BY doc_id",
+    "q_quality_counts" ->
+      "SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct, len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) AS n_stop FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) GROUP BY md5(text) ORDER BY text_hash",
+    "q_ann_brute" ->
+      "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5 ORDER BY query_id, rank",
+    "q_multimodal_meta" ->
+      "SELECT doc_id, 1 + (octet_length(encode(text)) % 64) AS width, 1 + (octet_length(encode(text)) % 37) AS height, 1 + octet_length(encode(text)) // 100 AS frames, CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents ORDER BY doc_id",
+    "q1_pricing_agg" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_join_revenue" ->
+      "SELECT c_custkey, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS revenue, count(DISTINCT o_orderkey) AS n_orders FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_window_top_orders" ->
+      "SELECT o_custkey, rk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk",
+    "q_events_sessionize" ->
+      "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
+    "q_sort_topk" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25"
+  )
 }

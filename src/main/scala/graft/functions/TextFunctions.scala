@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines. Everything that the
+  * built-in (codegen'd) function library can express is a Column expression —
+  * no UDFs on the hot path; only language-ID and fingerprinting (genuine loops)
+  * are Scala functions used via typed map.
+  */
+object TextFunctions {
+
+  /** Whitespace token count — codegen'd `size(split(...))`. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Quality-score raw counts (integers only: exactly reproducible in any engine).
+    * alpha / digit / punct / whitespace character classes + stopword hits.
+    */
+  def nAlpha(text: Column): Column = length(text) - length(regexp_replace(text, "[A-Za-z]", ""))
+  def nDigit(text: Column): Column = length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def nPunct(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+  def nSpace(text: Column): Column = length(text) - length(regexp_replace(text, " ", ""))
+
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "this",
+    "for", "on", "with", "as", "at", "by", "be", "are")
+
+  /** Stopword hits via higher-order array functions (still whole-stage codegen). */
+  def nStopwords(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    size(filter(words, w => w.isin(stopwordsEn: _*)))
+  }
+
+  /** Composite quality score in [0,1] — our own fixed formula (documented):
+    * favors texts with healthy word length, some stopwords, low punctuation.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val stopRatio = nStopwords(text).cast("double") / greatest(toks, lit(1.0))
+    val punctRatio = nPunct(text).cast("double") / greatest(len, lit(1.0))
+    val avgWord = len / greatest(toks, lit(1.0))
+    val wordScore = when(avgWord.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = when(stopRatio.between(0.05, 0.6), 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.3)
+    (wordScore + stopScore + punctScore) / 3.0
+  }
+
+  /** BPE-ish token estimate: whitespace words plus a sub-word penalty for long
+    * words (a word of length L costs ceil(L/4) tokens) — pure column math.
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, 0).otherwise(
+      aggregate(words, lit(0), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")))
+  }
+
+  // --- language ID (heuristic n-gram/stopword profile; Scala side) ---------------
+
+  private val profiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "du", "que", "pour", "dans"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "por", "con"),
+    "it" -> Set("il", "la", "di", "e", "che", "un", "una", "per", "sono", "del", "con", "non")
+  )
+
+  /** Deterministic language ID: stopword-profile argmax, ties resolved by profile
+    * order, no hits => "und" (undetermined).
+    */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val words = text.toLowerCase.split("\\s+")
+    var best = "und"
+    var bestScore = 0
+    profiles.foreach { case (lang, stops) =>
+      var score = 0
+      words.foreach(w => if (stops.contains(w)) score += 1)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  // --- document fingerprinting (rolling hash; Scala side) ------------------------
+
+  /** FNV-1a 64-bit over the UTF-8 bytes of the normalized text. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing-style fingerprint: minimum polynomial rolling hash over all k-byte
+    * windows (k=8) of the normalized text — robust to local edits; used as a
+    * near-dup prefilter key.
+    */
+  def rollingMinHash(s: String, k: Int = 8): Long = {
+    val b = normalize(s).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (b.length < k) return fnv1a64(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    val base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
+    var min = mix(h)
+    i = k
+    while (i < b.length) {
+      h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
+      val m = mix(h)
+      if (java.lang.Long.compareUnsigned(m, min) < 0) min = m
+      i += 1
+    }
+    min
+  }
+
+  def normalize(s: String): String = s.toLowerCase.replaceAll("\\s+", " ").trim
+
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

