@@ -60,6 +60,24 @@ object SparkEntry {
         .toDF("doc_id", "n_spans", "span_op", "span_start", "span_end")
         .orderBy("doc_id")
     }),
+    "q_pdf_rawcontent" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Pdf(MiniPdf.synthesize(text)).extract(graft.core.ExtractRawContent))
+        })
+        .toDF("doc_id", "raw_content").orderBy("doc_id")
+    }),
+    "q_pdf_info" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val info = Pdf(MiniPdf.synthesize(text)).readInfo
+          (id, info.flatMap(_.title).orNull, info.flatMap(_.author).orNull,
+            info.flatMap(_.creator).orNull)
+        })
+        .toDF("doc_id", "title", "author", "creator").orderBy("doc_id")
+    }),
     "q_html_strip" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -228,6 +246,10 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
     "q_pdf_spans" ->
       "SELECT doc_id, 1 AS n_spans, 'Tj' AS span_op, 0 AS span_start, length(text) AS span_end FROM documents ORDER BY doc_id",
+    "q_pdf_rawcontent" ->
+      "SELECT doc_id, 'BT' || chr(10) || '70 50 TD' || chr(10) || '/F1 12 Tf' || chr(10) || '(' || replace(replace(replace(text, '\\', '\\\\'), '(', '\\('), ')', '\\)') || ') Tj' || chr(10) || 'ET' || chr(10) AS raw_content FROM documents ORDER BY doc_id",
+    "q_pdf_info" ->
+      "SELECT doc_id, substr(text, 1, 24) AS title, 'graft' AS author, 'minipdf' AS creator FROM documents ORDER BY doc_id",
     "q_html_strip" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
     "q_plain_identity" ->

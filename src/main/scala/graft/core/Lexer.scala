@@ -126,7 +126,8 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
           val out = new Array[Byte](sb.length / 2)
           var i = 0
           while (i < out.length) {
-            out(i) = Integer.parseInt(sb.substring(2 * i, 2 * i + 2), 16).toByte
+            try out(i) = Integer.parseInt(sb.substring(2 * i, 2 * i + 2), 16).toByte
+            catch { case _: NumberFormatException => Err.fail(s"invalid hex pair in hexstring: ${sb.substring(2 * i, 2 * i + 2)}") }
             i += 1
           }
           return THex(out)

@@ -61,6 +61,18 @@ object ExtractJob {
     saltedRepartition(input, partitions).mapPartitions(_.map(extractTurn))
   }
 
+  /** Narrow variant: extraction on the scan partitions, NO shuffle. Correct
+    * whenever the source layout is already splittable-uniform (parquet row groups
+    * split a long conversation across tasks by construction). At 100TB the salted
+    * repartition (P3) is for sources whose layout clusters heavy conversations
+    * (e.g. Iceberg bucketed by conv); when it isn't needed, skipping the exchange
+    * removes the full-payload shuffle — the pipeline's only wide stage.
+    */
+  def extractNarrow(input: Dataset[Turn]): Dataset[ExtractedTurn] = {
+    import input.sparkSession.implicits._
+    input.mapPartitions(_.map(extractTurn))
+  }
+
   /** P6: golden gate — byte-exact per-turn text equality. Returns diff rows
     * (empty => gate passes). Built from broadcastable joins only: an inner join for
     * value mismatches plus two anti-joins for missing/extra keys (a full-outer join

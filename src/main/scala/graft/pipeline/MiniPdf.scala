@@ -27,6 +27,9 @@ object MiniPdf {
   /** Build a complete PDF whose Extract::Text equals `text` (modulo the per-page
     * leading '\n'/' ' trim). Newlines in `text` pass through Tj byte-as-char.
     */
+  /** The document Info title is the first 24 chars of the text (escaped). */
+  def titleOf(text: String): String = text.take(24)
+
   def synthesize(text: String): Array[Byte] = {
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
     val objects = Seq(
@@ -34,7 +37,8 @@ object MiniPdf {
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
       s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
-      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
     )
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
@@ -49,7 +53,7 @@ object MiniPdf {
     sb.append("0000000000 65535 f \n")
     offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
     sb.append("trailer\n")
-    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R >>\n")
     sb.append(s"startxref\n$xrefOff\n%%EOF")
     sb.toString.getBytes(ISO_8859_1)
   }

@@ -109,10 +109,16 @@ object SynthGen {
       longConvs: Int,
       longTurns: Int,
       seed: Long = 42L,
-      includeFixturePdfs: Boolean = true
+      includeFixturePdfs: Boolean = true,
+      fixtureShare: Int = 5
   ): Dataset[GenRow] = {
     import spark.implicits._
     val fixtures = if (includeFixturePdfs) fixturePdfs else Array.empty[(String, String, String, String)]
+    // payload mix: fixtureShare% real fixture PDFs; the rest split 40/25/30
+    // plain/html/minipdf (defaults reproduce the original 40/25/30/5 mix exactly)
+    val fixCut = 100 - (if (fixtures.isEmpty) 0 else fixtureShare)
+    val plainCut = fixCut * 40 / 95
+    val htmlCut = fixCut * 65 / 95
     val base = 1767225600000L // 2026-01-01T00:00:00Z, fixed epoch millis
     spark.range(0, nConvs.toLong + longConvs, 1, math.min(256, math.max(8, nConvs / 64)))
       .as[Long]
@@ -133,11 +139,11 @@ object SynthGen {
           val ts = new Timestamp(base + (conv * 60L + turnIdx) * 1000L)
           val kind = java.lang.Long.remainderUnsigned(h, 100L).toInt
           val body = prose(h ^ 0x5eedL, 8, 40)
-          if (kind < 40) {
+          if (kind < plainCut) {
             GenRow(convId, turnIdx, role, body, "plain", ts, body, "exact")
-          } else if (kind < 65) {
+          } else if (kind < htmlCut) {
             GenRow(convId, turnIdx, role, wrapHtml(body), "html", ts, body, "exact")
-          } else if (kind < 95 || fixtures.isEmpty) {
+          } else if (kind < fixCut || fixtures.isEmpty) {
             GenRow(convId, turnIdx, role, MiniPdf.synthesizeBase64(body), "pdf-b64", ts, body, "exact")
           } else {
             val (_, b64, expected, gate) =

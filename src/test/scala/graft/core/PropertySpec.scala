@@ -1,0 +1,83 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.MiniPdf
+
+/** Property-based gates (SURVEY §5.2 step 3). Raw ScalaCheck driven from
+  * ScalaTest (the scalatestplus bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("lexer is total on arbitrary bytes: only PdfParseException escapes") {
+    check("lexer-total", Prop.forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      try {
+        val tok = new PdfTokenizer(bytes, 0)
+        var t = tok.next()
+        var n = 0
+        while (t != null && n < 10000) { t = tok.next(); n += 1 }
+        true
+      } catch {
+        case _: PdfParseException => true // reference panics become this
+      }
+    })
+  }
+
+  test("escape-free literal strings round-trip through the lexer") {
+    val safeChar = Gen.choose(32.toChar, 126.toChar)
+      .retryUntil(c => c != '(' && c != ')' && c != '\\')
+    check("literal-roundtrip", Prop.forAll(Gen.listOf(safeChar).map(_.mkString)) { s =>
+      new PdfTokenizer(s"($s)".getBytes("ISO-8859-1"), 0).next() match {
+        case l: TLit => new String(l.bytes, "ISO-8859-1") == s
+        case _       => false
+      }
+    })
+  }
+
+  test("MiniPdf escape round-trips arbitrary printable text through the extractor") {
+    val printable = Gen.choose(32.toChar, 126.toChar)
+    check("minipdf-roundtrip", Prop.forAll(Gen.listOf(printable).map(_.mkString)) { s =>
+      if (s.isEmpty || s.startsWith(" ")) true
+      else Pdf(MiniPdf.synthesize(s)).extract(ExtractText) == s
+    }, n = 100)
+  }
+
+  test("hex strings round-trip") {
+    check("hex-roundtrip", Prop.forAll(
+      Gen.nonEmptyContainerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+      new PdfTokenizer(s"<$hex>".getBytes("ISO-8859-1"), 0).next() match {
+        case h: THex => java.util.Arrays.equals(h.bytes, bytes)
+        case _       => false
+      }
+    })
+  }
+
+  test("minhash signature equality rate tracks jaccard within tolerance") {
+    import graft.operators.Dedup
+    val words = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+    check("minhash-estimates", Prop.forAll(words, words) { (a, b) =>
+      val sa = Dedup.shingles(a.mkString(" "), 2)
+      val sb = Dedup.shingles(b.mkString(" "), 2)
+      val exact = Dedup.exactJaccard(sa, sb)
+      val est = Dedup.minhashSignature(sa, 128).zip(Dedup.minhashSignature(sb, 128))
+        .count { case (x, y) => x == y }.toDouble / 128
+      math.abs(est - exact) < 0.35
+    }, n = 100)
+  }
+
+  test("html escape/extract round-trip on arbitrary printable text") {
+    import graft.html.HtmlBoilerplate
+    import graft.pipeline.SynthGen
+    val printable = Gen.choose(32.toChar, 126.toChar)
+    check("html-roundtrip", Prop.forAll(Gen.listOfN(12, Gen.listOfN(5, printable).map(_.mkString)).map(_.mkString(" "))) { s =>
+      val norm = HtmlBoilerplate.normalize(s)
+      HtmlBoilerplate.extract(SynthGen.wrapHtml(norm)).text == norm
+    }, n = 100)
+  }
+}

@@ -33,6 +33,27 @@ class MiniPdfSpec extends AnyFunSuite {
     val raw = Pdf(MiniPdf.synthesize("Hi")).extract(graft.core.ExtractRawContent)
     assert(raw == "BT\n70 50 TD\n/F1 12 Tf\n(Hi) Tj\nET\n")
   }
+
+  test("synthesized PDF info dictionary round-trips") {
+    val info = Pdf(MiniPdf.synthesize("parens (x) and more text beyond the title cut")).readInfo
+    assert(info.isDefined)
+    assert(info.get.title == Some("parens (x) and more text"))
+    assert(info.get.author == Some("graft"))
+    assert(info.get.creator == Some("minipdf"))
+  }
+
+  test("chars mode emits per-glyph diagnostic lines (non-gated format)") {
+    val out = Pdf(MiniPdf.synthesize("Hi")).extract(graft.core.ExtractChars)
+    assert(out ==
+      "'H', \"Type1\", \"Helvetica\", (1, 0, 0, 1, 70, 50)\n" +
+      "'i', \"Type1\", \"Helvetica\", (1, 0, 0, 1, 70, 50)\n")
+  }
+
+  test("font mode lists the page fonts") {
+    val out = Pdf(MiniPdf.synthesize("Hi")).extract(graft.core.ExtractFont)
+    assert(out.contains("Subtype: \"Type1\""))
+    assert(out.contains("BaseFont: \"Helvetica\""))
+  }
 }
 
 class HtmlSpec extends AnyFunSuite {
