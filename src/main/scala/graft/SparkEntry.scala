@@ -230,6 +230,29 @@ object SparkEntry {
         .limit(25)
     }),
 
+    // ---- structured streaming (file source -> extract -> memory sink) ----------------
+    "q_stream_extract" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp").toString
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) => Turn(f"$id%012d", 0, "user", text, "plain",
+          new java.sql.Timestamp(0L)) }
+        .write.mode("overwrite").parquet(tmp)
+      val turns = s.readStream
+        .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
+        .parquet(tmp).as[Turn]
+      val name = s"stream_out_${System.nanoTime()}"
+      val q = graft.streaming.StreamingExtract.extractStream(turns)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("conv_id").cast("long").as("doc_id"), col("extracted_text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the transcript pipeline itself (no sfDir input; rows-only smoke) ------------
     "q_extract_pipeline" -> ((s, _) => {
       entry(s)
@@ -273,6 +296,8 @@ object SparkEntry {
     "q_events_sessionize" ->
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25"
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25",
+    "q_stream_extract" ->
+      "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id"
   )
 }
