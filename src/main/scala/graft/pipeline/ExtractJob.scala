@@ -105,12 +105,16 @@ object ExtractJob {
     */
   def shardCol: org.apache.spark.sql.Column = pmod(hash(col("conv_id")), lit(SALT))
 
+  /** Storage backend (SURVEY §1.2): Parquet+manifests here; Iceberg on clusters
+    * that ship the runtime jar (see TableIO).
+    */
+  val io: TableIO = ParquetTableIO
+
   def completedShards(spark: SparkSession, outDir: String): Set[Int] = {
-    val p = new java.io.File(s"$outDir/_manifests")
-    if (!p.exists()) Set.empty
+    if (!io.manifestsExist(outDir)) Set.empty
     else {
       import spark.implicits._
-      spark.read.parquet(s"$outDir/_manifests").as[PartManifest]
+      io.readManifests(spark, outDir)
         .filter(_.status == "done").map(_.part_id).collect().toSet
     }
   }
@@ -138,28 +142,20 @@ object ExtractJob {
       val shardInput = withShard.where(col("__shard") === k).drop("__shard").as[Turn]
       val out = extract(shardInput, partitions)
         .sortWithinPartitions("conv_id", "turn_idx") // P5 (prod-scale ordering)
-      out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/data/shard=$k")
+      io.writeShard(out, outDir, k)
       val stats = spark.read.parquet(s"$outDir/data/shard=$k")
         .agg(count(lit(1)), coalesce(sum(length(col("extracted_text"))), lit(0L)))
         .head()
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      val manifest = Seq(PartManifest(k, SALT, stats.getLong(0), stats.getLong(1), wallMs, "done"))
-      manifest.toDS().write.mode(SaveMode.Append).parquet(s"$outDir/_manifests")
+      io.appendManifests(spark, outDir,
+        Seq(PartManifest(k, SALT, stats.getLong(0), stats.getLong(1), wallMs, "done")))
       committed += 1
     }
   }
 
-  def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedTurn] = {
-    import spark.implicits._
-    // hive-style partition discovery over data/shard=<k>; shard becomes a partition
-    // column we drop (cleaner than a glob, which trips FileStreamSink's noisy probe)
-    spark.read.parquet(s"$outDir/data")
-      .select("conv_id", "turn_idx", "extracted_text", "spans", "payload_kind", "error")
-      .as[ExtractedTurn]
-  }
+  def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedTurn] =
+    io.readOutput(spark, outDir)
 
-  def manifests(spark: SparkSession, outDir: String): Dataset[PartManifest] = {
-    import spark.implicits._
-    spark.read.parquet(s"$outDir/_manifests").as[PartManifest]
-  }
+  def manifests(spark: SparkSession, outDir: String): Dataset[PartManifest] =
+    io.readManifests(spark, outDir)
 }
