@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
+// (GC choice matters at high core counts under FlateDecode buffer churn — see
+// BENCH.md; measurements on this host are too noisy to hard-default away from G1)

@@ -35,14 +35,18 @@ final class Pdf(val raw: Array[Byte]) {
 object Pdf {
   def apply(bytes: Array[Byte]): Pdf = new Pdf(bytes)
 
-  /** Rust `<[u8]>::trim_ascii` — ascii whitespace is space, \t, \n, \f(0x0C), \r. */
+  /** Rust `<[u8]>::trim_ascii` — ascii whitespace is space, \t, \n, \f(0x0C), \r.
+    * Returns the input array untouched when there is nothing to trim (the common
+    * case), avoiding a full payload copy per row.
+    */
   def trimAscii(b: Array[Byte]): Array[Byte] = {
     def isWs(x: Byte) = x == ' ' || x == '\t' || x == '\n' || x == 0x0c || x == '\r'
     var start = 0
     while (start < b.length && isWs(b(start))) start += 1
     var end = b.length
     while (end > start && isWs(b(end - 1))) end -= 1
-    java.util.Arrays.copyOfRange(b, start, end)
+    if (start == 0 && end == b.length) b
+    else java.util.Arrays.copyOfRange(b, start, end)
   }
 
   private def endsWith(b: Array[Byte], s: String): Boolean = {
