@@ -63,6 +63,8 @@ object ExtractMain {
     val rows = m.map(_.rows).sum
     val errs = ExtractJob.readOutput(spark, outDir).where($"error".isNotNull).count()
     println(f"extracted rows=$rows errors=$errs shards=${m.length} wall=$wall%.2fs rate=${rows / wall}%.0f turns/s")
+    m.sortBy(_.part_id).foreach(pm =>
+      println(f"  shard=${pm.part_id}%-3d rows=${pm.rows}%-8d bytes=${pm.bytes}%-10d wall_ms=${pm.wall_ms}%-6d rate=${if (pm.wall_ms > 0) pm.rows * 1000 / pm.wall_ms else 0}%d turns/s"))
     spark.stop()
   }
 }

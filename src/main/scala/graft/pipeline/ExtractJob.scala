@@ -61,6 +61,35 @@ object ExtractJob {
     saltedRepartition(input, partitions).mapPartitions(_.map(extractTurn))
   }
 
+  /** P7: extraction-rate metrics as Spark accumulators (cluster-wide counters
+    * that survive task retries' final accounting; complement the per-shard
+    * manifest metrics).
+    */
+  final case class ExtractMetrics(
+      rows: org.apache.spark.util.LongAccumulator,
+      errors: org.apache.spark.util.LongAccumulator,
+      chars: org.apache.spark.util.LongAccumulator)
+
+  object ExtractMetrics {
+    def register(spark: SparkSession): ExtractMetrics = ExtractMetrics(
+      spark.sparkContext.longAccumulator("graft.extract.rows"),
+      spark.sparkContext.longAccumulator("graft.extract.errors"),
+      spark.sparkContext.longAccumulator("graft.extract.chars"))
+  }
+
+  /** extract() with live accumulator metrics. */
+  def extractWithMetrics(input: Dataset[Turn], partitions: Int,
+                         m: ExtractMetrics): Dataset[ExtractedTurn] = {
+    import input.sparkSession.implicits._
+    saltedRepartition(input, partitions).mapPartitions(_.map { t =>
+      val e = extractTurn(t)
+      m.rows.add(1)
+      if (e.error != null) m.errors.add(1)
+      else if (e.extracted_text != null) m.chars.add(e.extracted_text.length)
+      e
+    })
+  }
+
   /** Narrow variant: extraction on the scan partitions, NO shuffle. Correct
     * whenever the source layout is already splittable-uniform (parquet row groups
     * split a long conversation across tasks by construction). At 100TB the salted

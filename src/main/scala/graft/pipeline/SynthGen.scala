@@ -144,7 +144,11 @@ object SynthGen {
           } else if (kind < htmlCut) {
             GenRow(convId, turnIdx, role, wrapHtml(body), "html", ts, body, "exact")
           } else if (kind < fixCut || fixtures.isEmpty) {
-            GenRow(convId, turnIdx, role, MiniPdf.synthesizeBase64(body), "pdf-b64", ts, body, "exact")
+            // half raw content streams, half FlateDecode-compressed (same golden)
+            val pdf = if (((h >>> 17) & 1L) == 0L) MiniPdf.synthesize(body)
+                      else MiniPdf.synthesizeFlate(body)
+            val b64 = java.util.Base64.getEncoder.encodeToString(pdf)
+            GenRow(convId, turnIdx, role, b64, "pdf-b64", ts, body, "exact")
           } else {
             val (_, b64, expected, gate) =
               fixtures(java.lang.Long.remainderUnsigned(mix(h), fixtures.length.toLong).toInt)

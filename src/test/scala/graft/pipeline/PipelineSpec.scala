@@ -130,6 +130,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.max <= 100, s"skew not defeated: ${parts.mkString(",")}")
   }
 
+  test("accumulator metrics count rows, errors and chars") {
+    import spark.implicits._
+    val rows = Seq(
+      Turn("c1", 0, "user", "plain text here", "plain", new java.sql.Timestamp(0)),
+      Turn("c1", 1, "user", "!!!bad", "pdf-b64", new java.sql.Timestamp(0))
+    ).toDS()
+    val m = ExtractJob.ExtractMetrics.register(spark)
+    ExtractJob.extractWithMetrics(rows, 2, m).count()
+    assert(m.rows.value == 2)
+    assert(m.errors.value == 1)
+    assert(m.chars.value == "plain text here".length)
+  }
+
   test("checkpoint manifests: resume after injected failure completes identically") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
