@@ -35,6 +35,18 @@ final class Pdf(val raw: Array[Byte]) {
 object Pdf {
   def apply(bytes: Array[Byte]): Pdf = new Pdf(bytes)
 
+  /** `pdf_version(s)` — lib.rs:44-53 (dead code in the reference: never called
+    * by main.rs or Pdf::from; exposed for API completeness). Reads the LAST 3
+    * bytes of the given slice, exactly like the reference.
+    */
+  def pdfVersion(s: Array[Byte]): String = {
+    if (s.length < 3) Err.fail("Pdf version not supported")
+    new String(s, s.length - 3, 3, java.nio.charset.StandardCharsets.US_ASCII) match {
+      case v @ ("1.3" | "1.4" | "1.5" | "1.6" | "1.7") => v
+      case _ => Err.fail("Pdf version not supported")
+    }
+  }
+
   /** Rust `<[u8]>::trim_ascii` — ascii whitespace is space, \t, \n, \f(0x0C), \r.
     * Returns the input array untouched when there is nothing to trim (the common
     * case), avoiding a full payload copy per row.

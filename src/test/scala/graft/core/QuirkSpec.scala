@@ -115,6 +115,12 @@ class QuirkSpec extends AnyFunSuite {
     assert(out == "a\u00ef\u00bf\u00bdb")
   }
 
+  test("pdf_version reads the last 3 bytes (lib.rs:44-53, dead code in the reference)") {
+    assert(Pdf.pdfVersion("%PDF-1.7".getBytes) == "1.7")
+    assert(Pdf.pdfVersion("%PDF-1.4".getBytes) == "1.4")
+    intercept[PdfParseException](Pdf.pdfVersion("%PDF-2.0".getBytes))
+  }
+
   private def rebuildWithContent(content: String): Array[Byte] = {
     val bytes = content.getBytes("ISO-8859-1")
     val objects = Seq(
