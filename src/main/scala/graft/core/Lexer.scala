@@ -57,14 +57,22 @@ case object TObjBegin extends Tok
 case object TObjEnd extends Tok
 
 object CharClass {
-  /** Character classification — tokenizer.rs:74-90. NUL (0) IS whitespace. */
-  @inline def isWhite(b: Byte): Boolean =
-    b == 0 || b == 9 || b == 10 || b == 12 || b == 13 || b == 32
-  @inline def isDelim(b: Byte): Boolean = b match {
-    case '(' | ')' | '<' | '>' | '[' | ']' | '{' | '}' | '/' | '%' => true
-    case _                                                          => false
+  final val Regular: Byte = 0
+  final val White: Byte = 1
+  final val Delim: Byte = 2
+
+  /** Character classification table — tokenizer.rs:74-90. NUL (0) IS whitespace. */
+  val table: Array[Byte] = {
+    val t = new Array[Byte](256)
+    for (b <- Seq(0, 9, 10, 12, 13, 32)) t(b) = White
+    for (c <- "()<>[]{}/%") t(c.toInt) = Delim
+    t
   }
-  @inline def isRegular(b: Byte): Boolean = !isWhite(b) && !isDelim(b)
+
+  @inline def cls(b: Byte): Byte = table(b & 0xff)
+  @inline def isWhite(b: Byte): Boolean = cls(b) == White
+  @inline def isDelim(b: Byte): Boolean = cls(b) == Delim
+  @inline def isRegular(b: Byte): Boolean = cls(b) == Regular
   @inline def isHexDigit(b: Byte): Boolean =
     (b >= '0' && b <= '9') || (b >= 'A' && b <= 'F') || (b >= 'a' && b <= 'f')
 }
@@ -94,76 +102,96 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Next token or null at end — tokenizer.rs:204-374. */
+  /** Next token or null at end — tokenizer.rs:204-374. Hot path: single-pass
+    * scans that slice the backing array once per token (no per-byte buffers);
+    * the escape-bearing literal-string path falls back to a build buffer.
+    */
   def next(): Tok = {
-    while (pos < bytes.length) {
+    val n = bytes.length
+    while (pos < n) {
       val c = bytes(pos)
       pos += 1
       if (isWhite(c)) {
-        // absorb whitespace between tokens — tokenizer.rs:369
+        // absorb whitespace between tokens — tokenizer.rs:369 (tight skip)
+        while (pos < n && isWhite(bytes(pos))) pos += 1
       } else if (c == '%') {
         // comment to CR/LF — tokenizer.rs:212-224
-        val buf = new java.io.ByteArrayOutputStream()
-        var done = false
-        while (!done && pos < bytes.length) {
-          val b = bytes(pos)
-          if (b == 13 || b == 10) done = true
-          else { buf.write(b.toInt); pos += 1 }
-        }
-        return TComment(buf.toByteArray)
+        val start = pos
+        while (pos < n && bytes(pos) != 13 && bytes(pos) != 10) pos += 1
+        return TComment(Arrays.copyOfRange(bytes, start, pos))
       } else if (c == '<') {
-        if (pos < bytes.length && bytes(pos) == '<') { pos += 1; return TDictBegin }
-        else if (pos < bytes.length && isHexDigit(bytes(pos))) {
+        if (pos < n && bytes(pos) == '<') { pos += 1; return TDictBegin }
+        else if (pos < n && isHexDigit(bytes(pos))) {
           // hex string — tokenizer.rs:233-261; odd length padded with '0'
-          val sb = new StringBuilder
-          var done = false
-          while (!done) {
-            if (pos >= bytes.length) return null // reference: None
-            val b = bytes(pos); pos += 1
-            if (b == '>') done = true else sb.append(b.toChar)
-          }
-          if (sb.length % 2 == 1) sb.append('0')
-          val out = new Array[Byte](sb.length / 2)
-          var i = 0
-          while (i < out.length) {
-            try out(i) = Integer.parseInt(sb.substring(2 * i, 2 * i + 2), 16).toByte
-            catch { case _: NumberFormatException => Err.fail(s"invalid hex pair in hexstring: ${sb.substring(2 * i, 2 * i + 2)}") }
+          val start = pos
+          while (pos < n && bytes(pos) != '>') pos += 1
+          if (pos >= n) return null // reference: None
+          val end = pos
+          pos += 1 // consume '>'
+          val nibbles = end - start
+          val out = new Array[Byte]((nibbles + 1) / 2)
+          var i = start
+          var hi = true
+          var acc = 0
+          var oi = 0
+          while (i < end) {
+            val v = hexVal(bytes(i))
+            if (hi) { acc = v << 4; hi = false }
+            else { out(oi) = (acc | v).toByte; oi += 1; hi = true }
             i += 1
           }
+          if (!hi) { out(oi) = acc.toByte } // odd length: trailing '0' nibble
           return THex(out)
-        } else if (pos >= bytes.length) Err.fail("No character following '<'")
+        } else if (pos >= n) Err.fail("No character following '<'")
         else Err.fail(s"Character ${bytes(pos)} is not interpreted as hexstring")
       } else if (c == '>') {
-        if (pos < bytes.length && bytes(pos) == '>') { pos += 1; return TDictEnd }
-        else if (pos >= bytes.length) Err.fail("Reached end of stream before end of litteral")
+        if (pos < n && bytes(pos) == '>') { pos += 1; return TDictEnd }
+        else if (pos >= n) Err.fail("Reached end of stream before end of litteral")
         // lone '>' before non-'>': silently skipped — tokenizer.rs:267
       } else if (c == '[') return TArrayBegin
       else if (c == ']') return TArrayEnd
       else if (c == '{' || c == '}') Err.fail(s"Character ${c.toChar} is not covered")
       else if (c == '/') {
         // Name: regular chars only, no #xx escapes — tokenizer.rs:275-285
-        val sb = new StringBuilder
-        while (pos < bytes.length && isRegular(bytes(pos))) {
-          sb.append((bytes(pos) & 0xff).toChar)
-          pos += 1
-        }
-        return TName(sb.toString)
+        val start = pos
+        while (pos < n && isRegular(bytes(pos))) pos += 1
+        return TName(new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
       } else if (c == '(') {
-        // literal string with nested parens + escapes — tokenizer.rs:287-331
-        val buf = new java.io.ByteArrayOutputStream()
+        // literal string with nested parens + escapes — tokenizer.rs:287-331.
+        // Fast path: no backslash -> slice between the balanced parens.
+        val start = pos
         var opened = 1
         var closed = 0
+        var hasEscape = false
         var done = false
-        while (!done && pos < bytes.length) {
+        while (!done && pos < n) {
+          val cur = bytes(pos)
+          if (cur == '\\') { hasEscape = true; done = true }
+          else {
+            pos += 1
+            if (cur == '(') opened += 1
+            else if (cur == ')') { closed += 1; if (opened == closed) done = true }
+          }
+        }
+        if (!hasEscape) {
+          val end = if (opened == closed && pos > start) pos - 1 else pos
+          return TLit(Arrays.copyOfRange(bytes, start, end))
+        }
+        // slow path: rescan from start with a build buffer
+        pos = start
+        opened = 1
+        closed = 0
+        val buf = new java.io.ByteArrayOutputStream()
+        done = false
+        while (!done && pos < n) {
           val cur = bytes(pos); pos += 1
           if (cur == '(') opened += 1
           else if (cur == ')') closed += 1
           if (opened == closed) { done = true }
           else {
             if (cur == '\\') {
-              if (pos >= bytes.length) {
-                // reference: None => continue (loop then ends)
-              } else {
+              if (pos < n) {
                 val e = bytes(pos); pos += 1
                 val out: Int = e match {
                   case 'n'  => '\n'
@@ -177,15 +205,15 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
                   case d if d >= '0' && d <= '9' =>
                     // reference octal bug replicated: ((c*8)+d*8)+e — tokenizer.rs:313-321
                     val c0 = digit(e)
-                    if (pos >= bytes.length) Err.fail("octal escape: end of stream")
+                    if (pos >= n) Err.fail("octal escape: end of stream")
                     val d0 = digit(bytes(pos)); pos += 1
-                    if (pos >= bytes.length) Err.fail("octal escape: end of stream")
+                    if (pos >= n) Err.fail("octal escape: end of stream")
                     val e0 = digit(bytes(pos)); pos += 1
                     ((c0 * 8) + d0 * 8) + e0
                   case other => other & 0xff
                 }
                 buf.write(out & 0xff)
-              }
+              } // else: reference None => continue (loop then ends)
             } else {
               buf.write(cur & 0xff)
             }
@@ -194,22 +222,16 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
         return TLit(buf.toByteArray)
       } else {
         // regular-char run — tokenizer.rs:334-366
-        val buf = new java.io.ByteArrayOutputStream()
-        buf.write(c & 0xff)
+        val start = pos - 1
         var isNumeric = true
-        var break = false
-        while (!break && pos < bytes.length) {
+        while (pos < n && isRegular(bytes(pos))) {
           val b = bytes(pos)
-          if (!isRegular(b)) break = true
-          else {
-            if (!((b >= '0' && b <= '9') || b == '.')) isNumeric = false
-            buf.write(b & 0xff)
-            pos += 1
-          }
+          if (!((b >= '0' && b <= '9') || b == '.')) isNumeric = false
+          pos += 1
         }
-        val arr = buf.toByteArray
+        val len = pos - start
         if (isNumeric) {
-          val s = new String(arr, java.nio.charset.StandardCharsets.US_ASCII)
+          val s = new String(bytes, start, len, java.nio.charset.StandardCharsets.US_ASCII)
           try return TNum(NInt(java.lang.Integer.parseInt(s)))
           catch {
             case _: NumberFormatException =>
@@ -217,10 +239,17 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
               catch { case _: NumberFormatException => () }
           }
         }
-        return keywordOrBare(arr)
+        return keywordOrBare(Arrays.copyOfRange(bytes, start, pos))
       }
     }
     null
+  }
+
+  @inline private def hexVal(b: Byte): Int = {
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else Err.fail(s"invalid hex digit in hexstring: ${(b & 0xff).toChar}")
   }
 
   private def keywordOrBare(arr: Array[Byte]): Tok = {
