@@ -23,9 +23,10 @@ object Bench {
     // measurements (models a cluster's NVMe-local shuffle dirs)
     if (new java.io.File("/dev/shm").isDirectory)
       b.config("spark.local.dir", "/dev/shm/graft-spark")
-    // tmpfs shuffle dirs make compression pure CPU overhead on the bench host;
-    // on a real cluster with network shuffle keep it on (default)
-    if (sys.env.get("SPARK_GRAFT_SHUFFLE_COMPRESS").contains("false")) {
+    // local-mode "shuffle" is a same-box memcpy, so compression is pure CPU
+    // overhead here — off by default for the bench session (a real cluster's
+    // network shuffle keeps Spark's default on); override with env if needed
+    if (!sys.env.get("SPARK_GRAFT_SHUFFLE_COMPRESS").contains("true")) {
       b.config("spark.shuffle.compress", "false")
       b.config("spark.shuffle.spill.compress", "false")
     }
@@ -70,17 +71,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = buildSession(cpus)
 
-    // warmup: JIT + parquet footer caches off the measurement path
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count() catch { case _: Throwable => () }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // warm pass (JIT, parquet footers, codegen caches) — steady-state latency is
+    // the honest per-query number for a resident service; reported as such
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (n, fn) => runOnce(n, fn) } // warm
+    val results = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
 
     // extraction throughput bench (the north-rule headline metric)
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft-bench")
