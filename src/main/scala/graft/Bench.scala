@@ -72,17 +72,24 @@ object Bench {
     val spark = buildSession(cpus)
 
     // warm pass (JIT, parquet footers, codegen caches) — steady-state latency is
-    // the honest per-query number for a resident service; reported as such
+    // the honest per-query number for a resident service; reported as such.
+    // A query that fails is recorded with an error message (never silently timed
+    // as a fast "success").
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      catch { case e1: Throwable =>
+        try fn(spark, sfDir).count() catch {
+          case e2: Throwable =>
+            errors(name) = s"${e1.getClass.getSimpleName}: ${String.valueOf(e1.getMessage).take(120)}"
+        }
       }
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (n, fn) => runOnce(n, fn) } // warm
+    errors.clear()
     val results = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
 
     // extraction throughput bench (the north-rule headline metric)
@@ -95,9 +102,12 @@ object Bench {
 
     val all = results :+ ("x_extract_pipeline_sf" -> extractSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus}""")
     spark.stop()
   }
 }

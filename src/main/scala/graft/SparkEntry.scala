@@ -18,8 +18,11 @@ import graft.pipeline._
   * rows-only check and are separately spec-gated in `sbt test`.
   *
   * Numeric discipline for oracle parity: aggregates over doubles go through
-  * DECIMAL casts (bit-exact in any engine); float similarity queries emit ranks,
-  * not raw floats.
+  * DECIMAL casts (bit-exact in any engine), then the FINAL projection casts
+  * DECIMAL back to DOUBLE — decimal-to-double is correctly-rounded in both
+  * engines, while raw DECIMAL output is hash-unstable in the driver's compare
+  * (round-1 adjudication: 4 value-identical queries hash-mismatched on decimal
+  * rendering alone). Float similarity queries emit ranks, not raw floats.
   */
 object SparkEntry {
 
@@ -55,7 +58,9 @@ object SparkEntry {
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val r = Pdf(MiniPdf.synthesize(text)).extractResult(ExtractText)
-          (id, r.spans.length, r.spans.head.op, r.spans.head.start, r.spans.head.end)
+          // headOption: a doc whose text is empty/all-trimmed has no spans
+          val s = r.spans.headOption.getOrElse(graft.core.Span("none", 0, 0))
+          (id, r.spans.length, s.op, s.start, s.end)
         })
         .toDF("doc_id", "n_spans", "span_op", "span_start", "span_end")
         .orderBy("doc_id")
@@ -135,16 +140,21 @@ object SparkEntry {
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
       Dedup.exact(dupes, "text", "doc_id").orderBy("text_hash")
     }),
+    // Near-dup queries run at exact-duplicate thresholds so a SQL oracle exists
+    // (expected pairs = identical-normalized-text pairs, incl. the planted +10000
+    // copies); the loose-threshold near-dup behavior is spec-gated in
+    // OperatorsSpec against brute force.
     "q_minhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.minhashNearDups(dupes, "text", "doc_id")
+      Dedup.minhashNearDups(dupes, "text", "doc_id", threshold = 0.999)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
     "q_simhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.simhashNearDups(dupes, "text", "doc_id").orderBy("id_a", "id_b")
+      Dedup.simhashNearDups(dupes, "text", "doc_id", maxHamming = 0)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
     // ---- similarity search ----------------------------------------------------------
@@ -178,11 +188,13 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("decimal(28,4)").as("sum_disc_price"),
+            .cast("decimal(28,4)")).cast("decimal(28,4)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -196,7 +208,7 @@ object SparkEntry {
         .agg(
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("decimal(28,4)").as("revenue"),
+            .cast("decimal(28,4)")).cast("decimal(28,4)").cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -208,7 +220,7 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 2)
         .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
         .orderBy("o_custkey", "rk")
     }),
     "q_events_sessionize" -> ((s, dir) => {
@@ -228,6 +240,7 @@ object SparkEntry {
           col("l_extendedprice").cast("decimal(18,2)").as("price"))
         .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(25)
+        .withColumn("price", col("price").cast("double"))
     }),
 
     // ---- structured streaming (file source -> extract -> memory sink) ----------------
@@ -253,18 +266,81 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- the transcript pipeline itself (no sfDir input; rows-only smoke) ------------
+    // ---- the transcript pipeline itself (north-rule flagship, full oracle) -----------
+    // Per-turn output compared against the INDEPENDENTLY generated expectations:
+    // SynthGen emits (payload, expected_text) pairs by construction (the golden is
+    // authored by the generator, not by the extractor), written to a fixed path the
+    // DuckDB oracle reads back via read_parquet — so every turn's extracted text is
+    // value-checked end to end through scan -> salted repartition -> mapPartitions
+    // extract -> sort.
     "q_extract_pipeline" -> ((s, _) => {
-      entry(s)
+      val gen = SynthGen.generate(s, nConvs = 120, turnsPerConv = 5, longConvs = 2, longTurns = 300)
+      gen.toDF().select(col("conv_id"), col("turn_idx"), col("tool"), col("expected_text"))
+        .coalesce(1).write.mode("overwrite").parquet(PipelineExpectedPath)
+      val extracted = ExtractJob.extract(SynthGen.turns(gen), partitions = 8)
+      extracted.toDF()
+        .select(col("conv_id"), col("turn_idx"), col("payload_kind"),
+          col("extracted_text"), col("error").isNull.as("ok"))
+        .orderBy("conv_id", "turn_idx")
     })
   )
 
-  /** DuckDB oracles. Omitted entries (lang_id, fingerprint, minhash/simhash/cosine
-    * near-dups, ann_ivf, extract_pipeline) are not SQL-expressible or intentionally
-    * approximate; they are gated by ScalaTest specs against brute-force oracles
-    * instead (see OperatorsSpec) and get the driver's rows-only check.
+  /** Fixed path for the flagship's generator-authored expectations (the oracle SQL
+    * must be a static string, so the path cannot vary per run).
     */
+  val PipelineExpectedPath = "/tmp/graft-oracle/pipeline_expected"
+
+  /** DuckDB oracles. The only omitted entries are q_ann_ivf (approximate by
+    * design — recall is spec-gated against the brute-force oracle in
+    * OperatorsSpec) and q_fingerprint (64-bit wrapping-multiply hash loops are
+    * not expressible in DuckDB SQL, whose BIGINT arithmetic traps on overflow;
+    * spec-gated against fixed vectors instead). Both get the driver's rows-only
+    * check; everything else is value-checked.
+    */
+  private val normSql =
+    "trim(regexp_replace(lower(%s), '\\s+', ' ', 'g'))"
+
   def oracleSql: Map[String, String] = Map(
+    "q_extract_pipeline" ->
+      ("SELECT conv_id, turn_idx, CASE WHEN tool = 'pdf-b64' THEN 'pdf' ELSE tool END AS payload_kind, " +
+        "expected_text AS extracted_text, true AS ok " +
+        s"FROM read_parquet('$PipelineExpectedPath/*.parquet') ORDER BY conv_id, turn_idx"),
+    "q_lang_id" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "len(list_filter(ws, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as'], x))) AS en, " +
+        "len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den'], x))) AS de, " +
+        "len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des','du','que','pour','dans'], x))) AS fr, " +
+        "len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','un','una','de','que','por','con'], x))) AS es, " +
+        "len(list_filter(ws, x -> list_contains(['il','la','di','e','che','un','una','per','sono','del','con','non'], x))) AS it " +
+        "FROM w) " +
+        "SELECT doc_id, CASE WHEN greatest(en,de,fr,es,it) = 0 THEN 'und' " +
+        "WHEN en = greatest(en,de,fr,es,it) THEN 'en' WHEN de = greatest(en,de,fr,es,it) THEN 'de' " +
+        "WHEN fr = greatest(en,de,fr,es,it) THEN 'fr' WHEN es = greatest(en,de,fr,es,it) THEN 'es' " +
+        "ELSE 'it' END AS lang_pred FROM s ORDER BY doc_id"),
+    "q_minhash_near_dup" ->
+      (s"WITH u AS (SELECT doc_id AS id, ${normSql.format("text")} AS t FROM documents " +
+        s"UNION ALL SELECT doc_id + 10000, ${normSql.format("text")} FROM documents) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b ON a.t = b.t AND a.id < b.id ORDER BY id_a, id_b"),
+    // Full simhash64 re-expressed in DuckDB SQL: FNV-1a per word via HUGEINT
+    // wrap-around multiply (mod 2^64), per-bit majority vote, equality join on the
+    // 64-bit sign vector (= hamming 0). unicode(char) == UTF-8 byte because the
+    // driver corpus is pure ASCII (verified at sf0.01 and sf0.1).
+    "q_simhash_near_dup" ->
+      ("WITH u AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) FROM documents), " +
+        "w AS (SELECT id, unnest(string_split(t, ' ')) AS word FROM u), " +
+        "h AS (SELECT id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+        "list_transform(range(1, length(word) + 1), i -> CAST(unicode(substr(word, i, 1)) AS HUGEINT))), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS wh FROM w), " +
+        "bits AS (SELECT id, bit, sum(CASE WHEN (wh >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS acc " +
+        "FROM h, (SELECT unnest(range(0, 64)) AS bit) GROUP BY id, bit), " +
+        "sig AS (SELECT id, list(acc > 0 ORDER BY bit) AS s FROM bits GROUP BY id) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
+    "q_cosine_near_dup" ->
+      ("WITH u AS (SELECT vec_id AS id, embedding AS e FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b ON a.e = b.e AND a.id < b.id ORDER BY id_a, id_b"),
     "q_pdf_roundtrip" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
     "q_pdf_spans" ->
@@ -288,15 +364,15 @@ object SparkEntry {
     "q_multimodal_meta" ->
       "SELECT doc_id, 1 + (octet_length(encode(text)) % 64) AS width, 1 + (octet_length(encode(text)) % 37) AS height, 1 + octet_length(encode(text)) // 100 AS frames, CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents ORDER BY doc_id",
     "q1_pricing_agg" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_revenue" ->
-      "SELECT c_custkey, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS revenue, count(DISTINCT o_orderkey) AS n_orders FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
+      "SELECT c_custkey, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue, count(DISTINCT o_orderkey) AS n_orders FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q_window_top_orders" ->
-      "SELECT o_custkey, rk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk",
+      "SELECT o_custkey, rk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk",
     "q_events_sessionize" ->
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25",
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM lineitem ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber LIMIT 25",
     "q_stream_extract" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id"
   )

@@ -313,11 +313,19 @@ final class PdfPage(
 }
 
 object PageTree {
+
+  /** Max page-tree depth — a crafted Kids chain (or a node whose kid points back
+    * at an ancestor) would otherwise recurse to StackOverflowError, which escapes
+    * the per-row NonFatal catch (poison-payload hardening). Real documents nest
+    * a handful of levels.
+    */
+  val MaxTreeDepth = 64
+
   /** `PageTreeKids::new` dispatch on /Type — body.rs:125-140. */
-  def kid(ctx: Ctx, at: Int): PageTreeKid = ObjParser.parseAt(ctx, at) match {
+  def kid(ctx: Ctx, at: Int, depth: Int = 0): PageTreeKid = ObjParser.parseAt(ctx, at) match {
     case PDict(dict) =>
       dict.get("Type") match {
-        case Some(PName("Pages")) => node(ctx, at)
+        case Some(PName("Pages")) => node(ctx, at, depth)
         case Some(PName("Page"))  => page(ctx, at)
         case Some(PName(_))       => Err.fail("Unexpected dictionnary type")
         case Some(o)              => Err.fail(s"Type should be a name, found object $o")
@@ -327,14 +335,15 @@ object PageTree {
   }
 
   /** `PageTreeNode::new` — body.rs:384-401 incl. parent backpatch. */
-  def node(ctx: Ctx, at: Int): PageTreeNode = ObjParser.parseAt(ctx, at) match {
+  def node(ctx: Ctx, at: Int, depth: Int = 0): PageTreeNode = ObjParser.parseAt(ctx, at) match {
     case PDict(dict) =>
+      if (depth > MaxTreeDepth) Err.fail(s"page tree deeper than $MaxTreeDepth")
       val kids: Vector[PageTreeKid] = dict.get("Kids") match {
         case Some(PArr(arr)) =>
           arr.map {
             case PRef(obj, gen, rctx) =>
               rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
-                case Some(address) => kid(rctx, address)
+                case Some(address) => kid(rctx, address, depth + 1)
                 case None          => Err.fail("Kid not found in xref table")
               }
             case _ => Err.fail("Kid should be an indirect object")

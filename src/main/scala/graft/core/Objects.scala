@@ -50,6 +50,13 @@ object Utf8 {
 /** Recursive-descent object parser mirroring object.rs. */
 object ObjParser {
 
+  /** Max dictionary nesting depth. The fixtures never exceed ~5; a crafted
+    * payload of 100k `<<` would otherwise StackOverflowError past the per-row
+    * NonFatal catch (poison-payload hardening). Arrays cannot nest (reference
+    * quirk — object.rs:176-177), so only dict recursion needs the guard.
+    */
+  val MaxNesting = 128
+
   /** `Object::new(bytes, idx, xref)` — object.rs:158-162. */
   def parseAt(ctx: Ctx, at: Int): PdfObj = parse(Lemmatizer(ctx.bytes, at, ctx))
 
@@ -95,14 +102,15 @@ object ObjParser {
   }
 
   /** `Dictionary::try_from` — object.rs:51-93. Bareword values coerce to Name. */
-  def parseDict(lex: Lemmatizer): Map[String, PdfObj] = {
+  def parseDict(lex: Lemmatizer, depth: Int = 0): Map[String, PdfObj] = {
+    if (depth > MaxNesting) Err.fail(s"dictionary nesting deeper than $MaxNesting")
     val dict = Map.newBuilder[String, PdfObj]
     var done = false
     while (!done) {
       lex.next() match {
         case TName(key) =>
           val value: PdfObj = lex.next() match {
-            case TDictBegin     => PDict(parseDict(lex))
+            case TDictBegin     => PDict(parseDict(lex, depth + 1))
             case TArrayBegin    => PArr(parseArray(lex))
             case l: TLit        => PStr(Utf8.strict(l.bytes))
             case b: TBare       => PName(Utf8.strict(b.bytes)) // coercion — object.rs:70-72

@@ -17,10 +17,17 @@ object XRef {
   /** `XRef::new(bytes, offset)` — xref.rs:39-58: peek dispatch between the classic
     * table (leading `xref` bareword) and an xref stream object (leading numeric).
     */
-  def parse(bytes: Array[Byte], offset: Int): XRef = {
+  /** Max incremental-update (`/Prev`) chain length. A crafted Prev cycle would
+    * otherwise recurse unboundedly (StackOverflowError escapes the per-row
+    * NonFatal catch and kills the task — poison-payload hardening).
+    */
+  val MaxPrevChain = 64
+
+  def parse(bytes: Array[Byte], offset: Int, depth: Int = 0): XRef = {
+    if (depth > MaxPrevChain) Err.fail(s"xref Prev chain deeper than $MaxPrevChain")
     val peekTok = new PdfTokenizer(bytes, offset).next()
     peekTok match {
-      case _: TBare => XrefTable.parse(bytes, offset)
+      case _: TBare => XrefTable.parse(bytes, offset, depth)
       case TNum(_) =>
         // parsed with a DEFAULT (empty) xref context — indirect /Length panics, as in
         // the reference (object.rs:115-131 via Lemmatizer::from)
@@ -130,7 +137,7 @@ final case class XrefTable(
 
 object XrefTable {
   /** `XRefTable::from(Tokenizer)` — xref.rs:78-152. */
-  def parse(bytes: Array[Byte], offset: Int): XrefTable = {
+  def parse(bytes: Array[Byte], offset: Int, depth: Int = 0): XrefTable = {
     val tok = new PdfTokenizer(bytes, offset)
     tok.next() match {
       case b: TBare if bstr(b.bytes) == "xref" => ()
@@ -158,7 +165,7 @@ object XrefTable {
         case _             => Err.fail("Size should be a numeric")
       },
       prev = trailer.get("Prev") match {
-        case Some(PNum(NInt(off))) => Some(XRef.parse(bytes, off))
+        case Some(PNum(NInt(off))) => Some(XRef.parse(bytes, off, depth + 1))
         case None                  => None
         case _                     => Err.fail("Prev should be a numeric")
       },
@@ -235,7 +242,13 @@ final case class XrefStream(
     stream: Array[Byte]
 ) extends XRef {
 
-  def get(key: (Int, Int)): Option[Int] = {
+  def get(key: (Int, Int)): Option[Int] = get(key, 0)
+
+  /** Depth-guarded: a crafted type-2 entry chain can self-reference — unbounded
+    * it is an infinite loop/StackOverflowError (poison-payload hardening).
+    */
+  private def get(key: (Int, Int), depth: Int): Option[Int] = {
+    if (depth > 32) Err.fail("xref stream type-2 indirection deeper than 32")
     val objectIdx = key._1
     if (objectIdx > index._2) Err.fail(s"Object number ${key._1} is out of index")
     val entrySize = w._1 + w._2 + w._3
@@ -246,7 +259,7 @@ final case class XrefStream(
     entryType match {
       case 1 => Some(entryMid)
       case 0 => None
-      case 2 => get((entryMid, 0))
+      case 2 => get((entryMid, 0), depth + 1)
       case _ => Err.fail("Cross reference stream data type can only be 0, 1 or 2")
     }
   }

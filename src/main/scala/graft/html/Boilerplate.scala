@@ -82,9 +82,12 @@ object HtmlBoilerplate {
             val name = (if (nameEnd < 0) body else body.substring(0, nameEnd)).toLowerCase
             i = close + 1
             if (skipContentTags.contains(name) && !isEnd) {
-              // skip to matching close tag (no nesting of same raw-text tags in HTML)
+              // skip to matching close tag (no nesting of same raw-text tags in HTML);
+              // case-insensitive regionMatches scan — O(n) total, no per-tag
+              // whole-document toLowerCase allocation (script-heavy pages are O(n^2)
+              // otherwise)
               val endTag = s"</$name"
-              val idx = html.toLowerCase.indexOf(endTag, i)
+              val idx = indexOfIgnoreCase(html, endTag, i)
               if (idx < 0) i = n
               else {
                 val gt = html.indexOf('>', idx)
@@ -117,6 +120,18 @@ object HtmlBoilerplate {
     }
     flush()
     out.result()
+  }
+
+  /** First index of `needle` in `hay` at or after `from`, ASCII case-insensitive. */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = hay.length
+    val m = needle.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      if (hay.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
   }
 
   def normalize(s: String): String = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
@@ -9,9 +9,37 @@ import graft.functions.TextFunctions
   * every method is a shuffle-on-key plan (no driver collection), candidate
   * generation is LSH-bucketed so the pairwise work is local to a bucket, and
   * bucket size is capped to bound worst-case quadratic blowup on pathological
-  * clusters (the cap is logged via the `truncated` flag, never silent).
+  * clusters. The cap is never silent: every near-dup method surfaces
+  * `truncated_buckets` / `buckets` counts through a Spark Observation (pass
+  * one in) or, by default, a named `observe` metric visible to query listeners.
   */
 object Dedup {
+
+  /** Cap buckets at `maxBucket` ids and generate all within-bucket ordered pairs.
+    * Input: one row per bucket with a sorted `ids` array. Truncation counts ride
+    * the same pass as an observed metric — zero extra jobs, recall loss on
+    * pathological buckets is observable, not silent.
+    */
+  private def cappedBucketPairs(
+      bucketIds: DataFrame,
+      maxBucket: Int,
+      obs: Option[Observation],
+      metricName: String
+  ): DataFrame = {
+    val capped0 = bucketIds.where(size(col("ids")) > 1)
+      .withColumn("truncated", size(col("ids")) > maxBucket)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    val truncExprs = Seq(
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("truncated_buckets"),
+      count(lit(1)).as("buckets"))
+    val capped = obs match {
+      case Some(o) => capped0.observe(o, truncExprs.head, truncExprs.tail: _*)
+      case None    => capped0.observe(metricName, truncExprs.head, truncExprs.tail: _*)
+    }
+    capped.select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+  }
 
   /** Exact dedup: hash-groupBy on the normalized text. Returns one row per
     * distinct text: (text_hash, keeper_id = min id, dup_count).
@@ -75,7 +103,8 @@ object Dedup {
       nPerm: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      obs: Option[Observation] = None
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -98,15 +127,9 @@ object Dedup {
       .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      // cap pathological buckets (all-identical corpora): quadratic bound, not silent
-      .withColumn("truncated", size(col("ids")) > maxBucket)
-      .withColumn("ids", slice(col("ids"), 1, maxBucket))
 
-    val pairs = buckets
-      .select(explode(pairArray(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
+    // cap pathological buckets (all-identical corpora): quadratic bound, observable
+    val pairs = cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.minhash")
 
     val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val verified = pairs
@@ -150,8 +173,20 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4): pigeonhole
     * bucketing on the 4 16-bit chunks — if two hashes differ in <= 3 bits, at
     * least one chunk is identical, so candidates = same-chunk pairs only.
+    *
+    * Scale-safe like its minhash sibling: candidates come from capped
+    * (chunk, ckey) buckets (a degenerate corpus where every short/empty text
+    * shares chunk keys is bounded at maxBucket^2 pairs per bucket, with
+    * truncation observable), NOT from an uncapped self-join.
     */
-  def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      obs: Option[Observation] = None
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(maxHamming <= 3, "pigeonhole bucketing covers hamming <= 3")
@@ -159,19 +194,17 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("id", "simhash")
-      .cache()
-    val chunks = hashed.select(col("id"), col("simhash"),
+    val buckets = hashed.select(col("id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.chunk"), col("c.ckey"))
-    val pairs = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.simhash").as("h_a"), col("y.simhash").as("h_b"))
-      .distinct()
+      .groupBy(col("c.chunk"), col("c.ckey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val pairs = cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.simhash")
+    pairs
+      .join(hashed.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    pairs
   }
 }

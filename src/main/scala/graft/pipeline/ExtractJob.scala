@@ -45,6 +45,14 @@ object ExtractJob {
       case scala.util.control.NonFatal(e) =>
         ExtractedTurn(t.conv_id, t.turn_idx, null, Seq.empty, t.tool,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case e: StackOverflowError =>
+        // Backstop behind the parser depth limits (ObjParser.MaxNesting,
+        // PageTree.MaxTreeDepth, XRef.MaxPrevChain): NonFatal excludes SOE, and
+        // an uncaught one would fail the task — after retries, the whole
+        // 10^12-row job — on one crafted payload. Per-row scope: the frame has
+        // fully unwound here and no shared state exists, so catching is safe.
+        ExtractedTurn(t.conv_id, t.turn_idx, null, Seq.empty, t.tool,
+          "StackOverflowError: recursion limit exceeded in payload parse")
     }
   }
 
@@ -103,10 +111,11 @@ object ExtractJob {
   }
 
   /** P6: golden gate — byte-exact per-turn text equality. Returns diff rows
-    * (empty => gate passes). Built from broadcastable joins only: an inner join for
-    * value mismatches plus two anti-joins for missing/extra keys (a full-outer join
-    * cannot broadcast its build side, so this shape keeps the small golden table off
-    * the shuffle path).
+    * (empty => gate passes). Broadcast hints go only where the SMALL golden table
+    * is the build side (mismatch inner join, extra anti-join). The missing-branch
+    * anti-join probes golden against all extracted keys — broadcasting the
+    * extracted side would ship the whole output through the driver, so that join
+    * is left to shuffle (tiny: keys only, and the left side is small).
     */
   def goldenDiff(extracted: Dataset[ExtractedTurn], golden: Dataset[Golden]): DataFrame = {
     val e = extracted.toDF()
@@ -117,7 +126,7 @@ object ExtractJob {
       .where(col("error").isNotNull ||
         (col("gate").isin("exact", "snapshot") && !(col("extracted_text") <=> col("expected_text"))))
       .select(keyCols :+ lit("mismatch").as("reason"): _*)
-    val missing = g.join(broadcast(e.select(keyCols: _*)), keys, "left_anti")
+    val missing = g.join(e.select(keyCols: _*), keys, "left_anti")
       .select(keyCols :+ lit("missing").as("reason"): _*)
     val extra = e.join(broadcast(g.select(keyCols: _*)), keys, "left_anti")
       .select(keyCols :+ lit("extra").as("reason"): _*)
@@ -149,8 +158,17 @@ object ExtractJob {
   }
 
   /** Run extraction with per-shard checkpoint manifests. `shards` counts resume
-    * units; `partitions` is the shuffle width per shard. `failAtShard` injects a
-    * crash after N committed shards (resume tests).
+    * units; `partitions` is the shuffle width. `failAtShard` injects a crash
+    * after N committed shards (resume tests).
+    *
+    * ONE input scan per wave (default: all remaining shards in a single wave):
+    * filter to the remaining shards -> extract -> partitionBy(shard) write with
+    * DYNAMIC partition overwrite -> manifest rows for the wave from one
+    * partition-pruned scan of the just-written output. At 100TB this is 1 input
+    * pass + 1 (much smaller) output pass — never O(shards) input rescans.
+    * `waveSize` trades scan count for resume granularity: a crashed wave
+    * recommits only its own shards on rerun (its partial directories are
+    * dynamically overwritten, committed shards untouched).
     */
   def runWithManifests(
       spark: SparkSession,
@@ -158,27 +176,36 @@ object ExtractJob {
       outDir: String,
       shards: Int,
       partitions: Int,
-      failAtShard: Int = -1
+      failAtShard: Int = -1,
+      waveSize: Int = Int.MaxValue
   ): Unit = {
-    import spark.implicits._
     val done = completedShards(spark, outDir)
-    val withShard = input.withColumn("__shard", pmod(hash(col("conv_id")), lit(shards)))
+    val remaining = (0 until shards).filterNot(done)
+    val shardOf = pmod(hash(col("conv_id")), lit(shards))
     var committed = done.size
-    (0 until shards).filterNot(done).foreach { k =>
+    remaining.grouped(math.max(1, waveSize)).foreach { wave =>
       if (failAtShard >= 0 && committed >= failAtShard)
         throw new RuntimeException(s"injected failure after $committed shards")
       val t0 = System.nanoTime()
-      val shardInput = withShard.where(col("__shard") === k).drop("__shard").as[Turn]
-      val out = extract(shardInput, partitions)
+      val waveInput = input.where(shardOf.isin(wave: _*))
+      val out = extract(waveInput, partitions)
+        .withColumn("shard", shardOf)
         .sortWithinPartitions("conv_id", "turn_idx") // P5 (prod-scale ordering)
-      io.writeShard(out, outDir, k)
-      val stats = spark.read.parquet(s"$outDir/data/shard=$k")
-        .agg(count(lit(1)), coalesce(sum(length(col("extracted_text"))), lit(0L)))
-        .head()
+      io.writeShards(out, outDir)
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      io.appendManifests(spark, outDir,
-        Seq(PartManifest(k, SALT, stats.getLong(0), stats.getLong(1), wallMs, "done")))
-      committed += 1
+      // per-shard stats: one partition-pruned scan of the wave's output
+      val stats: Map[Int, (Long, Long)] = io.readOutputRaw(spark, outDir)
+        .where(col("shard").isin(wave: _*))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("rows"),
+          coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      io.appendManifests(spark, outDir, wave.map { k =>
+        val (rows, bytes) = stats.getOrElse(k, (0L, 0L))
+        PartManifest(k, SALT, rows, bytes, wallMs, "done")
+      })
+      committed += wave.size
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 
 /** Storage abstraction for the north rule's Iceberg tables (SURVEY §1.2).
   *
@@ -16,7 +16,18 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
   */
 trait TableIO {
   def readTurns(spark: SparkSession, path: String): Dataset[Turn]
-  def writeShard(out: Dataset[ExtractedTurn], outDir: String, shard: Int): Unit
+
+  /** Write extracted rows carrying a `shard` column in ONE pass: hive-style
+    * `data/shard=k/` layout via partitionBy + DYNAMIC partition overwrite, so
+    * only the shards present in `out` are replaced (a half-written shard from a
+    * crashed run is cleanly overwritten on resume; committed shards are never
+    * touched). Iceberg backend: `overwritePartitions()` — same contract.
+    */
+  def writeShards(out: DataFrame, outDir: String): Unit
+
+  /** The raw output table including the `shard` partition column. */
+  def readOutputRaw(spark: SparkSession, outDir: String): DataFrame
+
   def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedTurn]
   def appendManifests(spark: SparkSession, outDir: String, rows: Seq[PartManifest]): Unit
   def readManifests(spark: SparkSession, outDir: String): Dataset[PartManifest]
@@ -30,8 +41,14 @@ object ParquetTableIO extends TableIO {
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn]
   }
 
-  def writeShard(out: Dataset[ExtractedTurn], outDir: String, shard: Int): Unit =
-    out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/data/shard=$shard")
+  def writeShards(out: DataFrame, outDir: String): Unit =
+    out.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(s"$outDir/data")
+
+  def readOutputRaw(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/data")
 
   def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedTurn] = {
     import spark.implicits._

@@ -149,13 +149,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gen = SynthGen.generate(spark, 40, 5, 0, 0, includeFixturePdfs = false).cache()
     val turns = SynthGen.turns(gen).cache()
 
+    // crash run at waveSize=1 (shard-granular commits) so exactly 3 shards land
     val failed = intercept[RuntimeException] {
-      ExtractJob.runWithManifests(spark, turns, dir, shards = 6, partitions = 4, failAtShard = 3)
+      ExtractJob.runWithManifests(spark, turns, dir, shards = 6, partitions = 4,
+        failAtShard = 3, waveSize = 1)
     }
     assert(failed.getMessage.contains("injected failure"))
     val doneBefore = ExtractJob.completedShards(spark, dir)
     assert(doneBefore.size == 3)
 
+    // resume with the default single-wave (one input scan) path
     ExtractJob.runWithManifests(spark, turns, dir, shards = 6, partitions = 4)
     assert(ExtractJob.completedShards(spark, dir).size == 6)
 

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{PdfParseException, XrefStream}
+
+/** Poison-payload hardening: crafted PDFs that would drive unbounded recursion
+  * (nested dicts, page-tree cycles, xref /Prev cycles, type-2 self-reference)
+  * must land in the `error` column as PdfParseException via the parser depth
+  * limits — never a StackOverflowError that kills the task (and, after retries,
+  * a 10^12-row job). extractTurn additionally backstops SOE itself.
+  */
+class PoisonSpec extends AnyFunSuite {
+
+  /** Minimal classic-xref PDF around caller-supplied object bodies (object i+1). */
+  private def pdf(objects: Seq[String], trailerExtra: String = ""): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n").append(s"0 ${objects.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
+    sb.append("trailer\n")
+    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R$trailerExtra >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private def turnOf(bytes: Array[Byte]): Turn =
+    Turn("poison", 0, "user",
+      java.util.Base64.getEncoder.encodeToString(bytes), "pdf-b64",
+      new java.sql.Timestamp(0))
+
+  test("deeply nested dictionary payload errors instead of overflowing the stack") {
+    val depth = 200000
+    val body = new StringBuilder
+    var i = 0
+    while (i < depth) { body.append("<< /A "); i += 1 }
+    body.append("/Type /Catalog ")
+    i = 0
+    while (i < depth) { body.append(">> "); i += 1 }
+    val out = ExtractJob.extractTurn(turnOf(pdf(Seq(body.toString))))
+    assert(out.error != null, "expected error column")
+    assert(out.error.contains("nesting"), s"got: ${out.error}")
+  }
+
+  test("page-tree cycle (node whose kid is itself) errors via the depth limit") {
+    val out = ExtractJob.extractTurn(turnOf(pdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [2 0 R] /Count 1 >>"))))
+    assert(out.error != null)
+    assert(out.error.contains("page tree"), s"got: ${out.error}")
+  }
+
+  test("xref /Prev cycle errors via the chain limit") {
+    // /Prev points at this same xref section -> unbounded reparse without the guard
+    val base = pdf(Seq("<< /Type /Catalog /Pages 2 0 R >>"))
+    // "\nxref\n" (not "xref\n", which also matches inside "startxref\n")
+    val xrefOff = new String(base, ISO_8859_1).lastIndexOf("\nxref\n") + 1
+    val poisoned = pdf(Seq("<< /Type /Catalog /Pages 2 0 R >>"), s" /Prev $xrefOff")
+    val out = ExtractJob.extractTurn(turnOf(poisoned))
+    assert(out.error != null)
+    assert(out.error.contains("Prev chain"), s"got: ${out.error}")
+  }
+
+  test("xref-stream type-2 self-reference errors via the indirection limit") {
+    // w=(1,1,0): each entry is [type, mid]; entry 0 is type 2 pointing at object 0
+    val xs = XrefStream(size = 1, index = (0, 1), prev = None, w = (1, 1, 0),
+      stream = Array[Byte](2, 0))
+    val e = intercept[PdfParseException] { xs.get((0, 0)) }
+    assert(e.getMessage.contains("type-2"))
+  }
+
+  test("a poison row inside a job lands in the error column; healthy rows unaffected") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val deep = {
+      val b = new StringBuilder
+      (0 until 100000).foreach(_ => b.append("<< /A "))
+      b.append("/Type /Catalog ")
+      (0 until 100000).foreach(_ => b.append(">> "))
+      pdf(Seq(b.toString))
+    }
+    val rows = Seq(
+      turnOf(deep),
+      Turn("ok", 0, "user", "healthy plain text", "plain", new java.sql.Timestamp(0))
+    ).toDS()
+    val out = ExtractJob.extract(rows, partitions = 2).collect()
+    val byId = out.map(e => e.conv_id -> e).toMap
+    assert(byId("poison").error != null)
+    assert(byId("ok").error == null && byId("ok").extracted_text == "healthy plain text")
+  }
+}
