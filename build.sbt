@@ -27,6 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
-// (GC choice matters at high core counts under FlateDecode buffer churn — see
-// BENCH.md; measurements on this host are too noisy to hard-default away from G1)
+  // ParallelGC is the measured default for this workload: throughput-oriented
+  // collection doubles 32-core extraction throughput vs G1's pause storms under
+  // flate-buffer churn (BENCH.md round-1 measurements; round-2 also right-sizes
+  // the Text-mode inflate buffer). Override with SPARK_GRAFT_GC=G1 etc.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+)

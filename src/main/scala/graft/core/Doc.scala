@@ -47,6 +47,16 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
     case Some(FlateDecodeFilter) => Flate.flateDecode(content)
     case None                    => content
   }
+
+  /** Exact-size variant for consumers that re-lex the bytes (Text/Chars
+    * interpretation, ToUnicode CMaps): NUL padding is whitespace to the
+    * tokenizer, so dropping it is output-identical (golden-gated) while cutting
+    * the dominant per-stream allocation ~3x. RawContent keeps `getData`.
+    */
+  def getDataExact: Array[Byte] = dict.filter match {
+    case Some(FlateDecodeFilter) => Flate.flateDecodeExact(content)
+    case None                    => content
+  }
 }
 
 object BodyStream {
@@ -176,7 +186,7 @@ object PdfFont {
             case Some(address) =>
               ObjParser.parseAt(ctx, address) match {
                 case s: PStream =>
-                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s).getData)))
+                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s).getDataExact)))
                 case o => Err.fail(s"ToUnicode should be a stream object, found $o")
               }
             case None => Err.fail("ToUnicode stream object not found in xref table")
@@ -298,9 +308,15 @@ final class PdfPage(
     case None     => Err.fail("Missing font in current page resources")
   }
 
-  /** body.rs:522-527 — content bytes round-trip through UTF-8-lossy BEFORE lexing. */
+  /** body.rs:522-527 — content bytes round-trip through UTF-8-lossy BEFORE lexing.
+    * Uses the exact-size decode: the flate zero padding would only add trailing
+    * NULs (= whitespace tokens), byte-identical Text output at ~1/3 the alloc.
+    */
   private def extractText(displayChar: Boolean): ExtractResult = {
-    val contentString = extractStream
+    val contentString = contents match {
+      case Some(stream) => Utf8.lossy(stream.getDataExact)
+      case None         => Err.fail("Contents should not be empty")
+    }
     val contentBytes = contentString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     TextAssembly.getText(contentBytes, getResources, displayChar)
   }
