@@ -74,6 +74,22 @@ class HtmlSpec extends AnyFunSuite {
     assert(HtmlBoilerplate.extract(html).text == "real content stays right here ok")
   }
 
+  test("script skip is case-insensitive and linear on script-heavy pages") {
+    // mixed-case close tag must terminate the raw-text skip
+    val mixed = "<body><script>var x=1;</SCRIPT><p>kept words one two three</p></body>"
+    assert(HtmlBoilerplate.extract(mixed).text == "kept words one two three")
+    // 5,000 script blocks: the old per-tag whole-document toLowerCase was O(n^2);
+    // the regionMatches scan handles this instantly and correctly
+    val heavy = new StringBuilder("<body>")
+    (0 until 5000).foreach { i =>
+      heavy.append(s"<script>var v$i = '<p>never emitted</p>';</script><p>block $i has five words</p>")
+    }
+    heavy.append("</body>")
+    val res = HtmlBoilerplate.extract(heavy.toString)
+    assert(res.text.linesIterator.size == 5000)
+    assert(!res.text.contains("never emitted"))
+  }
+
   test("multiple paragraphs join with newline and spans align") {
     val html = "<body><p>first paragraph has five words</p><p>second paragraph also has words</p></body>"
     val res = HtmlBoilerplate.extract(html)
