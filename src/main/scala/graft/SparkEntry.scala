@@ -156,6 +156,12 @@ object SparkEntry {
       Dedup.simhashNearDups(dupes, "text", "doc_id", maxHamming = 0)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
 
     // ---- similarity search ----------------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
@@ -337,6 +343,17 @@ object SparkEntry {
         "FROM h, (SELECT unnest(range(0, 64)) AS bit) GROUP BY id, bit), " +
         "sig AS (SELECT id, list(acc > 0 ORDER BY bit) AS s FROM bits GROUP BY id) " +
         "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
+    // Char-5-gram SET equality == Jaccard 1.0; and Jaccard in (0.999, 1) is
+    // impossible at the corpus's <= 577-char docs (<= ~573 shingles), so the
+    // 0.999-threshold query is exactly the set-equality join. Set semantics
+    // matter: on the low-entropy corpus two different texts can have identical
+    // shingle SETS (trailing words add only already-seen 5-grams).
+    "q_ngram_jaccard" ->
+      (s"WITH u AS (SELECT doc_id AS id, ${normSql.format("text")} AS t FROM documents " +
+        s"UNION ALL SELECT doc_id + 10000, ${normSql.format("text")} FROM documents), " +
+        "sets AS (SELECT id, CASE WHEN length(t) <= 5 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)))) END AS s FROM u) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
     "q_cosine_near_dup" ->
       ("WITH u AS (SELECT vec_id AS id, embedding AS e FROM embeddings " +
         "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings) " +

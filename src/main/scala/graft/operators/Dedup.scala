@@ -150,6 +150,86 @@ object Dedup {
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)), b => struct(a.as("_1"), b.as("_2")))))
 
+  // --- character n-gram Jaccard (bottom-k sketch LSH) --------------------------
+
+  /** Character k-gram shingles of the normalized text, hashed to 64-bit, distinct.
+    * Finer-grained than word shingles: robust to missing spaces / punctuation
+    * edits that break word tokenization.
+    */
+  def ngramShingles(text: String, k: Int = 5): Array[Long] = {
+    val s = TextFunctions.normalize(text)
+    if (s.length <= k) Array(TextFunctions.fnv1a64(s))
+    else {
+      val out = new Array[Long](s.length - k + 1)
+      var i = 0
+      while (i + k <= s.length) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < k) { h ^= s.charAt(i + j).toLong; h *= 0x100000001b3L; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
+  /** n-gram Jaccard near-duplicate pairs via a BANDED BOTTOM-M SKETCH (distinct
+    * technique from the minhash-signature path): each doc's candidate keys are
+    * `bands` hashes, band b combining 3 consecutive elements of the doc's sorted
+    * bottom-(3*bands) shingle hashes. Two docs with Jaccard j share a band with
+    * probability ~j^3, so candidate recall ~1-(1-j^3)^bands (bands=3, j=0.9:
+    * ~0.98; identical shingle sets share EVERY band). Why banded: single bottom
+    * hashes of globally common n-grams bucket thousands of docs on low-entropy
+    * corpora (measured 3,828-doc hot buckets on the driver's 37-word-vocabulary
+    * corpus -> cap truncation -> recall loss); a 3-hash band key is cubically
+    * more selective (measured max 278). Same shuffle-on-key, capped-bucket,
+    * exact-verify plan shape as minhash; truncation observable.
+    */
+  def ngramJaccardNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      bands: Int = 3,
+      threshold: Double = 0.9,
+      maxBucket: Int = 1000,
+      obs: Option[Observation] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = ngramShingles(text, k)
+        java.util.Arrays.sort(sh)
+        val bottom = Array.tabulate(3 * bands)(i => if (i < sh.length) sh(i) else Long.MaxValue)
+        val bandKeys = Array.tabulate(bands) { b =>
+          var h = 0xcbf29ce484222325L ^ b
+          var r = 0
+          while (r < 3) { h = TextFunctions.mix(h ^ bottom(3 * b + r)); r += 1 }
+          h
+        }
+        (id, bandKeys)
+      }
+      .toDF("id", "keys")
+    val buckets = keyed
+      .select(col("id"), posexplode(col("keys")).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val pairs = cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.ngram")
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b") // pin order before positional encode
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        (a, b, exactJaccard(ngramShingles(ta, k), ngramShingles(tb, k)))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .where(col("jaccard") >= threshold)
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over word hashes (unit weights). */

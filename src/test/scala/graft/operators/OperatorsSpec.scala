@@ -43,6 +43,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
   }
 
+  test("ngram-jaccard near-dups: bottom-k sketch finds every exact dup; verify is exact") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val dupes = df.union(df.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val found = Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    docs.foreach { case (id, _) => assert(found.contains((id, id + 10000)), s"missed exact dup $id") }
+    val byId = docs.toMap ++ docs.map { case (id, t) => (id + 10000, t) }.toMap
+    found.take(50).foreach { case (a, b) =>
+      val j = Dedup.exactJaccard(Dedup.ngramShingles(byId(a)), Dedup.ngramShingles(byId(b)))
+      assert(j >= 0.9, s"pair ($a,$b) below threshold: $j")
+    }
+    // char n-grams survive a tokenization-breaking edit that word shingles miss:
+    // removing spaces keeps most 5-gram overlap at ~zero word-shingle overlap
+    val t0 = docs(0)._2
+    val squashed = t0.replace(" ", "")
+    assert(Dedup.exactJaccard(Dedup.ngramShingles(t0), Dedup.ngramShingles(squashed)) >
+      Dedup.exactJaccard(Dedup.shingles(t0, 3), Dedup.shingles(squashed, 3)))
+  }
+
   test("simhash near-dups: identical docs have hamming 0; pigeonhole catches hamming<=3") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
