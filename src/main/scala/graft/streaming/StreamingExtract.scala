@@ -2,8 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.pipeline.{ExtractJob, ExtractedTurn, Turn}
+
+/** Custom per-conversation state for the stateful sessionizer. */
+final case class ConvSessionState(sessionStart: Long, lastTs: Long, turns: Int)
+
+/** One closed conversation session (gap-based). */
+final case class ConvSession(
+    conv_id: String,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_turns: Int)
 
 /** Structured Streaming face of the extraction pipeline: incremental transcript
   * ingest with exactly the same per-turn semantics as the batch job (the
@@ -43,6 +53,51 @@ object StreamingExtract {
       .groupBy(window(col("ts"), windowLen), col("payload_kind"))
       .agg(count(lit(1)).as("n_turns"), sum(col("n_chars")).as("n_chars"),
         sum(col("is_err")).as("n_errors"))
+  }
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState (the custom-
+    * state operator class): per conv_id, turns more than `gapSec` apart start a
+    * new session. A session CLOSES (emits) either when a later turn in the same
+    * conversation reveals the gap, or when the event-time watermark passes
+    * lastTs + gap (EventTimeTimeout) — so state is bounded: one open session
+    * per active conversation, removed on timeout. Batch twin: the
+    * q_events_sessionize window query (same gap rule, oracled in DuckDB).
+    */
+  def sessionizeStream(
+      turns: Dataset[Turn],
+      gapSec: Long = 1800,
+      watermark: String = "1 hour"
+  ): Dataset[ConvSession] = {
+    import turns.sparkSession.implicits._
+    val gapMs = gapSec * 1000
+    turns
+      .withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvSessionState, ConvSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (conv, it, state: GroupState[ConvSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ConvSession(conv,
+              new java.sql.Timestamp(s.sessionStart), new java.sql.Timestamp(s.lastTs), s.turns))
+          } else {
+            val times = it.map(_.ts.getTime).toArray.sorted
+            val closed = Vector.newBuilder[ConvSession]
+            var cur = state.getOption.orNull
+            times.foreach { t =>
+              if (cur == null) cur = ConvSessionState(t, t, 1)
+              else if (t - cur.lastTs > gapMs) {
+                closed += ConvSession(conv,
+                  new java.sql.Timestamp(cur.sessionStart), new java.sql.Timestamp(cur.lastTs), cur.turns)
+                cur = ConvSessionState(t, t, 1)
+              } else cur = cur.copy(lastTs = math.max(cur.lastTs, t), turns = cur.turns + 1)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            closed.result().iterator
+          }
+      }
   }
 
   /** File-based continuous ingest: watch `inDir` for new transcript parquet,

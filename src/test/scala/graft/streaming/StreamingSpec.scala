@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_.getAs[String]("error") != null) == 1) // the poison row
   }
 
+  test("stateful sessionization: gap closes a session in-batch; watermark timeout closes the open one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.sessionizeStream(input.toDS(), gapSec = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    // session 1: two turns 60s apart (off zero: rows at/below the initial
+    // watermark of 0 are late-dropped); then a turn >30min later reveals the gap
+    input.addData(turn("c1", 0, "a", "plain", 100), turn("c1", 1, "b", "plain", 160))
+    q.processAllAvailable()
+    input.addData(turn("c1", 2, "c", "plain", 10000))
+    q.processAllAvailable()
+    val closedInBatch = spark.table("sessions_out").as[ConvSession].collect()
+    assert(closedInBatch.length == 1, closedInBatch.mkString(", "))
+    assert(closedInBatch(0).conv_id == "c1" && closedInBatch(0).n_turns == 2, closedInBatch(0))
+    assert(closedInBatch(0).session_start.getTime == 100000 && closedInBatch(0).session_end.getTime == 160000)
+    // advance the watermark far past c1's open session -> EventTimeTimeout fires
+    input.addData(turn("c2", 0, "d", "plain", 100000))
+    q.processAllAvailable()
+    input.addData(turn("c2", 1, "e", "plain", 200000)) // extra batch to evaluate timeouts
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessions_out").as[ConvSession].collect().sortBy(s => (s.conv_id, s.session_start.getTime))
+    assert(all.exists(s => s.conv_id == "c1" && s.n_turns == 1 && s.session_start.getTime == 10000000),
+      s"open c1 session should close by timeout; got ${all.mkString(", ")}")
+  }
+
   test("windowed metrics aggregate per payload kind with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
