@@ -231,18 +231,56 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
         }
         val len = pos - start
         if (isNumeric) {
-          val s = new String(bytes, start, len, java.nio.charset.StandardCharsets.US_ASCII)
-          try return TNum(NInt(java.lang.Integer.parseInt(s)))
-          catch {
-            case _: NumberFormatException =>
-              try return TNum(NReal(java.lang.Float.parseFloat(s)))
-              catch { case _: NumberFormatException => () }
-          }
+          // i32-then-f32, as the reference (tokenizer.rs:334-360) — but WITHOUT
+          // exception-driven control flow: a single-letter bareword ("R", "n",
+          // every 1-char content operator) is vacuously "numeric" here and the
+          // old parseInt/parseFloat double-NumberFormatException per token
+          // dominated small-PDF extraction cost. Accept/reject byte-wise first.
+          val t = parseNum(start, len)
+          if (t != null) return t
         }
         return keywordOrBare(Arrays.copyOfRange(bytes, start, pos))
       }
     }
     null
+  }
+
+  /** Exception-free `i32`-then-`f32` numeric parse over bytes [start, start+len).
+    * Semantics identical to `Integer.parseInt` else `Float.parseFloat` else null:
+    * int = optional +/- sign, >= 1 ASCII digit, no '.', within Int range;
+    * float fallback only when a digit is present and the first char can begin a
+    * Java float literal (digit/sign/'.') — everything else ("R", "n", "q", ...)
+    * cannot parse and short-circuits to the bareword path with zero throws.
+    */
+  private def parseNum(start: Int, len: Int): Tok = {
+    if (len == 0) return null
+    val first = bytes(start)
+    var i = start
+    var neg = false
+    if (first == '-' || first == '+') { neg = first == '-'; i += 1 }
+    var digits = 0
+    var dots = 0
+    var acc = 0L
+    var j = i
+    while (j < start + len) {
+      val b = bytes(j)
+      if (b >= '0' && b <= '9') {
+        digits += 1
+        if (digits <= 11) acc = acc * 10 + (b - '0') // cap: beyond 11 digits can't be i32
+      } else if (b == '.') dots += 1
+      else return null // non-digit/dot after the first char never parses as int or float
+      j += 1
+    }
+    if (digits == 0) return null // lone sign / lone '.' / "R": parseInt and parseFloat both reject... except parseFloat(".") also rejects
+    if (dots == 0 && digits <= 11) {
+      val v = if (neg) -acc else acc
+      if (v >= Int.MinValue && v <= Int.MaxValue) return TNum(NInt(v.toInt))
+    }
+    // float fallback (rare): digits present and shape is [sign] digits/dots —
+    // exactly the strings Float.parseFloat accepts here (multi-dot fails)
+    if (dots > 1) return null
+    TNum(NReal(java.lang.Float.parseFloat(
+      new String(bytes, start, len, java.nio.charset.StandardCharsets.US_ASCII))))
   }
 
   @inline private def hexVal(b: Byte): Int = {
@@ -296,10 +334,10 @@ final class Lemmatizer(val tok: PdfTokenizer, val ctx: Ctx) {
           case TNum(NInt(b)) =>
             look.next() match {
               case bare: TBare if javaEq(bare.bytes, "R") =>
-                tok.next(); tok.next()
+                tok.pos = look.pos // consume the looked-ahead tokens, no re-lex
                 TRef(a, b)
               case bare: TBare if javaEq(bare.bytes, "obj") =>
-                tok.next(); tok.next()
+                tok.pos = look.pos
                 TObjBegin
               case _: TBare => null // reference quirk: falls through to None
               case _        => TNum(NInt(a))
