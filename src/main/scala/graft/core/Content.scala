@@ -339,18 +339,21 @@ object TextAssembly {
       case None    => Err.fail("Font size should be set before painting a glyph")
     }
 
-    /** Glyph advance — content.rs:836-855 / 874-911. */
+    /** Glyph advance — content.rs:836-855 / 874-911. Specialized to primitive
+      * f32 with the IDENTICAL operation order as the Num-algebra path: w0 is
+      * always Real (width division / 0.0 fallback), so every add and multiply
+      * takes the Real branch = plain f32 ops on .toF operands. Verified byte-exact by
+      * the fixture goldens; saves ~6 allocations per shown glyph.
+      */
     def advance(font: PdfFont, c: Int): Unit = {
-      val w0: Num = font.getWidth(c) match {
-        case Right(n) => n
-        case Left(_)  => NReal(0.0f)
-      }
+      val w0f = font.widthTableF(c & 0xff)
       val tfs = tfsOrFail()
       val ts = content.graphicState.textState
-      var tx = w0 * tfs + ts.tc
-      if (c == ' '.toInt) tx = tx + ts.tw
-      tx = tx * ts.th
-      content.tm = Mat(1.0f, 0.0f, 0.0f, 1.0f, tx.toF, 0.0f) * content.tm
+      var tx = w0f * tfs.toF
+      tx = tx + ts.tc.toF
+      if (c == ' '.toInt) tx = tx + ts.tw.toF
+      tx = tx * ts.th.toF
+      content.tm = Mat(1.0f, 0.0f, 0.0f, 1.0f, tx, 0.0f) * content.tm
     }
 
     var instr = content.next()
@@ -410,11 +413,17 @@ object TextAssembly {
               }
             case APos(tj0) =>
               // kern adjustment — content.rs:916-928; no space inference (commented
-              // out in the reference)
+              // out in the reference). f32-specialized with the identical op order
+              // as the Num path: negate in the operand's own domain (i32 wrap for
+              // NInt, matching unary_-), then Real division/multiplies.
               val tfs = tfsOrFail()
               val th = content.graphicState.textState.th
-              val tx = (-tj0) / NReal(1000.0f) * tfs * th
-              content.tm = Mat(1.0f, 0.0f, 0.0f, 1.0f, tx.toF, 0.0f) * content.tm
+              val negF = tj0 match {
+                case NInt(i)  => (-i).toFloat
+                case NReal(v) => -v
+              }
+              val tx = negF / 1000.0f * tfs.toF * th.toF
+              content.tm = Mat(1.0f, 0.0f, 0.0f, 1.0f, tx, 0.0f) * content.tm
           }
           if (!displayChar) spans += Span("TJ", spanStart, out.length)
 

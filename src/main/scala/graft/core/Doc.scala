@@ -98,6 +98,25 @@ final case class PdfFont(
     }
   }
 
+  /** Per-code-point f32 width memo for the glyph hot loop: exactly
+    * `getWidth(c).map(_.toF)` with Left -> 0.0f (the advance fallback,
+    * content.rs:818-821), computed once per font instead of one Either +
+    * NReal division allocation per shown glyph. Two-byte CMap mode looks up
+    * the FIRST byte (reference quirk), so 256 entries always suffice.
+    */
+  lazy val widthTableF: Array[Float] = {
+    val t = new Array[Float](256)
+    var c = 0
+    while (c < 256) {
+      t(c) = getWidth(c) match {
+        case Right(n) => n.toF
+        case Left(_)  => 0.0f
+      }
+      c += 1
+    }
+    t
+  }
+
   /** body.rs:163-171 — dead code in the reference (call site commented out);
     * kept for API completeness.
     */

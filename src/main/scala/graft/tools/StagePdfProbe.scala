@@ -37,5 +37,23 @@ object StagePdfProbe {
       val p = Pdf(MiniPdf.synthesize("x" * len))
       time(s"extract len=$len")(p.extract(ExtractText))
     }
+
+    // reference fixtures: construction vs extraction split per file
+    for (name <- Seq("sample.pdf", "002-trivial-libre-office-writer.pdf", "index.pdf")) {
+      val path = java.nio.file.Paths.get("/root/reference/data", name)
+      if (java.nio.file.Files.exists(path)) {
+        val fb = java.nio.file.Files.readAllBytes(path)
+        val m = 2000
+        def timeN(label: String)(f: => Any): Unit = {
+          var i = 0; while (i < m / 5) { f; i += 1 }
+          val t0 = System.nanoTime(); i = 0
+          while (i < m) { f; i += 1 }
+          println(f"$label%-44s ${(System.nanoTime() - t0) / 1000.0 / m}%8.2f us/op")
+        }
+        timeN(s"$name construct")(Pdf(fb))
+        val p = Pdf(fb)
+        timeN(s"$name extract")(p.extract(ExtractText))
+      }
+    }
   }
 }
