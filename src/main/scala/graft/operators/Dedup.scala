@@ -50,7 +50,24 @@ object Dedup {
 
   // --- MinHash + LSH ----------------------------------------------------------
 
-  /** Word k-shingles hashed to 64-bit. */
+  /** Sort + in-place dedup — primitive ops only (Array.distinct boxes every
+    * Long through a HashSet; measured as the near-dup verify hot spot). The
+    * result is SORTED, which downstream consumers exploit (bottom-m sketch,
+    * merge-based Jaccard); both shingle uses are order-insensitive sets.
+    */
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a
+    java.util.Arrays.sort(a)
+    var w = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Word k-shingles hashed to 64-bit; sorted distinct. */
   def shingles(text: String, k: Int): Array[Long] = {
     val words = TextFunctions.normalize(text).split(" ")
     if (words.length < k) Array(TextFunctions.fnv1a64(words.mkString(" ")))
@@ -61,7 +78,7 @@ object Dedup {
         out(i) = TextFunctions.fnv1a64(words.slice(i, i + k).mkString(" "))
         i += 1
       }
-      out.distinct
+      sortedDistinct(out)
     }
   }
 
@@ -81,11 +98,29 @@ object Dedup {
     sig
   }
 
-  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
-    val sa = a.toSet
-    val sb = b.toSet
-    if (sa.isEmpty && sb.isEmpty) 1.0
-    else (sa & sb).size.toDouble / (sa | sb).size
+  /** Set Jaccard of two shingle arrays. Inputs from shingles/ngramShingles are
+    * sorted distinct; arbitrary inputs are normalized first. Merge-count, no
+    * boxed sets (the old toSet/&/| allocation was 129us per verified pair).
+    */
+  def exactJaccard(a0: Array[Long], b0: Array[Long]): Double = {
+    val a = if (isSortedDistinct(a0)) a0 else sortedDistinct(a0.clone())
+    val b = if (isSortedDistinct(b0)) b0 else sortedDistinct(b0.clone())
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  private def isSortedDistinct(a: Array[Long]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i) <= a(i - 1)) return false; i += 1 }
+    true
   }
 
   /** MinHash+LSH near-duplicate pairs.
@@ -169,21 +204,23 @@ object Dedup {
         out(i) = h
         i += 1
       }
-      out.distinct
+      sortedDistinct(out)
     }
   }
 
   /** n-gram Jaccard near-duplicate pairs via a BANDED BOTTOM-M SKETCH (distinct
     * technique from the minhash-signature path): each doc's candidate keys are
-    * `bands` hashes, band b combining 3 consecutive elements of the doc's sorted
-    * bottom-(3*bands) shingle hashes. Two docs with Jaccard j share a band with
-    * probability ~j^3, so candidate recall ~1-(1-j^3)^bands (bands=3, j=0.9:
-    * ~0.98; identical shingle sets share EVERY band). Why banded: single bottom
-    * hashes of globally common n-grams bucket thousands of docs on low-entropy
-    * corpora (measured 3,828-doc hot buckets on the driver's 37-word-vocabulary
-    * corpus -> cap truncation -> recall loss); a 3-hash band key is cubically
-    * more selective (measured max 278). Same shuffle-on-key, capped-bucket,
-    * exact-verify plan shape as minhash; truncation observable.
+    * `bands` hashes, band b combining `bandSize` consecutive elements of the
+    * doc's sorted bottom-(bandSize*bands) shingle hashes. Two docs with Jaccard
+    * j share a band with probability ~j^bandSize, so candidate recall
+    * ~1-(1-j^bandSize)^bands (defaults 4/3, j=0.9: ~0.96; identical shingle
+    * sets share EVERY band). Why banded and why 4: single bottom hashes of
+    * globally common n-grams bucket thousands of docs on low-entropy corpora
+    * (measured 3,828-doc hot buckets on the driver's 37-word-vocabulary corpus
+    * -> cap truncation -> recall loss); 3-hash bands still yielded ~1.0M
+    * candidate pairs there, 4-hash bands cut that 5.4x (184k) with max bucket
+    * 124. Same shuffle-on-key, capped-bucket, exact-verify plan shape as
+    * minhash; truncation observable.
     */
   def ngramJaccardNearDups(
       df: DataFrame,
@@ -191,6 +228,7 @@ object Dedup {
       idCol: String,
       k: Int = 5,
       bands: Int = 3,
+      bandSize: Int = 4,
       threshold: Double = 0.9,
       maxBucket: Int = 1000,
       obs: Option[Observation] = None
@@ -200,13 +238,12 @@ object Dedup {
     val keyed = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val sh = ngramShingles(text, k)
-        java.util.Arrays.sort(sh)
-        val bottom = Array.tabulate(3 * bands)(i => if (i < sh.length) sh(i) else Long.MaxValue)
+        val sh = ngramShingles(text, k) // sorted distinct by construction
+        val bottom = Array.tabulate(bandSize * bands)(i => if (i < sh.length) sh(i) else Long.MaxValue)
         val bandKeys = Array.tabulate(bands) { b =>
           var h = 0xcbf29ce484222325L ^ b
           var r = 0
-          while (r < 3) { h = TextFunctions.mix(h ^ bottom(3 * b + r)); r += 1 }
+          while (r < bandSize) { h = TextFunctions.mix(h ^ bottom(bandSize * b + r)); r += 1 }
           h
         }
         (id, bandKeys)
