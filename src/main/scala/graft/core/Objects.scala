@@ -29,8 +29,16 @@ final case class PRef(num: Int, gen: Int, ctx: Ctx) extends PdfObj {
 }
 
 object Utf8 {
-  /** Rust `std::str::from_utf8(..).unwrap()` — strict decode, panic on invalid. */
+  /** Rust `std::str::from_utf8(..).unwrap()` — strict decode, panic on invalid.
+    * ASCII fast path: pure-ASCII bytes decode identically under UTF-8 and
+    * Latin-1, skipping the per-call CharsetDecoder allocation (dict string and
+    * bareword values hit this on every object parse).
+    */
   def strict(bytes: Array[Byte]): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false else i += 1 }
+    if (ascii) return new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val dec = UTF_8.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)

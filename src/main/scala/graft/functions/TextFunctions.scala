@@ -124,7 +124,10 @@ object TextFunctions {
     min
   }
 
-  def normalize(s: String): String = s.toLowerCase.replaceAll("\\s+", " ").trim
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  def normalize(s: String): String =
+    wsRun.matcher(s.toLowerCase).replaceAll(" ").trim // cached pattern: replaceAll(String) recompiles per call
 
   def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
