@@ -8,9 +8,10 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object ThroughputProbe {
   def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft-scaling/transcripts"
     val spark = graft.Bench.buildSession("8")
     import spark.implicits._
-    val rows = spark.read.parquet("/tmp/graft-scaling/transcripts")
+    val rows = spark.read.parquet(dir)
       .select("text", "tool").as[(String, String)].limit(200000).collect()
     spark.stop()
     println(s"loaded ${rows.length} payloads")
