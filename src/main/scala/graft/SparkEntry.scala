@@ -296,15 +296,48 @@ object SparkEntry {
     */
   val PipelineExpectedPath = "/tmp/graft-oracle/pipeline_expected"
 
-  /** DuckDB oracles. The only omitted entries are q_ann_ivf (approximate by
-    * design — recall is spec-gated against the brute-force oracle in
-    * OperatorsSpec) and q_fingerprint (64-bit wrapping-multiply hash loops are
-    * not expressible in DuckDB SQL, whose BIGINT arithmetic traps on overflow;
-    * spec-gated against fixed vectors instead). Both get the driver's rows-only
-    * check; everything else is value-checked.
+  /** DuckDB oracles — every query except q_ann_ivf is value-checked.
+    * q_ann_ivf is approximate BY DESIGN (coarse-quantized ANN), so no exact SQL
+    * twin exists; its recall is spec-gated against the brute-force oracle in
+    * OperatorsSpec and it gets the driver's rows-only check. Wrapping 64-bit
+    * hash loops (FNV-1a, splitmix64, simhash) are re-expressed exactly via
+    * HUGEINT mod-2^64 arithmetic (see the helpers above).
     */
   private val normSql =
     "trim(regexp_replace(lower(%s), '\\s+', ' ', 'g'))"
+
+  // --- 64-bit wrapping arithmetic in DuckDB SQL (HUGEINT mod 2^64) -------------
+  // DuckDB BIGINT traps on overflow, but int128 carries exact mod-2^64 hash
+  // loops: FNV's 2^40 multiplier fits directly; splitmix64's ~2^64 constants
+  // use 32-bit limb decomposition so every partial product stays < 2^96.
+  private val m64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val b32 = "CAST('4294967296' AS HUGEINT)" // 2^32
+
+  private def mulMod64(a: String, b: java.math.BigInteger): String = {
+    val blo = b.mod(java.math.BigInteger.ONE.shiftLeft(32))
+    val bhi = b.shiftRight(32)
+    s"((($a) % $b32) * $blo + (((($a) % $b32) * $bhi) + ((($a) // $b32) * $blo)) % $b32 * $b32) % $m64"
+  }
+
+  private def splitmix64Sql(z: String): String = {
+    val z1 = s"(($z) + CAST('11400714819323198485' AS HUGEINT)) % $m64"
+    val x1 = s"xor(($z1), ($z1) >> 30)"
+    val z2 = mulMod64(s"($x1)", new java.math.BigInteger("bf58476d1ce4e5b9", 16))
+    val x2 = s"xor(($z2), ($z2) >> 27)"
+    val z3 = mulMod64(s"($x2)", new java.math.BigInteger("94d049bb133111eb", 16))
+    s"xor(($z3), ($z3) >> 31)"
+  }
+
+  /** FNV-1a 64 over the UTF-8 bytes of `col` (corpus is pure ASCII at every SF,
+    * so unicode(char) == byte).
+    */
+  private def fnvSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(range(1, length($c) + 1), i -> CAST(unicode(substr($c, i, 1)) AS HUGEINT))), " +
+      s"(a, c) -> (xor(a, c) * 1099511628211) % $m64)"
+
+  private def toSigned64(e: String): String =
+    s"CAST(CASE WHEN ($e) >= CAST('9223372036854775808' AS HUGEINT) THEN ($e) - $m64 ELSE ($e) END AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "q_extract_pipeline" ->
@@ -354,6 +387,19 @@ object SparkEntry {
         "sets AS (SELECT id, CASE WHEN length(t) <= 5 THEN [t] " +
         "ELSE list_sort(list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)))) END AS s FROM u) " +
         "SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
+    // FNV-1a 64 + winnowing rolling-min re-expressed exactly in SQL: wrapping
+    // 64-bit multiplies via HUGEINT (32-bit limbs for the splitmix constants).
+    // Signed min == unsigned min because all values live in [0, 2^64) HUGEINT.
+    "q_fingerprint" ->
+      (s"WITH d AS (SELECT doc_id, text, ${normSql.format("text")} AS nt FROM documents), " +
+        s"fnv AS (SELECT doc_id, ${fnvSql("text")} AS h FROM d), " +
+        "polys AS (SELECT doc_id, unnest(list_transform(range(1, length(nt) - 6), " +
+        "i -> list_reduce(list_transform(range(0, 8), j -> CAST(unicode(substr(nt, CAST(i AS INT) + CAST(j AS INT), 1)) AS HUGEINT)), " +
+        s"(a, c) -> (a * 1000003 + c) % $m64))) AS ph FROM d WHERE length(nt) >= 8), " +
+        s"rolling AS (SELECT doc_id, min(${splitmix64Sql("ph")}) AS rm FROM polys GROUP BY doc_id " +
+        s"UNION ALL SELECT doc_id, ${fnvSql("nt")} AS rm FROM d WHERE length(nt) < 8) " +
+        s"SELECT f.doc_id, ${toSigned64("f.h")} AS fnv64, ${toSigned64("r.rm")} AS rolling_min " +
+        "FROM fnv f JOIN rolling r USING (doc_id) ORDER BY f.doc_id"),
     "q_cosine_near_dup" ->
       ("WITH u AS (SELECT vec_id AS id, embedding AS e FROM embeddings " +
         "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings) " +
