@@ -52,6 +52,7 @@ object StagePdfProbe {
         }
         timeN(s"$name construct")(Pdf(fb))
         val p = Pdf(fb)
+        timeN(s"$name raw (parse+inflate)")(p.extract(graft.core.ExtractRawContent))
         timeN(s"$name extract")(p.extract(ExtractText))
       }
     }
