@@ -146,6 +146,49 @@ class LexerSpec extends AnyFunSuite {
   }
 }
 
+/** Exception-free numeric-parse parity: the hand-rolled byte-wise parse must
+  * accept/reject exactly like the old Integer.parseInt-then-Float.parseFloat
+  * fallback (which the reference's i32-then-f32 semantics map to).
+  */
+class NumericParseSpec extends AnyFunSuite {
+  private def tok(s: String) = new PdfTokenizer(s.getBytes("ISO-8859-1"), 0)
+
+  test("ints: signs, leading zeros, Int.MinValue") {
+    assert(tok("42 ").next() == TNum(NInt(42)))
+    assert(tok("+42 ").next() == TNum(NInt(42)))
+    assert(tok("-42 ").next() == TNum(NInt(-42)))
+    assert(tok("0000000017 ").next() == TNum(NInt(17)))
+    assert(tok("-2147483648 ").next() == TNum(NInt(Int.MinValue)))
+    assert(tok("2147483647 ").next() == TNum(NInt(Int.MaxValue)))
+  }
+
+  test("i32 overflow falls back to f32 (parseInt-NFE parity)") {
+    assert(tok("2147483648 ").next() == TNum(NReal(2147483648f)))
+    assert(tok("99999999999999 ").next() == TNum(NReal(99999999999999f)))
+    assert(tok("-99999999999999 ").next() == TNum(NReal(-99999999999999f)))
+  }
+
+  test("floats: dots and signed fractions") {
+    assert(tok("1.5 ").next() == TNum(NReal(1.5f)))
+    assert(tok("-.5 ").next() == TNum(NReal(-0.5f)))
+    assert(tok("+.5 ").next() == TNum(NReal(0.5f)))
+    assert(tok("12. ").next() == TNum(NReal(12f)))
+    assert(tok(".25 ").next() == TNum(NReal(0.25f)))
+  }
+
+  test("rejects become barewords exactly as before (no exceptions)") {
+    assert(tok("R ").next() == TBare("R".getBytes))
+    assert(tok("n ").next() == TBare("n".getBytes))
+    assert(tok("- ").next() == TBare("-".getBytes))
+    assert(tok("+ ").next() == TBare("+".getBytes))
+    assert(tok(". ").next() == TBare(".".getBytes))
+    assert(tok("-. ").next() == TBare("-.".getBytes))
+    assert(tok("R5 ").next() == TBare("R5".getBytes))
+    assert(tok("1.2.3 ").next() == TBare("1.2.3".getBytes))
+    assert(tok("W* ").next() == TBare("W*".getBytes))
+  }
+}
+
 /** Ported from /root/reference/src/algebra.rs:150-168 (2 vectors). */
 class AlgebraSpec extends AnyFunSuite {
   test("matrix mul identity (algebra.rs:155-160)") {
