@@ -71,6 +71,41 @@ class PropertySpec extends AnyFunSuite {
     }, n = 100)
   }
 
+  test("numeric token parse differentially matches parseInt-then-parseFloat semantics") {
+    // arbitrary strings shaped like the tokenizer's numeric precheck: any first
+    // char drawn from a hostile set, chars 2..n in [0-9.]
+    val first = Gen.oneOf(Gen.numChar, Gen.oneOf('+', '-', '.', 'R', 'n', 'f', 'W', 'q', 'e'))
+    val rest = Gen.listOf(Gen.frequency(8 -> Gen.numChar, 2 -> Gen.const('.')))
+    val token = for { f <- first; r <- rest } yield (f :: r).mkString
+    check("numeric-differential", Prop.forAll(token) { s =>
+      // reference semantics via the old exception-driven control flow
+      val expected: Tok =
+        try TNum(NInt(java.lang.Integer.parseInt(s)))
+        catch {
+          case _: NumberFormatException =>
+            try TNum(NReal(java.lang.Float.parseFloat(s)))
+            catch { case _: NumberFormatException => null }
+        }
+      val got = new PdfTokenizer(s"$s ".getBytes("ISO-8859-1"), 0).next()
+      val isNumericShape = s.drop(1).forall(c => c.isDigit || c == '.')
+      if (!isNumericShape || expected == null) got == TBare(s.getBytes("ISO-8859-1"))
+      else got == expected
+    }, n = 500)
+  }
+
+  test("extractTurn is total: arbitrary-byte payloads land in the error column, never throw") {
+    import graft.pipeline.{ExtractJob, Turn}
+    val anyBytes = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    check("extract-total", Prop.forAll(anyBytes, Gen.oneOf("pdf-b64", "html", "plain")) { (bytes, tool) =>
+      val payload =
+        if (tool == "pdf-b64") java.util.Base64.getEncoder.encodeToString(bytes)
+        else new String(bytes, "ISO-8859-1")
+      val out = ExtractJob.extractTurn(Turn("fuzz", 0, "user", payload, tool, null))
+      // either extracted or a recorded error; the call itself never throws
+      out.error == null || out.extracted_text == null
+    }, n = 300)
+  }
+
   test("html escape/extract round-trip on arbitrary printable text") {
     import graft.html.HtmlBoilerplate
     import graft.pipeline.SynthGen
