@@ -102,9 +102,19 @@ object Bench {
 
     val all = results :+ ("x_extract_pipeline_sf" -> extractSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
+    // full JSON string escape incl. control chars (Spark exception messages are
+    // multi-line; a raw \n would corrupt the single machine-readable line)
+    def jstr(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    val errJson = errors.map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus}""")

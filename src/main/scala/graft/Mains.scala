@@ -57,10 +57,10 @@ object ExtractMain {
     val t0 = System.nanoTime()
     val turns = spark.read.parquet(in)
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn]
-    // crash injection implies shard-granular waves (so exactly N shards commit);
-    // the production path is the default single wave = ONE input scan
-    val waveSize = if (failAt >= 0) 1 else Int.MaxValue
-    ExtractJob.runWithManifests(spark, turns, outDir, shards, partitions, failAt, waveSize)
+    // crash injection (failAt >= 0) forces shard-granular waves inside
+    // runWithManifests; the production path is the default single wave = ONE
+    // input scan
+    ExtractJob.runWithManifests(spark, turns, outDir, shards, partitions, failAt)
     val wall = (System.nanoTime() - t0) / 1e9
     val m = ExtractJob.manifests(spark, outDir).collect()
     val rows = m.map(_.rows).sum

@@ -141,25 +141,28 @@ object SparkEntry {
       Dedup.exact(dupes, "text", "doc_id").orderBy("text_hash")
     }),
     // Near-dup queries run at exact-duplicate thresholds so a SQL oracle exists
-    // (expected pairs = identical-normalized-text pairs, incl. the planted +10000
-    // copies); the loose-threshold near-dup behavior is spec-gated in
-    // OperatorsSpec against brute force.
+    // (expected pairs = identical-shingle-set / identical-simhash pairs, incl.
+    // the planted +10000 copies); the loose-threshold near-dup behavior is
+    // spec-gated in OperatorsSpec against brute force. maxBucket is raised well
+    // above any duplicate family in the corpus so cap truncation can never drop
+    // an oracle-expected pair (production keeps the default cap with observable
+    // truncation).
     "q_minhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.minhashNearDups(dupes, "text", "doc_id", threshold = 0.999)
+      Dedup.minhashNearDups(dupes, "text", "doc_id", threshold = 0.999, maxBucket = 10000)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
     "q_simhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.simhashNearDups(dupes, "text", "doc_id", maxHamming = 0)
+      Dedup.simhashNearDups(dupes, "text", "doc_id", maxHamming = 0, maxBucket = 10000)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999)
+      Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999, maxBucket = 10000)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
@@ -357,10 +360,17 @@ object SparkEntry {
         "WHEN en = greatest(en,de,fr,es,it) THEN 'en' WHEN de = greatest(en,de,fr,es,it) THEN 'de' " +
         "WHEN fr = greatest(en,de,fr,es,it) THEN 'fr' WHEN es = greatest(en,de,fr,es,it) THEN 'es' " +
         "ELSE 'it' END AS lang_pred FROM s ORDER BY doc_id"),
+    // Word-3-shingle SET equality == Jaccard 1.0 (and (0.999, 1) is impossible
+    // at <= ~100 shingles/doc). Set semantics, not text equality: different
+    // word sequences can have identical shingle sets (e.g. repeated phrases),
+    // and the operator compares shingle sets.
     "q_minhash_near_dup" ->
       (s"WITH u AS (SELECT doc_id AS id, ${normSql.format("text")} AS t FROM documents " +
-        s"UNION ALL SELECT doc_id + 10000, ${normSql.format("text")} FROM documents) " +
-        "SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b ON a.t = b.t AND a.id < b.id ORDER BY id_a, id_b"),
+        s"UNION ALL SELECT doc_id + 10000, ${normSql.format("text")} FROM documents), " +
+        "sets AS (SELECT id, CASE WHEN len(string_split(t, ' ')) < 3 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 1), " +
+        "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) END AS s FROM u) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
     // Full simhash64 re-expressed in DuckDB SQL: FNV-1a per word via HUGEINT
     // wrap-around multiply (mod 2^64), per-bit majority vote, equality join on the
     // 64-bit sign vector (= hamming 0). unicode(char) == UTF-8 byte because the

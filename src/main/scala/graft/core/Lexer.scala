@@ -259,6 +259,9 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
     var neg = false
     if (first == '-' || first == '+') { neg = first == '-'; i += 1 }
     var digits = 0
+    var sig = 0 // significant digits (leading zeros excluded): parseInt accepts any
+    // number of leading zeros ("000000000012345" is a valid i32), so the
+    // magnitude cap must count significant digits only
     var dots = 0
     var acc = 0L
     var j = i
@@ -266,13 +269,14 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
       val b = bytes(j)
       if (b >= '0' && b <= '9') {
         digits += 1
-        if (digits <= 11) acc = acc * 10 + (b - '0') // cap: beyond 11 digits can't be i32
+        if (acc > 0L || b != '0') sig += 1
+        if (sig <= 18) acc = acc * 10 + (b - '0') // 18 sig digits always fit a Long
       } else if (b == '.') dots += 1
       else return null // non-digit/dot after the first char never parses as int or float
       j += 1
     }
-    if (digits == 0) return null // lone sign / lone '.' / "R": parseInt and parseFloat both reject... except parseFloat(".") also rejects
-    if (dots == 0 && digits <= 11) {
+    if (digits == 0) return null // lone sign / lone '.' / "R": parseInt and parseFloat both reject
+    if (dots == 0 && sig <= 18) {
       val v = if (neg) -acc else acc
       if (v >= Int.MinValue && v <= Int.MaxValue) return TNum(NInt(v.toInt))
     }

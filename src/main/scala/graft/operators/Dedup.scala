@@ -15,9 +15,12 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Cap buckets at `maxBucket` ids and generate all within-bucket ordered pairs.
-    * Input: one row per bucket with a sorted `ids` array. Truncation counts ride
-    * the same pass as an observed metric — zero extra jobs, recall loss on
+  /** Cap buckets at `maxBucket` elements and generate all within-bucket ordered
+    * pairs. Input: one row per bucket with a sorted `ids` array (longs, or
+    * structs sorted by their first field — the pair columns `a`/`b` keep the
+    * element type so callers can carry extra per-id payload, e.g. simhashes,
+    * through the pair stage without re-joining). Truncation counts ride the
+    * same pass as an observed metric — zero extra jobs, recall loss on
     * pathological buckets is observable, not silent.
     */
   private def cappedBucketPairs(
@@ -37,7 +40,7 @@ object Dedup {
       case None    => capped0.observe(metricName, truncExprs.head, truncExprs.tail: _*)
     }
     capped.select(explode(pairArray(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
       .distinct()
   }
 
@@ -165,6 +168,7 @@ object Dedup {
 
     // cap pathological buckets (all-identical corpora): quadratic bound, observable
     val pairs = cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.minhash")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
 
     val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val verified = pairs
@@ -254,6 +258,7 @@ object Dedup {
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val pairs = cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.ngram")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
     val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     pairs
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
@@ -311,17 +316,17 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("id", "simhash")
-    val buckets = hashed.select(col("id"),
+    // carry the simhash INSIDE the bucket elements (struct sorted by id): the
+    // pair stage then has both hashes — no per-side join back and no second
+    // recomputation of the source scan + simhash map
+    val buckets = hashed.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)).as("c"))
       .groupBy(col("c.chunk"), col("c.ckey"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-    val pairs = cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.simhash")
-    pairs
-      .join(hashed.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ids"))
+    cappedBucketPairs(buckets, maxBucket, obs, "graft.dedup.simhash")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 }

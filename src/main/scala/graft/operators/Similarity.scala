@@ -64,10 +64,12 @@ object Similarity {
   // --- IVF (inverted-file) ANN: the 100TB scale path --------------------------
 
   /** Train coarse centroids with Lloyd's k-means on a bounded deterministic
-    * sample (first `sampleSize` vectors by id). The sample collect is bounded
-    * driver memory by construction; at 100TB the corpus is never scanned for
-    * training — `limit` short-circuits the read. Deterministic: fixed init
-    * (evenly-spaced sample ranks), fixed iteration count, f64 math.
+    * sample (first `sampleSize` vectors by id). The COLLECT is bounded driver
+    * memory by construction; note the sampling read itself is a
+    * TakeOrderedAndProject, i.e. a scan of the id+vec columns — deterministic,
+    * but at 100TB production would instead sample from a dedicated sample
+    * table or a bounded file subset before calling this. Deterministic: fixed
+    * init (evenly-spaced sample ranks), fixed iteration count, f64 math.
     */
   def trainCentroids(
       embeddings: DataFrame,
@@ -207,8 +209,10 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Convenience: build-then-probe in one call (tests/queries). Production
-    * builds the index once and probes many times — see ivfBuildIndex/ivfProbe.
+  /** Convenience: build-then-probe in one call (tests/queries); the throwaway
+    * index lives in a java.io.tmpdir directory (OS-reclaimed). Production
+    * builds the index once at a durable path and probes many times — see
+    * ivfBuildIndex/ivfProbe.
     */
   def ivfTopK(
       embeddings: DataFrame,

@@ -183,7 +183,10 @@ object ExtractJob {
     val remaining = (0 until shards).filterNot(done)
     val shardOf = pmod(hash(col("conv_id")), lit(shards))
     var committed = done.size
-    remaining.grouped(math.max(1, waveSize)).foreach { wave =>
+    // crash injection promises "fail after N COMMITTED SHARDS" — meaningless at
+    // a multi-shard wave granularity, so it forces shard-granular waves
+    val effectiveWave = if (failAtShard >= 0) 1 else math.max(1, waveSize)
+    remaining.grouped(effectiveWave).foreach { wave =>
       if (failAtShard >= 0 && committed >= failAtShard)
         throw new RuntimeException(s"injected failure after $committed shards")
       val t0 = System.nanoTime()
@@ -193,14 +196,23 @@ object ExtractJob {
         .sortWithinPartitions("conv_id", "turn_idx") // P5 (prod-scale ordering)
       io.writeShards(out, outDir)
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      // per-shard stats: one partition-pruned scan of the wave's output
-      val stats: Map[Int, (Long, Long)] = io.readOutputRaw(spark, outDir)
-        .where(col("shard").isin(wave: _*))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("rows"),
-          coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // per-shard stats: one partition-pruned scan of the wave's output. An
+      // all-empty wave writes no partition files (only _SUCCESS), so schema
+      // inference fails — that legitimately means 0 rows for every wave shard.
+      val stats: Map[Int, (Long, Long)] =
+        try {
+          io.readOutputRaw(spark, outDir)
+            .where(col("shard").isin(wave: _*))
+            .groupBy(col("shard"))
+            .agg(count(lit(1)).as("rows"),
+              coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"))
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null && e.getMessage.contains("infer schema") =>
+            Map.empty
+        }
       io.appendManifests(spark, outDir, wave.map { k =>
         val (rows, bytes) = stats.getOrElse(k, (0L, 0L))
         PartManifest(k, SALT, rows, bytes, wallMs, "done")

@@ -91,7 +91,13 @@ object StreamingExtract {
                 closed += ConvSession(conv,
                   new java.sql.Timestamp(cur.sessionStart), new java.sql.Timestamp(cur.lastTs), cur.turns)
                 cur = ConvSessionState(t, t, 1)
-              } else cur = cur.copy(lastTs = math.max(cur.lastTs, t), turns = cur.turns + 1)
+              } else {
+                // a late-but-in-watermark event can predate the open session's
+                // start (cross-batch out-of-order): widen both bounds so the
+                // emitted span covers every merged turn
+                cur = ConvSessionState(math.min(cur.sessionStart, t),
+                  math.max(cur.lastTs, t), cur.turns + 1)
+              }
             }
             state.update(cur)
             state.setTimeoutTimestamp(cur.lastTs + gapMs)

@@ -158,6 +158,10 @@ class NumericParseSpec extends AnyFunSuite {
     assert(tok("+42 ").next() == TNum(NInt(42)))
     assert(tok("-42 ").next() == TNum(NInt(-42)))
     assert(tok("0000000017 ").next() == TNum(NInt(17)))
+    // > 11 raw digits but small value: parseInt accepts unlimited leading zeros
+    assert(tok("000000000012345 ").next() == TNum(NInt(12345)))
+    assert(tok("-000000000012345 ").next() == TNum(NInt(-12345)))
+    assert(tok("00000000000000000000 ").next() == TNum(NInt(0)))
     assert(tok("-2147483648 ").next() == TNum(NInt(Int.MinValue)))
     assert(tok("2147483647 ").next() == TNum(NInt(Int.MaxValue)))
   }
