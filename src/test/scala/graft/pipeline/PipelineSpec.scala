@@ -159,6 +159,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.chars.value == "plain text here".length)
   }
 
+  test("manifests: shards with no input commit 0-row done manifests (empty-wave path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-shards").toString
+    // 2 conversations over 16 shards: most shards are empty; with waveSize=1
+    // some waves write no partition files at all
+    val gen = SynthGen.generate(spark, 2, 3, 0, 0, includeFixturePdfs = false)
+    val turns = SynthGen.turns(gen)
+    ExtractJob.runWithManifests(spark, turns, dir, shards = 16, partitions = 2, waveSize = 1)
+    val ms = ExtractJob.manifests(spark, dir).collect()
+    assert(ms.length == 16, s"all shards must commit: ${ms.length}")
+    assert(ms.forall(_.status == "done"))
+    assert(ms.map(_.rows).sum == turns.count())
+    // idempotent rerun stays a no-op
+    ExtractJob.runWithManifests(spark, turns, dir, shards = 16, partitions = 2)
+    assert(ExtractJob.manifests(spark, dir).count() == 16)
+  }
+
   test("checkpoint manifests: resume after injected failure completes identically") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
