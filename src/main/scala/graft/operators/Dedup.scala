@@ -23,7 +23,7 @@ object Dedup {
     * same pass as an observed metric — zero extra jobs, recall loss on
     * pathological buckets is observable, not silent.
     */
-  private def cappedBucketPairs(
+  private[operators] def cappedBucketPairs(
       bucketIds: DataFrame,
       maxBucket: Int,
       obs: Option[Observation],

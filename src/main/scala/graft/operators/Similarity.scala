@@ -1,8 +1,65 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+
+/** Bounded top-k accumulator: a fixed-capacity binary heap whose root is the
+  * WORST kept element under the deterministic order (sim desc, id asc). Used by
+  * the per-partition ANN top-k paths so only `capacity` candidates per query per
+  * partition ever leave the scan — the merge stage then sees
+  * O(parts * queries * capacity) rows instead of |corpus| * |queries|.
+  */
+final class TopKHeap(val capacity: Int) {
+  private val sims = new Array[Double](capacity)
+  private val ids = new Array[Long](capacity)
+  private var n = 0
+
+  /** true if (s1,i1) ranks strictly worse than (s2,i2): lower sim, or same sim
+    * and larger id (ids are unique per corpus; ties are broken ascending).
+    */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def add(sim: Double, id: Long): Unit = {
+    if (n < capacity) {
+      sims(n) = sim; ids(n) = id
+      var i = n
+      n += 1
+      // sift up: parent must be worse-or-equal than child
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(sims(i), ids(i), sims(p), ids(p))) {
+          val ts = sims(i); sims(i) = sims(p); sims(p) = ts
+          val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+          i = p
+        } else i = 0
+      }
+    } else if (worse(sims(0), ids(0), sim, id)) {
+      sims(0) = sim; ids(0) = id
+      // sift down
+      var i = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i // find the worst among node + children; it must be the parent
+        if (l < n && worse(sims(l), ids(l), sims(w), ids(w))) w = l
+        if (r < n && worse(sims(r), ids(r), sims(w), ids(w))) w = r
+        if (w == i) cont = false
+        else {
+          val ts = sims(i); sims(i) = sims(w); sims(w) = ts
+          val ti = ids(i); ids(i) = ids(w); ids(w) = ti
+          i = w
+        }
+      }
+    }
+  }
+
+  def size: Int = n
+  def idAt(i: Int): Long = ids(i)
+  def simAt(i: Int): Double = sims(i)
+}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`). Brute-force cosine top-k is the exact baseline; the IVF
@@ -27,9 +84,49 @@ object Similarity {
     if (d == 0.0) 0.0 else dot(a, b) / d
   }
 
-  /** Exact brute-force top-k: one narrow pass computing sims against the
-    * broadcast query set, then a per-query top-k (window over rank). Queries are
-    * excluded from their own result lists. Output: (query_id, rank, neighbor_id).
+  /** Per-partition bounded top-k over (id, vec[, cell]) rows against the
+    * broadcast query set; emits at most queries*capacity rows per partition.
+    * `probeFilter` restricts which (query, cell) pairs are scored (IVF);
+    * brute force passes None and scores everything.
+    */
+  private def partitionTopK(
+      spark: SparkSession,
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
+      queries: Map[Long, Array[Float]],
+      capacity: Int,
+      probeFilter: Option[Map[Long, Set[Int]]]
+  ): DataFrame = {
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(queries.toArray.sortBy(_._1))
+    val bcP = spark.sparkContext.broadcast(probeFilter)
+    rows.mapPartitions { it =>
+      val qs = bcQ.value
+      val probes = bcP.value
+      val heaps = Array.fill(qs.length)(new TopKHeap(capacity))
+      it.foreach { case (id, vec, cell) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qvec) = qs(qi)
+          if (qid != id && probes.forall(_(qid).contains(cell)))
+            heaps(qi).add(cosine(qvec, vec), id)
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        (0 until h.size).iterator.map(i => (qid, h.idAt(i), h.simAt(i)))
+      }
+    }.toDF("query_id", "neighbor_id", "sim")
+  }
+
+  /** Exact brute-force top-k: one narrow pass keeping a bounded per-partition
+    * k-heap per query, then an exact top-k merge over the tiny surviving set
+    * (<= partitions * queries * k rows). No full |corpus| x |queries| shuffle:
+    * the below-k rows die inside the scan task — with 10 queries on a
+    * 1000-executor cluster the merge input is ~10k rows regardless of corpus
+    * size (the old row_number-over-everything plan funneled the whole cross
+    * product into |queries| reducer keys). Queries are excluded from their own
+    * result lists. Output: (query_id, rank, neighbor_id, sim).
     */
   def bruteTopK(
       embeddings: DataFrame,
@@ -46,17 +143,10 @@ object Similarity {
     // parquet scan: fetching 10 query vectors reads 10 rows, not the corpus.
     val queries: Map[Long, Array[Float]] =
       base.where(col("id").isin(queryIds: _*)).collect().toMap
-    val bc = spark.sparkContext.broadcast(queries)
-    val sims = base.mapPartitions { it =>
-      val qs = bc.value.toArray
-      it.flatMap { case (id, vec) =>
-        qs.iterator.collect {
-          case (qid, qvec) if qid != id => (qid, id, cosine(qvec, vec))
-        }
-      }
-    }.toDF("query_id", "neighbor_id", "sim")
+    val candidates = partitionTopK(spark,
+      base.map { case (id, vec) => (id, vec, 0) }, queries, k, None)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -64,12 +154,15 @@ object Similarity {
   // --- IVF (inverted-file) ANN: the 100TB scale path --------------------------
 
   /** Train coarse centroids with Lloyd's k-means on a bounded deterministic
-    * sample (first `sampleSize` vectors by id). The COLLECT is bounded driver
-    * memory by construction; note the sampling read itself is a
-    * TakeOrderedAndProject, i.e. a scan of the id+vec columns — deterministic,
-    * but at 100TB production would instead sample from a dedicated sample
-    * table or a bounded file subset before calling this. Deterministic: fixed
-    * init (evenly-spaced sample ranks), fixed iteration count, f64 math.
+    * sample: the `sampleSize` smallest-id vectors, read through a PUSHED
+    * `id < idBound` range predicate (parquet row-group min/max pruning — no
+    * global sort; the old TakeOrderedAndProject scanned-and-sorted the whole
+    * corpus to fetch 4k rows). The driver sorts the <= idBound survivors, so
+    * the sample is identical to the old path on dense-from-0 id domains;
+    * production passes `idBound` matching its id layout. Falls back to a
+    * global TakeOrdered ONLY when the range holds fewer than nCells vectors
+    * (sparse/offset ids with no bound supplied). Deterministic: fixed init
+    * (evenly-spaced sample ranks), fixed iteration count, f64 math.
     */
   def trainCentroids(
       embeddings: DataFrame,
@@ -77,14 +170,19 @@ object Similarity {
       iters: Int = 8,
       sampleSize: Int = 4096,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      idBound: Long = -1L
   ): Array[Array[Float]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Float]] = embeddings
+    val base = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-      .orderBy("id").limit(sampleSize).collect().map(_._2)
+    val bound = if (idBound > 0) idBound else sampleSize.toLong * 4
+    val ranged = base.where(col("id") < bound).collect()
+    val sample: Array[Array[Float]] =
+      if (ranged.length >= nCells) ranged.sortBy(_._1).take(sampleSize).map(_._2)
+      else base.orderBy("id").limit(sampleSize).collect().map(_._2)
     require(sample.length >= nCells, s"need >= $nCells sample vectors")
     val dims = sample.head.length
     var centroids: Array[Array[Double]] =
@@ -164,14 +262,19 @@ object Similarity {
   /** Probe a built IVF index: per query rank cells by centroid cosine, scan the
     * union of the queries' top-nprobe cells with a pushed `cell IN (...)`
     * partition filter (directory-level pruning on the partitioned layout), and
-    * top-k within each query's own probe set. Recall < 1 by design.
+    * bounded per-partition top-k inside the pruned scan. The heap capacity is
+    * k*maxSpill: a spilled vector can appear in up to maxSpill probed cells of
+    * ONE task's input, and duplicates must not evict a distinct true top-k
+    * entry — the cross-partition duplicates are removed by the distinct() on
+    * the tiny merged set. Recall < 1 by design.
     */
   def ivfProbe(
       spark: SparkSession,
       indexDir: String,
       queryIds: Seq[Long],
       k: Int,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      maxSpill: Int = 2
   ): DataFrame = {
     import spark.implicits._
     val centroids: Array[(Int, Array[Float])] =
@@ -186,33 +289,24 @@ object Similarity {
         .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSet
     }
     val allCells = probeCells.values.flatten.toSeq.distinct.sorted
-    val bcQ = spark.sparkContext.broadcast(queries)
-    val bcP = spark.sparkContext.broadcast(probeCells)
-    val sims = index
+    val pruned = index
       .where(col("cell").isin(allCells: _*)) // partition-pruned scan
       .select(col("id"), col("vec"), col("cell"))
       .as[(Long, Array[Float], Int)]
-      .mapPartitions { it =>
-        val qs = bcQ.value.toArray
-        val probes = bcP.value
-        it.flatMap { case (id, vec, cell) =>
-          qs.iterator.collect {
-            case (qid, qvec) if qid != id && probes(qid).contains(cell) =>
-              (qid, id, cosine(qvec, vec))
-          }
-        }
-      }.toDF("query_id", "neighbor_id", "sim")
+    val candidates = partitionTopK(spark, pruned, queries, k * maxSpill, Some(probeCells))
       .distinct() // spilled assignment: a vector can appear in 2 probed cells
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Convenience: build-then-probe in one call (tests/queries); the throwaway
-    * index lives in a java.io.tmpdir directory (OS-reclaimed). Production
-    * builds the index once at a durable path and probes many times — see
-    * ivfBuildIndex/ivfProbe.
+  /** Convenience: build-then-probe in one call (tests/queries only). LOCAL
+    * MASTER ONLY (asserted): the throwaway index lives in java.io.tmpdir, which
+    * executors on a multi-node cluster cannot read — production builds the
+    * index ONCE at a shared durable path via ivfBuildIndex and probes many
+    * times with ivfProbe. The scratch directory is removed on JVM exit (the
+    * returned DataFrame reads from it lazily, so it cannot be deleted eagerly).
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -224,15 +318,32 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    ivfBuildIndex(embeddings, dir, nCells, spill, idCol, vecCol)
-    ivfProbe(embeddings.sparkSession, dir, queryIds, k, nprobe)
+    val spark = embeddings.sparkSession
+    require(spark.sparkContext.isLocal,
+      "ivfTopK uses driver-local scratch; on a cluster use ivfBuildIndex + ivfProbe with a shared path")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    ivfBuildIndex(embeddings, dir.toString, nCells, spill, idCol, vecCol)
+    ivfProbe(spark, dir.toString, queryIds, k, nprobe, maxSpill = spill)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= threshold,
     * LSH-bucketed by sign of projections onto `nPlanes` deterministic random
     * hyperplanes (near-identical vectors share sign buckets with high prob.);
     * exact cosine verify inside buckets.
+    *
+    * Scale-safe like its three Dedup near-dup siblings: candidates come from
+    * CAPPED (table, key) buckets with observable truncation — a degenerate
+    * corpus (a large identical/near-zero-vector cluster collapsing into one
+    * sign bucket) is bounded at maxBucket^2 pairs per bucket instead of an
+    * uncapped quadratic self-join. The hyperplanes are materialized lazily per
+    * partition from the first vector's dims (pure function of (table, plane,
+    * dim) via splitmix64), so no driver-side head() job runs.
     */
   def cosineNearDups(
       embeddings: DataFrame,
@@ -240,32 +351,33 @@ object Similarity {
       nPlanes: Int = 8,
       nTables: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      maxBucket: Int = 1000,
+      obs: Option[Observation] = None
   ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-    val dims = base.head()._2.length
-    // deterministic pseudo-random hyperplanes from splitmix64
-    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, nPlanes) { (t, p) =>
-      Array.tabulate(dims) { d =>
-        val h = graft.functions.TextFunctions.mix(t * 1000003L + p * 8191L + d)
-        (h.toDouble / Long.MaxValue)
-      }
-    }
-    val bcPlanes = spark.sparkContext.broadcast(planes)
     val keyed = base.mapPartitions { it =>
-      val pl = bcPlanes.value
+      // deterministic pseudo-random hyperplanes from splitmix64, built once per
+      // partition from the first row's dims (same values for every partition)
+      var planes: Array[Array[Array[Double]]] = null
       it.flatMap { case (id, vec) =>
+        if (planes == null) planes = Array.tabulate(nTables, nPlanes) { (t, p) =>
+          Array.tabulate(vec.length) { d =>
+            val h = graft.functions.TextFunctions.mix(t * 1000003L + p * 8191L + d)
+            h.toDouble / Long.MaxValue
+          }
+        }
         val dv = vec.map(_.toDouble)
-        pl.indices.iterator.map { t =>
+        planes.indices.iterator.map { t =>
           var key = 0L
           var p = 0
-          while (p < pl(t).length) {
+          while (p < planes(t).length) {
             var s = 0.0
             var d = 0
-            while (d < dv.length) { s += pl(t)(p)(d) * dv(d); d += 1 }
+            while (d < dv.length) { s += planes(t)(p)(d) * dv(d); d += 1 }
             if (s >= 0) key |= (1L << p)
             p += 1
           }
@@ -273,9 +385,10 @@ object Similarity {
         }
       }
     }.toDF("table", "key", "id")
-    val pairs = keyed.as("x").join(keyed.as("y"),
-        col("x.table") === col("y.table") && col("x.key") === col("y.key") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val buckets = keyed.groupBy(col("table"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val pairs = Dedup.cappedBucketPairs(buckets, maxBucket, obs, "graft.similarity.cosine")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
     val vecs = base.toDF("id", "vec")
     pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")

@@ -158,6 +158,47 @@ class OperatorsSpec extends AnyFunSuite {
     ids.foreach(id => assert(found.contains((id, id + 10000)), s"missed identical vector $id"))
   }
 
+  test("TopKHeap keeps the exact top-k under (sim desc, id asc), with ties") {
+    val rnd = new scala.util.Random(7)
+    val items = (0 until 500).map(i => (math.floor(rnd.nextDouble() * 20) / 20.0, i.toLong))
+    val h = new TopKHeap(10)
+    items.foreach { case (s, id) => h.add(s, id) }
+    val got = (0 until h.size).map(i => (h.simAt(i), h.idAt(i)))
+      .sortBy { case (s, id) => (-s, id) }
+    val expected = items.sortBy { case (s, id) => (-s, id) }.take(10)
+    assert(got == expected)
+  }
+
+  test("cosine near-dup candidates come from capped buckets (planted identical cluster)") {
+    import spark.implicits._
+    // 2000 identical vectors: every row lands in ONE sign bucket per table — the
+    // round-2 uncapped self-join went quadratic here; the capped path is bounded
+    // and reports truncation
+    val rows = (0 until 2000).map(i => (i.toLong, Array(0.5f, 0.25f, -0.125f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val obs = new org.apache.spark.sql.Observation("cosine-trunc")
+    val nPairs = Similarity.cosineNearDups(rows, threshold = 0.999, maxBucket = 16,
+      obs = Some(obs)).count()
+    assert(nPairs <= 16L * 15 / 2, s"identical-cluster pair blowup not capped: $nPairs")
+    assert(obs.get("truncated_buckets").asInstanceOf[Long] > 0, "truncation must be reported")
+  }
+
+  test("trainCentroids: pushed id-range sample, with fallback for offset id domains") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c1 = Similarity.trainCentroids(emb, nCells = 8)
+    assert(c1.length == 8 && c1.forall(_.nonEmpty))
+    // ids offset far beyond the default idBound: the range filter finds nothing
+    // and the documented TakeOrdered fallback must still train
+    val offset = emb.select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val c2 = Similarity.trainCentroids(offset, nCells = 8)
+    assert(c2.length == 8)
+    // and the same offset domain with an explicit idBound uses the pushed range
+    val c3 = Similarity.trainCentroids(offset, nCells = 8, idBound = 1000000000L + 16384L)
+    assert(c2.map(_.toSeq).toSeq == c3.map(_.toSeq).toSeq,
+      "idBound range sample must equal the fallback sample on a dense-offset domain")
+  }
+
   test("langId is deterministic and picks the profile language") {
     assert(TextFunctions.langId("the cat is on the mat and it is happy") == "en")
     assert(TextFunctions.langId("der hund ist nicht in der schule und das ist gut") == "de")
