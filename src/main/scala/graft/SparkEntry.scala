@@ -166,6 +166,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    // Keeper selection over the pair graph: cluster the minhash near-dup pairs
+    // of a TRIPLED corpus (planted 3-member duplicate families) into connected
+    // components; cluster_id = min id. The oracle re-derives components as
+    // shingle-set equality classes (equality is transitive, so components ==
+    // classes) — value-checks clusters end to end through pair generation.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trip = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+        .union(docs.select(col("doc_id") + 20000, col("text")))
+      val pairs = Dedup.minhashNearDups(trip, "text", "doc_id",
+        threshold = 0.999, maxBucket = 30000)
+      Dedup.clusters(pairs).orderBy("id")
+    }),
+
     // ---- similarity search ----------------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
@@ -371,6 +385,18 @@ object SparkEntry {
         "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 1), " +
         "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) END AS s FROM u) " +
         "SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
+    // Connected components of the shingle-set-equality pair graph == the
+    // equality classes themselves (set equality is transitive); singletons
+    // (no pair) are not emitted. cluster_id = min id of the class.
+    "q_dedup_clusters" ->
+      (s"WITH u AS (SELECT doc_id AS id, ${normSql.format("text")} AS t FROM documents " +
+        s"UNION ALL SELECT doc_id + 10000, ${normSql.format("text")} FROM documents " +
+        s"UNION ALL SELECT doc_id + 20000, ${normSql.format("text")} FROM documents), " +
+        "sets AS (SELECT id, CASE WHEN len(string_split(t, ' ')) < 3 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 1), " +
+        "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) END AS s FROM u), " +
+        "g AS (SELECT id, min(id) OVER (PARTITION BY s) AS cluster_id, count(*) OVER (PARTITION BY s) AS n FROM sets) " +
+        "SELECT id, cluster_id FROM g WHERE n > 1 ORDER BY id"),
     // Full simhash64 re-expressed in DuckDB SQL: FNV-1a per word via HUGEINT
     // wrap-around multiply (mod 2^64), per-bit majority vote, equality join on the
     // 64-bit sign vector (= hamming 0). unicode(char) == UTF-8 byte because the

@@ -189,6 +189,56 @@ object Dedup {
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)), b => struct(a.as("_1"), b.as("_2")))))
 
+  // --- near-dup clustering (connected components over the pair graph) ----------
+
+  /** Connected components over a near-dup pair graph -> (id, cluster_id) with
+    * cluster_id = the component's minimum id (the canonical keeper-selection
+    * rule: keep cluster_id, drop the rest). Input: (id_a, id_b) pairs from any
+    * of the near-dup operators.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping — each
+    * round every vertex takes the min of its own label, its neighbors' labels,
+    * and its label's label (label(label(x))), so long chains collapse in
+    * O(log diameter) rounds rather than O(diameter); real duplicate families
+    * are stars/cliques and converge in 1-2. Every step is a shuffle-on-key
+    * join/agg (no driver-side graph), labels are localCheckpoint'ed per round
+    * to truncate lineage (a durable checkpoint dir does the same on a cluster),
+    * and the loop stops at the first round with zero label changes (one
+    * bounded-size count per round). Ids with no pair (singletons) are not
+    * emitted — they are their own keeper by definition.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(pairs.columns(0)).cast("long").as("src"),
+      col(pairs.columns(1)).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+        .select(col("src").as("id"), col("nlabel"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val jumped = prop
+        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
+          prop("label") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
+        .localCheckpoint()
+      val changed = jumped
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // --- character n-gram Jaccard (bottom-k sketch LSH) --------------------------
 
   /** Character k-gram shingles of the normalized text, hashed to 64-bit, distinct.

@@ -199,6 +199,20 @@ class OperatorsSpec extends AnyFunSuite {
       "idBound range sample must equal the fallback sample on a dense-offset domain")
   }
 
+  test("clusters: path graphs collapse transitively, components stay separate") {
+    import spark.implicits._
+    // a-b-c is a PATH (no a-c edge): transitivity must still merge all three;
+    // {10,11} is a separate component; 99 appears only as id_b
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (42L, 99L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      42L -> 42L, 99L -> 42L))
+    // a longer chain exercises the pointer-jumping acceleration
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = Dedup.clusters(chain).as[(Long, Long)].collect()
+    assert(gotChain.length == 65 && gotChain.forall(_._2 == 0L))
+  }
+
   test("langId is deterministic and picks the profile language") {
     assert(TextFunctions.langId("the cat is on the mat and it is happy") == "en")
     assert(TextFunctions.langId("der hund ist nicht in der schule und das ist gut") == "de")
