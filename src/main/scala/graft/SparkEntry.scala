@@ -53,17 +53,22 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text").orderBy("doc_id")
     }),
+    // Full span-array contract, driver-checked on MULTI-Tj pages: each doc is
+    // synthesized with one Tj per 40-char slice, and every span row (op, start,
+    // end) is exploded and value-checked against offsets the oracle re-derives
+    // from the text alone. Extracted text equality is covered by q_pdf_roundtrip;
+    // this pins the sidecar.
     "q_pdf_spans" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val r = Pdf(MiniPdf.synthesize(text)).extractResult(ExtractText)
-          // headOption: a doc whose text is empty/all-trimmed has no spans
-          val s = r.spans.headOption.getOrElse(graft.core.Span("none", 0, 0))
-          (id, r.spans.length, s.op, s.start, s.end)
-        })
-        .toDF("doc_id", "n_spans", "span_op", "span_start", "span_end")
-        .orderBy("doc_id")
+        .flatMap { case (id, text) =>
+          val r = Pdf(MiniPdf.synthesizeMultiTj(text, 40)).extractResult(ExtractText)
+          r.spans.zipWithIndex.map { case (sp, i) =>
+            (id, i, r.spans.length, sp.op, sp.start, sp.end)
+          }
+        }
+        .toDF("doc_id", "span_idx", "n_spans", "span_op", "span_start", "span_end")
+        .orderBy("doc_id", "span_idx")
     }),
     "q_pdf_rawcontent" -> ((s, dir) => {
       import s.implicits._
@@ -443,7 +448,12 @@ object SparkEntry {
     "q_pdf_roundtrip" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
     "q_pdf_spans" ->
-      "SELECT doc_id, 1 AS n_spans, 'Tj' AS span_op, 0 AS span_start, length(text) AS span_end FROM documents ORDER BY doc_id",
+      ("WITH s AS (SELECT doc_id, length(text) AS len, " +
+        "unnest(range(0, CAST(ceil(length(text) / 40.0) AS BIGINT))) AS i FROM documents) " +
+        "SELECT doc_id, CAST(i AS INT) AS span_idx, CAST(ceil(len / 40.0) AS INT) AS n_spans, " +
+        "'Tj' AS span_op, CAST(i * 40 AS INT) AS span_start, " +
+        "CAST(least((i + 1) * 40, len) AS INT) AS span_end " +
+        "FROM s ORDER BY doc_id, span_idx"),
     "q_pdf_rawcontent" ->
       "SELECT doc_id, 'BT' || chr(10) || '70 50 TD' || chr(10) || '/F1 12 Tf' || chr(10) || '(' || replace(replace(replace(text, '\\', '\\\\'), '(', '\\('), ')', '\\)') || ') Tj' || chr(10) || 'ET' || chr(10) AS raw_content FROM documents ORDER BY doc_id",
     "q_pdf_info" ->

@@ -61,6 +61,43 @@ object MiniPdf {
   def synthesizeBase64(text: String): String =
     java.util.Base64.getEncoder.encodeToString(synthesize(text))
 
+  /** Variant whose content stream shows the text as MULTIPLE consecutive Tj
+    * instructions, one per `chunk`-char slice — a multi-span page. Consecutive
+    * Tjs share the text matrix (Tj never advances tm — content.rs:752-765
+    * quirk), so ty is unchanged and no newline is inferred between them: the
+    * extracted text still equals `text`, but the span sidecar carries one Tj
+    * span per non-empty chunk at offsets (i*chunk, min((i+1)*chunk, len)).
+    * Empty text produces zero Tj instructions and zero spans.
+    */
+  def synthesizeMultiTj(text: String, chunk: Int): Array[Byte] = {
+    val tjs = text.grouped(chunk).map(c => s"(${escapeLiteral(c)}) Tj\n").mkString
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n${tjs}ET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
+    )
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n")
+    sb.append(s"0 ${objects.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
+    sb.append("trailer\n")
+    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** Variant with a FlateDecode-compressed content stream — exercises the filter
     * path (body.rs:103-109 + filters.rs semantics) end-to-end. Deterministic:
     * JDK Deflater with a fixed level on fixed input.

@@ -29,6 +29,22 @@ class MiniPdfSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-Tj synthesis: same text, one span per chunk, substring invariant") {
+    for ((text, chunk) <- Seq(("Hello, world!", 5), ("", 40),
+        ("parens (nested (deep)) and \\ backslash", 7),
+        (SynthGen.prose(11L, 10, 60), 40))) {
+      val r = Pdf(MiniPdf.synthesizeMultiTj(text, chunk)).extractResult(ExtractText)
+      assert(r.text == text, "multi-Tj must not change the extracted text")
+      val expected = text.grouped(chunk).filter(_.nonEmpty).size
+      assert(r.spans.length == expected, s"one span per non-empty $chunk-char chunk")
+      r.spans.zipWithIndex.foreach { case (sp, i) =>
+        assert(sp.op == "Tj")
+        assert(sp.start == i * chunk && sp.end == math.min((i + 1) * chunk, text.length))
+        assert(r.text.substring(sp.start, sp.end) == text.substring(sp.start, sp.end))
+      }
+    }
+  }
+
   test("synthesized PDF raw content matches the content stream shape") {
     val raw = Pdf(MiniPdf.synthesize("Hi")).extract(graft.core.ExtractRawContent)
     assert(raw == "BT\n70 50 TD\n/F1 12 Tf\n(Hi) Tj\nET\n")
