@@ -203,9 +203,29 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing ----------------------------------------------------------
+    // Real header decode, value-checked end to end: docs are wrapped into
+    // structurally valid PNG / JPEG envelopes (dims derived from doc_id) or left
+    // opaque (stub path), the payload blobs land at a fixed parquet path, and
+    // the DuckDB oracle re-parses width/height FROM THE SAME BYTES via
+    // hex-offset arithmetic — so the header parsers, not just the plumbing, are
+    // driver-checked.
     "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val tail = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = (1 + id % 640).toInt
+          val h = (1 + id % 480).toInt
+          val payload = (id % 3) match {
+            case 0 => Multimodal.pngEnvelope(w, h, tail)
+            case 1 => Multimodal.jpegEnvelope(w, h, tail)
+            case _ => tail // opaque payload -> deterministic stub path
+          }
+          Multimodal.MediaRow(id, payload)
+        }
+      media.toDF().coalesce(1).write.mode("overwrite").parquet(MultimodalPayloadPath)
       Multimodal.decodeAndFeaturize(
-        Multimodal.fromTextTable(t(s, dir, "documents"), "doc_id", "text"))
+        s.read.parquet(MultimodalPayloadPath).as[Multimodal.MediaRow])
         .toDF().select("doc_id", "width", "height", "frames", "bytes")
         .orderBy("doc_id")
     }),
@@ -317,6 +337,11 @@ object SparkEntry {
     * must be a static string, so the path cannot vary per run).
     */
   val PipelineExpectedPath = "/tmp/graft-oracle/pipeline_expected"
+
+  /** Fixed path for q_multimodal_meta's payload blobs — the oracle re-parses the
+    * image headers from these exact bytes.
+    */
+  val MultimodalPayloadPath = "/tmp/graft-oracle/multimodal_payloads"
 
   /** DuckDB oracles — every query except q_ann_ivf is value-checked.
     * q_ann_ivf is approximate BY DESIGN (coarse-quantized ANN), so no exact SQL
@@ -470,8 +495,23 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) GROUP BY md5(text) ORDER BY text_hash",
     "q_ann_brute" ->
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5 ORDER BY query_id, rank",
+    // Header parse re-expressed over the SAME payload bytes: PNG IHDR w/h are
+    // the big-endian u32s at byte offsets 16/20 (hex offsets 33/41); the JPEG
+    // envelope pins SOF0 at byte offset 20, so h/w sit at hex offsets 51/55.
+    // Non-image payloads take the documented stub formulas.
     "q_multimodal_meta" ->
-      "SELECT doc_id, 1 + (octet_length(encode(text)) % 64) AS width, 1 + (octet_length(encode(text)) % 37) AS height, 1 + octet_length(encode(text)) // 100 AS frames, CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents ORDER BY doc_id",
+      (s"WITH m AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n " +
+        s"FROM read_parquet('$MultimodalPayloadPath/*.parquet')) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN ('0x' || substr(h, 33, 8))::BIGINT " +
+        "WHEN substr(h, 1, 4) = 'FFD8' THEN ('0x' || substr(h, 55, 4))::BIGINT " +
+        "ELSE 1 + (n % 64) END AS INT) AS width, " +
+        "CAST(CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN ('0x' || substr(h, 41, 8))::BIGINT " +
+        "WHEN substr(h, 1, 4) = 'FFD8' THEN ('0x' || substr(h, 51, 4))::BIGINT " +
+        "ELSE 1 + (n % 37) END AS INT) AS height, " +
+        "CAST(CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' OR substr(h, 1, 4) = 'FFD8' " +
+        "THEN 1 ELSE 1 + n // 100 END AS INT) AS frames, " +
+        "CAST(n AS BIGINT) AS bytes FROM m ORDER BY doc_id"),
     "q1_pricing_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_revenue" ->

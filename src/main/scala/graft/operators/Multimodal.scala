@@ -33,6 +33,126 @@ object Multimodal {
       bytes = n.toLong)
   }
 
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+  /** PNG IHDR dims: the IHDR chunk is REQUIRED to be first (PNG spec 11.2.2),
+    * so width/height are the big-endian u32s at byte offsets 16/20.
+    */
+  private def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+    // verify the first chunk really is IHDR before trusting the offsets
+    if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+  }
+
+  /** JPEG dims: walk the marker segments from SOI until a start-of-frame marker
+    * SOFn (0xC0-0xCF excluding the non-frame C4/C8/CC), whose payload carries
+    * height/width as big-endian u16 at marker+5/+7 (ITU T.81 B.2.2). Standalone
+    * markers (RSTn/TEM) have no length word; every other segment is skipped by
+    * its declared length. Returns None on any structural corruption.
+    */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var pos = 2
+    while (pos + 3 < b.length) {
+      if (u8(b, pos) != 0xff) return None
+      var m = u8(b, pos + 1)
+      while (m == 0xff && pos + 2 < b.length) { pos += 1; m = u8(b, pos + 1) } // fill bytes
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (pos + 8 >= b.length) return None
+        val h = be16(b, pos + 5); val w = be16(b, pos + 7)
+        return if (w > 0 && h > 0) Some((w, h)) else None
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) {
+        pos += 2 // standalone marker, no length
+      } else {
+        val segLen = be16(b, pos + 2)
+        if (segLen < 2) return None
+        pos += 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** Decode image dimensions from REAL container headers — pure-JVM byte reads,
+    * no codec library needed: PNG IHDR and JPEG SOFn marker scan. Stills have
+    * frames=1. Payloads that are neither (or are structurally corrupt) fall
+    * back to the deterministic `decodeStub`; full pixel decode stays stubbed
+    * (no image libraries in this environment) — only header metadata is real.
+    */
+  def decode(payload: Array[Byte]): MediaMeta = {
+    val dims =
+      if (isPng(payload)) pngDims(payload)
+      else if (isJpeg(payload)) jpegDims(payload)
+      else None
+    dims match {
+      case Some((w, h)) => MediaMeta(w, h, frames = 1, bytes = payload.length.toLong)
+      case None         => decodeStub(payload)
+    }
+  }
+
+  // --- deterministic envelope synthesizers (tests/queries): structurally valid
+  //     containers around an opaque tail, so the header parsers above have real
+  //     bytes to read and any engine can re-derive the dims from the same bytes.
+
+  /** Minimal structurally-valid PNG: signature, IHDR(w, h, 8-bit RGB) with a
+    * real CRC, the tail wrapped as an IDAT chunk (not valid zlib — header
+    * envelope only), and IEND. Total size 57 + tail.length bytes.
+    */
+  def pngEnvelope(width: Int, height: Int, tail: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit =
+        out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte), 0, 4)
+      w32(data.length)
+      val typed = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(typed, 0, typed.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typed)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", tail)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid JPEG: SOI, a 16-byte JFIF APP0, SOF0 (8-bit,
+    * 1 component) at FIXED byte offset 20, the tail as entropy data, EOI.
+    * Total size 35 + tail.length bytes; the fixed SOF offset lets a SQL oracle
+    * read height/width at hex offsets 51/55 without a marker walk.
+    */
+  def jpegEnvelope(width: Int, height: Int, tail: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wb(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    wb(0xff, 0xd8) // SOI
+    wb(0xff, 0xe0, 0x00, 0x10) // APP0, len 16
+    out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    wb(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    wb(0xff, 0xc0, 0x00, 0x0b, 0x08) // SOF0, len 11, precision 8
+    wb(height >>> 8, height, width >>> 8, width)
+    wb(0x01, 0x01, 0x11, 0x00) // 1 component: id 1, 1x1 sampling, qtable 0
+    out.write(tail, 0, tail.length)
+    wb(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   /** STUB feature extraction with real output shape: 8 block-mean byte values
     * scaled to [0,1] — the plumbing a real embedding model would use.
     */
@@ -57,13 +177,15 @@ object Multimodal {
   def sampleFrames(meta: MediaMeta, stride: Int): Array[Int] =
     (0 until meta.frames by stride).toArray
 
-  /** The decode + featurize pipeline over a binary-payload table. */
+  /** The decode + featurize pipeline over a binary-payload table: real header
+    * parse for PNG/JPEG, deterministic stub for everything else.
+    */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition setup point (a real decoder would init its codec here once)
       it.map { row =>
-        val meta = decodeStub(row.payload)
+        val meta = decode(row.payload)
         DecodedRow(row.doc_id, meta.width, meta.height, meta.frames, meta.bytes,
           featuresStub(row.payload))
       }

@@ -233,6 +233,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survived, "min-window fingerprint should survive a prefix edit on long text")
   }
 
+  /** A fully valid 1x1 8-bit RGB PNG (zlib-compressed IDAT, real CRCs). */
+  private val realPng: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+    0x08, 0x02, 0x00, 0x00, 0x00, 0x90, 0x77, 0x53, 0xde, 0x00, 0x00, 0x00,
+    0x0c, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9c, 0x63, 0xf8, 0xcf, 0xc0, 0x00,
+    0x00, 0x03, 0x01, 0x01, 0x00, 0xc9, 0xfe, 0x92, 0xef, 0x00, 0x00, 0x00,
+    0x00, 0x49, 0x45, 0x4e, 0x44, 0xae, 0x42, 0x60, 0x82).map(_.toByte)
+
+  /** A 3x5 JFIF JPEG whose SOF0 sits at byte 104, behind APP0 + COM + DQT
+    * segments — exercises the marker walk, not a fixed offset.
+    */
+  private val realJpeg: Array[Byte] = (Array(0xff, 0xd8,
+    0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
+    0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+    0xff, 0xfe, 0x00, 0x0d) ++ "hello jpeg!".getBytes.map(_.toInt) ++
+    Array(0xff, 0xdb, 0x00, 0x43, 0x00) ++ Array.fill(64)(0) ++
+    Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x05, 0x00, 0x03, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+      0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11,
+      0x00, 0x3f, 0x00, 0x12, 0x34, 0xff, 0xd9)).map(_.toByte)
+
+  test("multimodal: real PNG/JPEG header bytes decode to true dimensions") {
+    val png = Multimodal.decode(realPng)
+    assert((png.width, png.height, png.frames, png.bytes) == (1, 1, 1, 69L))
+    val jpg = Multimodal.decode(realJpeg)
+    assert((jpg.width, jpg.height, jpg.frames, jpg.bytes) == (3, 5, 1, realJpeg.length.toLong))
+    // envelopes round-trip their declared dims through the same parsers
+    val pe = Multimodal.decode(Multimodal.pngEnvelope(640, 480, "tail".getBytes))
+    assert(pe.width == 640 && pe.height == 480 && pe.frames == 1)
+    val je = Multimodal.decode(Multimodal.jpegEnvelope(123, 77, "tail".getBytes))
+    assert(je.width == 123 && je.height == 77 && je.frames == 1)
+    // corrupt/truncated image payload falls back to the stub, never throws
+    val truncated = realJpeg.take(6)
+    assert(Multimodal.decode(truncated) == Multimodal.decodeStub(truncated))
+    val notImage = "plain text payload".getBytes
+    assert(Multimodal.decode(notImage) == Multimodal.decodeStub(notImage))
+  }
+
   test("multimodal decode stub: deterministic meta + feature shape") {
     val payload = "some media bytes standing in for a jpeg".getBytes
     val meta = Multimodal.decodeStub(payload)
