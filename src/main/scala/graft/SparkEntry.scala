@@ -314,6 +314,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Stateful streaming sessionizer, value-checked: the events table is recast
+    // as a turn stream (conv = user), run through flatMapGroupsWithState via
+    // AvailableNow, and the CLOSED sessions are compared against the batch gap
+    // rule the oracle re-derives in SQL. One far-future sentinel turn per user
+    // flushes the final open session through the in-batch gap rule (the
+    // sentinel's own session stays open and is never emitted), so stream output
+    // == batch sessions exactly.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-sess-cp").toString
+      val ev = t(s, dir, "events")
+      val turns = ev.select(col("user_id").cast("string").as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"), lit("user").as("role"),
+        lit("").as("text"), lit("plain").as("tool"), col("ts"))
+      // every sentinel sits 100 days past the GLOBAL max, so no sentinel can
+      // merge into (or sort before) any real session, and real sessions are
+      // exactly those starting at or before the global max
+      val maxRealEpochS = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      val sentinels = ev.select(col("user_id").cast("string").as("conv_id")).distinct()
+        .select(col("conv_id"), lit(-1).as("turn_idx"), lit("user").as("role"),
+          lit("").as("text"), lit("sentinel").as("tool"),
+          to_timestamp(lit(maxRealEpochS + 100L * 86400)).as("ts"))
+      // one file -> one deterministic batch: gap closure happens inline
+      turns.union(sentinels).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
+        .parquet(tmp).as[Turn]
+      val name = s"sessionize_out_${System.nanoTime()}"
+      val q = graft.streaming.StreamingExtract.sessionizeStream(stream, gapSec = 1800)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // AvailableNow keeps running watermark-advancing batches after the data
+      // batch, so EventTimeTimeout can close (emit) sentinel sessions too —
+      // drop everything starting after the last real event
+      s.table(name)
+        .where(unix_timestamp(col("session_start")) <= maxRealEpochS)
+        .select(col("conv_id").cast("long").as("user_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"),
+          col("n_turns").cast("long").as("n_turns"))
+        .orderBy("user_id", "start_s")
+    }),
+
     // ---- the transcript pipeline itself (north-rule flagship, full oracle) -----------
     // Per-turn output compared against the INDEPENDENTLY generated expectations:
     // SynthGen emits (payload, expected_text) pairs by construction (the golden is
@@ -522,6 +568,21 @@ object SparkEntry {
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->
       "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM lineitem ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber LIMIT 25",
+    // Batch twin of the streaming sessionizer: same 1800s gap rule at the same
+    // MILLISECOND precision (epoch_ms truncates microseconds exactly like
+    // java.sql.Timestamp.getTime, and epoch_ms//1000 == unix_timestamp's
+    // second floor), sessions as (min ts, max ts, count) groups. The stream
+    // emits every real session because the per-user sentinel (Spark-side only,
+    // filtered from the output) closes the final open one.
+    "q_stream_sessionize" ->
+      ("WITH g AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, epoch_ms(min(ts)) // 1000 AS start_s, " +
+        "epoch_ms(max(ts)) // 1000 AS end_s, count(*) AS n_turns " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_s"),
     "q_stream_extract" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id"
   )

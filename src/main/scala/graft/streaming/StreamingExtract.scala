@@ -71,6 +71,11 @@ object StreamingExtract {
     import turns.sparkSession.implicits._
     val gapMs = gapSec * 1000
     turns
+      // Turn.ts is nullable (the batch job tolerates null ts per-row): a null
+      // here would NPE inside the state function and kill the whole streaming
+      // query, so mirror the batch job's per-row tolerance by dropping the row
+      // before the watermark (it carries no event time to sessionize on).
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState[ConvSessionState, ConvSession](

@@ -65,6 +65,24 @@ class StreamingSpec extends AnyFunSuite {
       s"open c1 session should close by timeout; got ${all.mkString(", ")}")
   }
 
+  test("sessionization tolerates null-ts rows (dropped, not a query-killing NPE)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.sessionizeStream(input.toDS(), gapSec = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_nullts")
+      .outputMode(OutputMode.Append).start()
+    input.addData(turn("c1", 0, "a", "plain", 100),
+      Turn("c1", 1, "user", "b", "plain", null), // null ts: batch job tolerates; stream must too
+      turn("c1", 2, "c", "plain", 160))
+    q.processAllAvailable()
+    input.addData(turn("c1", 3, "d", "plain", 10000)) // gap reveals session 1
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_nullts").as[ConvSession].collect()
+    assert(closed.length == 1 && closed(0).n_turns == 2, closed.mkString(", "))
+  }
+
   test("windowed metrics aggregate per payload kind with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
