@@ -187,6 +187,9 @@ object ExtractJob {
     // a multi-shard wave granularity, so it forces shard-granular waves
     val effectiveWave = if (failAtShard >= 0) 1 else math.max(1, waveSize)
     remaining.grouped(effectiveWave).foreach { wave =>
+      // wave_id = the wave's first shard: unique across resume runs too (a
+      // shard's manifest commits exactly once), unlike a per-run counter
+      val waveId = wave.head
       if (failAtShard >= 0 && committed >= failAtShard)
         throw new RuntimeException(s"injected failure after $committed shards")
       val t0 = System.nanoTime()
@@ -197,25 +200,25 @@ object ExtractJob {
       io.writeShards(out, outDir)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // per-shard stats: one partition-pruned scan of the wave's output. An
-      // all-empty wave writes no partition files (only _SUCCESS), so schema
-      // inference fails — that legitimately means 0 rows for every wave shard.
+      // all-empty TABLE writes no partition directories (only _SUCCESS), which
+      // legitimately means 0 rows for every wave shard — detected EXPLICITLY
+      // from the partition listing, never by matching exception text (a read
+      // failure on a table with data is real corruption and must propagate,
+      // not be committed as 0-row done manifests).
       val stats: Map[Int, (Long, Long)] =
-        try {
-          io.readOutputRaw(spark, outDir)
-            .where(col("shard").isin(wave: _*))
-            .groupBy(col("shard"))
-            .agg(count(lit(1)).as("rows"),
-              coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"))
-            .collect()
-            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-        } catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage != null && e.getMessage.contains("infer schema") =>
-            Map.empty
-        }
+        if (io.shardsPresent(outDir).isEmpty) Map.empty
+        else io.readOutputRaw(spark, outDir)
+          .where(col("shard").isin(wave: _*))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("rows"),
+            coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       io.appendManifests(spark, outDir, wave.map { k =>
         val (rows, bytes) = stats.getOrElse(k, (0L, 0L))
-        PartManifest(k, SALT, rows, bytes, wallMs, "done")
+        // wall_ms is the WAVE's wall (shards commit together); wave_id lets
+        // aggregations count each wave once instead of once per shard
+        PartManifest(k, SALT, rows, bytes, wallMs, waveId, "done")
       })
       committed += wave.size
     }

@@ -38,12 +38,18 @@ final case class Golden(
     gate: String // "exact" | "smoke"
 )
 
-/** Per-partition checkpoint manifest (SURVEY §1.2 / P8). */
+/** Per-partition checkpoint manifest (SURVEY §1.2 / P8). `wall_ms` is the wall
+  * time of the WAVE that committed this shard (waves write several shards in
+  * one pass, so per-shard wall time does not exist); `wave_id` groups the
+  * shards of one wave so aggregations can count each wave's wall once instead
+  * of multiplying it by the wave width.
+  */
 final case class PartManifest(
     part_id: Int,
     conv_salt: Int,
     rows: Long,
     bytes: Long,
     wall_ms: Long,
+    wave_id: Int,
     status: String
 )

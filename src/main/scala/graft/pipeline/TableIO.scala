@@ -32,6 +32,14 @@ trait TableIO {
   def appendManifests(spark: SparkSession, outDir: String, rows: Seq[PartManifest]): Unit
   def readManifests(spark: SparkSession, outDir: String): Dataset[PartManifest]
   def manifestsExist(outDir: String): Boolean
+
+  /** Shard partitions physically present in the output table (Iceberg backend:
+    * the `.partitions` metadata table). Lets the wave-stats pass distinguish an
+    * all-empty table (nothing written yet — 0-row manifests are legitimate)
+    * from a corrupted/unreadable one (which must fail loudly, not be committed
+    * as done).
+    */
+  def shardsPresent(outDir: String): Set[Int]
 }
 
 object ParquetTableIO extends TableIO {
@@ -69,4 +77,11 @@ object ParquetTableIO extends TableIO {
 
   def manifestsExist(outDir: String): Boolean =
     new java.io.File(s"$outDir/_manifests").exists()
+
+  def shardsPresent(outDir: String): Set[Int] = {
+    val dirs = new java.io.File(s"$outDir/data").listFiles()
+    if (dirs == null) Set.empty
+    else dirs.iterator.filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(_.getName.stripPrefix("shard=").toInt).toSet
+  }
 }
