@@ -57,6 +57,23 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
     case Some(FlateDecodeFilter) => Flate.flateDecodeExact(content)
     case None                    => content
   }
+
+  /** The production decode for re-lexed consumers: exact-size on well-formed
+    * streams, falling back to the reference's full padded buffer when the
+    * decoded bytes end in a pad-sensitive lexer state (unterminated literal /
+    * escape / comment, trailing '<' or lone '>') — there the padding NULs are
+    * visible through the error channel (which panic fires and its wording, or
+    * panic-vs-success for a trailing '>'), so byte-exact reference parity
+    * requires the padded bytes. The sensitivity scan is one linear pass; the
+    * double decode happens only on crafted/malformed payloads
+    * (PdfTokenizer.padSensitiveAtEof; differential-gated in QuirkSpec).
+    */
+  def getDataForLexing: Array[Byte] = dict.filter match {
+    case Some(FlateDecodeFilter) =>
+      val exact = Flate.flateDecodeExact(content)
+      if (PdfTokenizer.padSensitiveAtEof(exact)) Flate.flateDecode(content) else exact
+    case None => content
+  }
 }
 
 object BodyStream {
@@ -205,7 +222,7 @@ object PdfFont {
             case Some(address) =>
               ObjParser.parseAt(ctx, address) match {
                 case s: PStream =>
-                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s).getDataExact)))
+                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s).getDataForLexing)))
                 case o => Err.fail(s"ToUnicode should be a stream object, found $o")
               }
             case None => Err.fail("ToUnicode stream object not found in xref table")
@@ -328,12 +345,14 @@ final class PdfPage(
   }
 
   /** body.rs:522-527 — content bytes round-trip through UTF-8-lossy BEFORE lexing.
-    * Uses the exact-size decode: the flate zero padding would only add trailing
-    * NULs (= whitespace tokens), byte-identical Text output at ~1/3 the alloc.
+    * Uses the exact-size decode (the flate zero padding is whitespace to the
+    * tokenizer: byte-identical Text output at ~1/3 the alloc) with an automatic
+    * padded fallback when the decoded bytes end in a pad-sensitive lexer state —
+    * see BodyStream.getDataForLexing.
     */
   private def extractText(displayChar: Boolean): ExtractResult = {
     val contentString = contents match {
-      case Some(stream) => Utf8.lossy(stream.getDataExact)
+      case Some(stream) => Utf8.lossy(stream.getDataForLexing)
       case None         => Err.fail("Contents should not be empty")
     }
     val contentBytes = contentString.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -314,6 +314,69 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
 
 object PdfTokenizer {
   def apply(bytes: Array[Byte], at: Int = 0): PdfTokenizer = new PdfTokenizer(bytes, at)
+
+  /** True when re-lexing `bytes` with the reference's 10x zero padding appended
+    * (filters.rs returns the WHOLE padded buffer) would behave differently than
+    * lexing the exact bytes — i.e. the stream ends in a pad-sensitive state:
+    *
+    *  - inside a literal string (the padding NULs join the dangling TLit, and a
+    *    truncated escape/octal changes which panic fires);
+    *  - inside a '%' comment with no EOL (the decoder's comment panic message
+    *    carries the comment bytes);
+    *  - on a trailing '<' (panic message names the next byte, NUL when padded);
+    *  - on a trailing lone '>' (panic on exact EOF vs silent skip when padded —
+    *    an error-vs-success divergence).
+    *
+    * EOF inside a hex string is NOT sensitive: the padding NULs are never '>',
+    * so both paths end the token stream identically; NUL is whitespace in every
+    * other state (tokenizer.rs:23). Used by BodyStream.getDataForLexing to keep
+    * the exact-size decode on well-formed streams (the overwhelming majority)
+    * and fall back to the reference's padded buffer on crafted/malformed ones.
+    */
+  def padSensitiveAtEof(bytes: Array[Byte]): Boolean = {
+    import CharClass._
+    val n = bytes.length
+    var pos = 0
+    while (pos < n) {
+      val c = bytes(pos); pos += 1
+      if (c == '%') {
+        while (pos < n && bytes(pos) != 13 && bytes(pos) != 10) pos += 1
+        if (pos >= n) return true // comment truncated at EOF
+      } else if (c == '<') {
+        if (pos >= n) return true // '<' is the last byte
+        if (bytes(pos) == '<') pos += 1
+        else if (isHexDigit(bytes(pos))) {
+          while (pos < n && bytes(pos) != '>') pos += 1
+          if (pos >= n) return false // EOF in hex: both paths end the stream
+          pos += 1
+        } // else: invalid-hexstring panic either way (next byte exists in both)
+      } else if (c == '>') {
+        if (pos >= n) return true // panic (exact) vs silent skip (padded)
+        if (bytes(pos) == '>') pos += 1
+      } else if (c == '(') {
+        // mirror the escape-aware slow path: escaped parens don't count
+        var opened = 1
+        var closed = 0
+        while (opened != closed) {
+          if (pos >= n) return true // unterminated literal
+          val cur = bytes(pos); pos += 1
+          if (cur == '(') opened += 1
+          else if (cur == ')') closed += 1
+          if (opened != closed && cur == '\\') {
+            if (pos >= n) return true // dangling escape
+            val e = bytes(pos); pos += 1
+            if (e >= '0' && e <= '9') {
+              if (pos + 1 >= n) return true // octal needs 2 more digits
+              pos += 2
+            }
+          }
+        }
+      }
+      // every other byte: names/numbers/delims/whitespace — NUL padding is
+      // whitespace there, token boundaries identical
+    }
+    false
+  }
 }
 
 /** Token fuser: `Int Int R` -> TRef, `Int Int obj` -> TObjBegin, comments dropped —

@@ -121,6 +121,108 @@ class QuirkSpec extends AnyFunSuite {
     intercept[PdfParseException](Pdf.pdfVersion("%PDF-2.0".getBytes))
   }
 
+  test("padSensitiveAtEof classifies exactly the divergent EOF lexer states") {
+    def s(x: String) = PdfTokenizer.padSensitiveAtEof(x.getBytes("ISO-8859-1"))
+    assert(!s("BT\n70 50 TD\n/F1 12 Tf\n(hello (nested) \\) ok) Tj\nET\n"), "well-formed")
+    assert(!s("(x) Tj <a1b2> Tj"), "closed hex")
+    assert(!s("(x) Tj <a1b"), "EOF inside hex ends the stream identically padded or not")
+    assert(!s("% comment\n(x)"), "terminated comment")
+    assert(!s("<< /D 1 >> (x)"), "dict delims")
+    assert(s("(unterminated"), "open literal")
+    assert(s("(nested (deep)"), "still-open nesting")
+    assert(s("(esc\\"), "dangling escape")
+    assert(s("(oct\\51"), "truncated octal")
+    assert(s("(x) Tj %trailing comment"), "comment at EOF")
+    assert(s("(x) Tj <"), "trailing '<'")
+    assert(s("(x) Tj >"), "trailing lone '>'")
+  }
+
+  test("differential: production decode == reference padded semantics on crafted EOF payloads") {
+    val crafted = Seq(
+      "BT\n70 50 TD\n/F1 12 Tf\n(hello) Tj\nET\n", // well-formed: exact path
+      "BT /F1 12 Tf (abc",     // unterminated literal
+      "BT /F1 12 Tf (ab\\",    // dangling escape
+      "BT /F1 12 Tf (ab\\51",  // truncated octal: which panic fires differs
+      "BT /F1 12 Tf (x) Tj %oops", // comment panic message carries the bytes
+      "BT /F1 12 Tf (x) Tj <", // '<' panic message names the next byte
+      "BT /F1 12 Tf (x) Tj >"  // panic (exact) vs silent-skip SUCCESS (padded)
+    )
+    crafted.foreach { c => assert(prodExtract(c) == refPaddedExtract(c), s"payload: $c") }
+    // the trailing-'>' case is the error-vs-success divergence the fallback exists for
+    assert(refPaddedExtract("BT /F1 12 Tf (x) Tj >") == Right("x"))
+  }
+
+  test("differential fuzz: random EOF shapes, production == reference padded semantics") {
+    val alphabet = "()\\%<>\n 0123456789abTjf/<>"
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 300).foreach { i =>
+      val body = (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val c = "BT /F1 12 Tf " + body
+      assert(prodExtract(c) == refPaddedExtract(c), s"seed $i payload: ${c.getBytes.mkString(",")}")
+    }
+  }
+
+  /** Production path: the content stream is flate-compressed, so extraction
+    * goes through getDataForLexing (exact-size + pad-sensitive fallback).
+    */
+  private def prodExtract(content: String): Either[String, String] =
+    runExtract(rebuildWithFlateContent(content))
+
+  /** Reference semantics: filters.rs always returns the whole 10x padded
+    * buffer, so the reference lexes content ++ NUL*(10*compressed - len).
+    * Re-created here as a RAW (uncompressed) stream of exactly those bytes.
+    */
+  private def refPaddedExtract(content: String): Either[String, String] = {
+    val raw = content.getBytes("ISO-8859-1")
+    val compressedLen = deflate(raw).length
+    val padded = java.util.Arrays.copyOf(raw, math.max(raw.length, compressedLen * 10))
+    runExtract(rebuildWithContent(new String(padded, "ISO-8859-1")))
+  }
+
+  private def runExtract(pdf: Array[Byte]): Either[String, String] =
+    try Right(Pdf(pdf).extract(ExtractText))
+    catch { case e: PdfParseException => Left(e.getMessage) }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = d.deflate(buf)
+    d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  private def rebuildWithFlateContent(content: String): Array[Byte] = {
+    val compressed = deflate(content.getBytes("ISO-8859-1"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      null,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      if (body == null) {
+        w(s"<< /Length ${compressed.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(compressed, 0, compressed.length)
+        w("\nendstream")
+      } else w(body)
+      w("\nendobj\n")
+    }
+    val xrefOff = out.size()
+    w("xref\n"); w(s"0 ${objects.length + 1}\n"); w("0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w("trailer\n"); w(s"<< /Size ${objects.length + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
   private def rebuildWithContent(content: String): Array[Byte] = {
     val bytes = content.getBytes("ISO-8859-1")
     val objects = Seq(
