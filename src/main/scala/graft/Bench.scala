@@ -90,7 +90,13 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (n, fn) => runOnce(n, fn) } // warm
     errors.clear()
-    val results = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    // min of 2 INTERLEAVED timed passes: the shared host's CPU variance reaches
+    // 3x (CLAUDE.md), and a single-sample bench recorded a phantom 3.9x
+    // regression on an unchanged query in round 2 — interleaving + min bounds
+    // the damage a one-off spike can do to any single query's number
+    val pass1 = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
 
     // extraction throughput bench (the north-rule headline metric)
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft-bench")

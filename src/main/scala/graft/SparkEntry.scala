@@ -167,7 +167,11 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999, maxBucket = 10000)
+      // sketch prefilter is EXACT here: at <= ~573 shingles/doc, J >= 0.999
+      // means set equality, which implies bottom-m sketch equality (same
+      // corpus-size argument the oracle already relies on)
+      Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999,
+        maxBucket = 10000, sketchEqualityPrefilter = true)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 

@@ -61,6 +61,14 @@ class OperatorsSpec extends AnyFunSuite {
     val squashed = t0.replace(" ", "")
     assert(Dedup.exactJaccard(Dedup.ngramShingles(t0), Dedup.ngramShingles(squashed)) >
       Dedup.exactJaccard(Dedup.shingles(t0, 3), Dedup.shingles(squashed, 3)))
+    // the sketch-equality prefilter is exact at set-equality thresholds: same
+    // pairs with it on (set equality implies sketch equality)
+    val strict = Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prefiltered = Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999,
+      sketchEqualityPrefilter = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(prefiltered == strict, "prefilter must not change set-equality results")
   }
 
   test("simhash near-dups: identical docs have hamming 0; pigeonhole catches hamming<=3") {
