@@ -96,6 +96,20 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text").orderBy("doc_id")
     }),
+    // LENIENT engine extension, end to end through the pipeline's
+    // pdf-b64-lenient route: every doc becomes a PDF 1.5-shaped payload
+    // (xref STREAM + PNG-Up predictor) that the reference — and our strict
+    // mode — cannot open, and must still round-trip exactly.
+    "q_pdf_lenient_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",
+            MiniPdf.synthesizeXrefStreamBase64(text), "pdf-b64-lenient", null))
+          (id, e.extracted_text, e.payload_kind, e.error == null)
+        })
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+    }),
     "q_plain_identity" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -537,6 +551,8 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
     "q_plain_identity" ->
       "SELECT doc_id, text AS extracted_text, true AS ok FROM documents ORDER BY doc_id",
+    "q_pdf_lenient_roundtrip" ->
+      "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     "q_token_count" ->
       "SELECT doc_id, CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> CAST(ceil(length(w)/4.0) AS INT)), 'sum') AS INT) END AS bpe_tokens, length(text) AS n_chars_obs FROM documents ORDER BY doc_id",
     "q_quality_counts" ->

@@ -5,13 +5,27 @@ package graft.core
   * Byte-handling quirk replicated from lib.rs:60-72: the %%EOF check and the xref
   * PARSE run over the whitespace-TRIMMED bytes, while `startxref` is located in the
   * RAW bytes and the catalog/body parse also uses the RAW bytes.
+  *
+  * `lenient = true` (engine extension, default OFF — every golden gate runs
+  * strict) swaps ONLY the xref layer for Lenient.prepare: full xref-stream /
+  * object-stream / predictor / multi-subsection resolution with object-stream
+  * members materialized into an augmented buffer. Object interpretation,
+  * fonts, content lexing and text assembly are the same reference-faithful
+  * code in both modes.
   */
-final class Pdf(val raw: Array[Byte]) {
+final class Pdf(val raw: Array[Byte], lenient: Boolean) {
+  def this(raw: Array[Byte]) = this(raw, false)
+
   private val trimmed: Array[Byte] = Pdf.trimAscii(raw)
   if (trimmed.length < 5 || !Pdf.endsWith(trimmed, "%%EOF"))
     Err.fail("PDF file is corrupted; not consistent trailing charaters")
 
-  val xref: XRef = XRef.parse(trimmed, XRef.startxref(raw))
+  private val prepared: (Array[Byte], XRef) =
+    if (lenient) Lenient.prepare(raw)
+    else (raw, XRef.parse(trimmed, XRef.startxref(raw)))
+
+  private def body: Array[Byte] = prepared._1
+  val xref: XRef = prepared._2
 
   /** `Pdf::extract` — lib.rs:75-80. */
   def extract(mode: ExtractMode): String = extractResult(mode).text
@@ -19,7 +33,7 @@ final class Pdf(val raw: Array[Byte]) {
   /** Text + spans (engine addition; spans populated for Text mode only). */
   def extractResult(mode: ExtractMode): ExtractResult = {
     val catalogOffset = xref.getCatalogOffset.getOrElse(Err.fail("catalog offset not found"))
-    val ctx = new Ctx(raw, xref)
+    val ctx = new Ctx(body, xref)
     val catalog = PdfCatalog.parseAt(ctx, catalogOffset)
     catalog.extract(mode)
   }
@@ -28,12 +42,15 @@ final class Pdf(val raw: Array[Byte]) {
     * reference never wires this to its CLI; exposed here as a library call).
     */
   def readInfo: Option[PdfInfo] = xref.infoKey.flatMap { key =>
-    xref.getAndFix(key, raw).map(off => PdfInfo.parseAt(new Ctx(raw, xref), off))
+    xref.getAndFix(key, body).map(off => PdfInfo.parseAt(new Ctx(body, xref), off))
   }
 }
 
 object Pdf {
-  def apply(bytes: Array[Byte]): Pdf = new Pdf(bytes)
+  def apply(bytes: Array[Byte]): Pdf = new Pdf(bytes, lenient = false)
+
+  /** Engine extension: lenient xref resolution (see class scaladoc). */
+  def lenient(bytes: Array[Byte]): Pdf = new Pdf(bytes, lenient = true)
 
   /** `pdf_version(s)` — lib.rs:44-53 (dead code in the reference: never called
     * by main.rs or Pdf::from; exposed for API completeness). Reads the LAST 3

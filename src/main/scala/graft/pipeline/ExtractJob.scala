@@ -32,6 +32,12 @@ object ExtractJob {
         case "pdf-b64" =>
           val bytes = java.util.Base64.getDecoder.decode(t.text)
           (Pdf(bytes).extractResult(ExtractText), "pdf")
+        case "pdf-b64-lenient" =>
+          // engine extension: lenient xref layer for 1.5+ documents (xref
+          // streams / object streams / predictors) the reference cannot open;
+          // strict "pdf-b64" stays the byte-exact default
+          val bytes = java.util.Base64.getDecoder.decode(t.text)
+          (Pdf.lenient(bytes).extractResult(ExtractText), "pdf-lenient")
         case "html" =>
           (HtmlBoilerplate.extract(t.text), "html")
         case _ =>

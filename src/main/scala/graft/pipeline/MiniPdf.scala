@@ -98,6 +98,66 @@ object MiniPdf {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** PDF 1.5-shaped variant: same document, but the cross-reference is a
+    * /Type /XRef STREAM (W [1 2 1]) whose data is PNG-Up predictor-encoded
+    * (/DecodeParms << /Predictor 12 /Columns 4 >>) and flate-compressed — the
+    * modern layout the reference cannot open (xref.rs:331-333, 368-376). Only
+    * the LENIENT engine mode (core/Lenient.scala) extracts these; strict mode
+    * replicates the reference panic. Deterministic.
+    */
+  def synthesizeXrefStream(text: String): Array[Byte] = {
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val offsets = new Array[Int](objects.length + 1)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n"); w(body); w("\nendobj\n")
+    }
+    val xrefOff = out.size()
+    offsets(objects.length) = xrefOff // the xref stream object itself (obj 7)
+    require(xrefOff <= 0xffff, "W [1 2 1] caps offsets at 65535; payload too large")
+    // rows (W [1 2 1] -> 4 bytes): obj0 free, objs 1..7 type-1 at their offsets
+    val rows = Array.tabulate(8) { i =>
+      if (i == 0) Array[Byte](0, 0, 0, -1)
+      else Array[Byte](1, ((offsets(i - 1) >> 8) & 0xff).toByte, (offsets(i - 1) & 0xff).toByte, 0)
+    }
+    // PNG Up filter per 4-byte row (filter byte 2; row[i] - prevRow[i])
+    val encoded = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](4)
+    rows.foreach { row =>
+      encoded.write(2)
+      var i = 0
+      while (i < 4) { encoded.write((row(i) - prev(i)) & 0xff); i += 1 }
+      prev = row
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    val enc = encoded.toByteArray
+    deflater.setInput(enc); deflater.finish()
+    val buf = new Array[Byte](enc.length + 64)
+    val n = deflater.deflate(buf); deflater.end()
+    val compressed = java.util.Arrays.copyOf(buf, n)
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Index [0 8] /W [1 2 1] /Root 1 0 R /Info 6 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> " +
+      s"/Length ${compressed.length} >>\nstream\n")
+    out.write(compressed, 0, compressed.length)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
+  def synthesizeXrefStreamBase64(text: String): String =
+    java.util.Base64.getEncoder.encodeToString(synthesizeXrefStream(text))
+
   /** Variant with a FlateDecode-compressed content stream — exercises the filter
     * path (body.rs:103-109 + filters.rs semantics) end-to-end. Deterministic:
     * JDK Deflater with a fixed level on fixed input.

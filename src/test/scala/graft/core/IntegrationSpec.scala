@@ -56,6 +56,33 @@ class IntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("lenient mode opens the reference's DISABLED pdflatex fixture (xref stream + ObjStm)") {
+    val bytes = read("pdflatex-4-pages.pdf")
+    // strict mode replicates the reference stub (catalog offset Some(0) makes
+    // the parse fail), which is why the reference disables this fixture
+    intercept[PdfParseException](Pdf(bytes).extract(ExtractText))
+    // lenient mode resolves the xref stream, materializes the 13 ObjStm
+    // members, and extracts all 4 pages through the unchanged strict machinery
+    val t1 = Pdf.lenient(bytes).extract(ExtractText)
+    val t2 = Pdf.lenient(bytes).extract(ExtractText)
+    assert(t1 == t2, "nondeterministic lenient Text output")
+    assert(t1.count(_ == '\n') >= 3, "4 pages should join with newlines")
+    snapshotCheck("pdflatex-4-pages.pdf", "lenient-text", t1)
+    val res = Pdf.lenient(bytes).extractResult(ExtractText)
+    res.spans.foreach { s =>
+      assert(s.start >= 0 && s.start < s.end && s.end <= res.text.length, s"bad span $s")
+    }
+  }
+
+  test("lenient mode is output-identical to strict on every strict-parsable fixture") {
+    for (name <- Seq("helloworld.pdf", "sample.pdf", "tracemonkey.pdf",
+        "002-trivial-libre-office-writer.pdf", "index.pdf")) {
+      val bytes = read(name)
+      assert(Pdf.lenient(bytes).extract(ExtractText) == Pdf(bytes).extract(ExtractText),
+        s"lenient Text diverges on $name")
+    }
+  }
+
   test("tracemonkey structural sanity: 14 pages joined, known substrings") {
     val t = Pdf(read("tracemonkey.pdf")).extract(ExtractText)
     assert(t.nonEmpty)

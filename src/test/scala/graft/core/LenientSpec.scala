@@ -1,0 +1,116 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Gates for the flag-gated lenient xref layer (engine extension beyond the
+  * reference): PNG/TIFF predictor decode, predictor-encoded xref streams, and
+  * multi-subsection classic tables — all on synthetic hermetic PDFs (the
+  * reference's own pdflatex fixture covers the ObjStm path in IntegrationSpec).
+  */
+class LenientSpec extends AnyFunSuite {
+
+  // --- predictor unit gates ----------------------------------------------------
+
+  private def pngFilter(rows: Array[Array[Byte]], filterType: Int, bpp: Int): Array[Byte] = {
+    val rowLen = rows(0).length
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](rowLen)
+    rows.foreach { row =>
+      out.write(filterType)
+      var i = 0
+      while (i < rowLen) {
+        val x = row(i) & 0xff
+        val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+        val up = prev(i) & 0xff
+        val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out.write((x - pred) & 0xff)
+        i += 1
+      }
+      prev = row
+    }
+    out.toByteArray
+  }
+
+  test("PNG predictors round-trip: None/Sub/Up/Average/Paeth at bpp=1") {
+    val rnd = new scala.util.Random(99)
+    val rows = Array.fill(7)(Array.fill(5)(rnd.nextInt(256).toByte))
+    val flat = rows.flatten
+    for (ft <- 0 to 4) {
+      val encoded = pngFilter(rows, ft, bpp = 1)
+      val decoded = Lenient.unpredict(encoded, predictor = 10 + ft, columns = 5, colors = 1, bpc = 8)
+      assert(decoded.toSeq == flat.toSeq, s"PNG filter $ft")
+    }
+  }
+
+  test("TIFF predictor 2 round-trip at 8 bpc") {
+    val raw = Array[Byte](10, 20, 25, 5, 9, 14)
+    // encode: per 3-byte row, horizontal difference
+    val enc = Array[Byte](10, 10, 5, 5, 4, 5)
+    assert(Lenient.unpredict(enc, predictor = 2, columns = 3, colors = 1, bpc = 8).toSeq == raw.toSeq)
+  }
+
+  // --- synthetic xref-stream PDF with PNG Up predictor (MiniPdf builder) --------
+
+  test("lenient: predictor-encoded xref stream resolves and extracts; strict replicates the reference stub") {
+    val pdf = graft.pipeline.MiniPdf.synthesizeXrefStream("Predictor says hi")
+    assert(Pdf.lenient(pdf).extract(ExtractText) == "Predictor says hi")
+    // readInfo flows through the same facade
+    assert(Pdf.lenient(pdf).readInfo.flatMap(_.author).contains("graft"))
+    // strict mode replicates the reference's DecodeParms panic (xref.rs:368-376)
+    intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+  }
+
+  // --- multi-subsection classic table --------------------------------------------
+
+  /** MiniPdf document whose classic xref has THREE subsections (0-1, 1-4, 5-2);
+    * the reference reads exactly one `start size` header (xref.rs:196-222).
+    */
+  private def synthesizeMultiSubsectionPdf(text: String): Array[Byte] = {
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n($text) Tj\nET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      "<< /Title (t) /Author (graft) /Creator (minipdf) >>"
+    )
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n")
+    sb.append("0 1\n").append("0000000000 65535 f \n")
+    sb.append("1 4\n")
+    (0 until 4).foreach(i => sb.append(f"${offsets(i)}%010d 00000 n \n"))
+    sb.append("5 2\n")
+    (4 until 6).foreach(i => sb.append(f"${offsets(i)}%010d 00000 n \n"))
+    sb.append("trailer\n")
+    sb.append(s"<< /Size 7 /Root 1 0 R /Info 6 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  test("lenient: multi-subsection classic xref parses; strict replicates the single-subsection limit") {
+    val pdf = synthesizeMultiSubsectionPdf("Three subsections")
+    assert(Pdf.lenient(pdf).extract(ExtractText) == "Three subsections")
+    // strict: the second `start size` header is read as a malformed entry ->
+    // reference-faithful failure
+    intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+  }
+}

@@ -76,6 +76,23 @@ class PoisonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type-2"))
   }
 
+  test("lenient route: corrupt payloads land in the error column, healthy ones extract") {
+    val good = ExtractJob.extractTurn(Turn("ok", 0, "user",
+      MiniPdf.synthesizeXrefStreamBase64("lenient pipeline"), "pdf-b64-lenient",
+      new java.sql.Timestamp(0)))
+    assert(good.error == null && good.extracted_text == "lenient pipeline"
+      && good.payload_kind == "pdf-lenient")
+    // truncated xref-stream payload: per-row error, never a job failure
+    val truncated = MiniPdf.synthesizeXrefStream("x").dropRight(40) ++
+      "\nstartxref\n9\n%%EOF".getBytes(ISO_8859_1)
+    val bad = ExtractJob.extractTurn(Turn("bad", 0, "user",
+      java.util.Base64.getEncoder.encodeToString(truncated), "pdf-b64-lenient",
+      new java.sql.Timestamp(0)))
+    assert(bad.error != null)
+    // ObjStm member-count poison: /N far beyond MaxMaterialized must error out
+    assert(graft.core.Lenient.MaxMaterialized <= 65536)
+  }
+
   test("a poison row inside a job lands in the error column; healthy rows unaffected") {
     val spark = SparkTestSession.spark
     import spark.implicits._
