@@ -109,6 +109,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann brute top-k is partition-invariant (heap merge is exact)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val expected = Similarity.bruteTopK(emb, 0L until 5L, 7)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    for (parts <- Seq(1, 3, 17)) {
+      val got = Similarity.bruteTopK(emb.repartition(parts), 0L until 5L, 7)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(got == expected, s"top-k differs at $parts partitions")
+    }
+  }
+
   test("ann IVF (trained centroids, spill=2, cell-partitioned): recall >= 0.9 at nprobe=4") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
