@@ -52,7 +52,17 @@ object Lenient {
     while (offset >= 0) {
       if (depth > XRef.MaxPrevChain) Err.fail(s"xref Prev chain deeper than ${XRef.MaxPrevChain}")
       if (!visited.add(offset)) Err.fail("xref Prev chain cycle")
-      val section = parseSection(raw, offset)
+      val section0 = parseSection(raw, offset)
+      // hybrid-reference file (PDF 32000-1 7.5.8.4): the classic trailer's
+      // /XRefStm points at an xref STREAM whose entries take precedence over
+      // the classic section's for xref-stream-aware readers — merge the stream
+      // entries first (our merge is first-wins)
+      val section = section0.xrefStm match {
+        case Some(stmOff) =>
+          val stm = parseStreamSection(raw, stmOff)
+          section0.copy(entries = stm.entries ++ section0.entries)
+        case None => section0
+      }
       section.entries.foreach {
         case (obj, _, XEntryFree) =>
           seen.add(obj): Unit // newest section says freed: the object stays absent
@@ -116,7 +126,8 @@ object Lenient {
       root: Option[(Int, Int)],
       info: Option[(Int, Int)],
       prev: Option[Int],
-      size: Int)
+      size: Int,
+      xrefStm: Option[Int] = None) // hybrid-reference file: /XRefStm in a classic trailer
 
   private def parseSection(raw: Array[Byte], offset: Int): Section = {
     new PdfTokenizer(raw, offset).next() match {
@@ -167,7 +178,8 @@ object Lenient {
       root = refOf(trailer, "Root"),
       info = refOf(trailer, "Info"),
       prev = intOf(trailer, "Prev"),
-      size = intOf(trailer, "Size").getOrElse(0))
+      size = intOf(trailer, "Size").getOrElse(0),
+      xrefStm = intOf(trailer, "XRefStm"))
   }
 
   /** Xref STREAM section: W-packed rows over (possibly predictor-encoded)

@@ -71,6 +71,64 @@ class LenientSpec extends AnyFunSuite {
     intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
   }
 
+  // --- hybrid-reference file (/XRefStm in a classic trailer) ---------------------
+
+  /** Hybrid PDF (PDF 32000-1 7.5.8.4): the classic table marks EVERY object
+    * free, so only a reader that honors the trailer's /XRefStm (whose stream
+    * carries the real type-1 entries) can resolve anything — proves the
+    * stream's entries take precedence over the classic section's.
+    */
+  private def synthesizeHybridPdf(text: String): Array[Byte] = {
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n($text) Tj\nET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      "<< /Title (t) /Author (graft) /Creator (minipdf) >>"
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val offsets = new Array[Int](objects.length + 1)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n"); w(body); w("\nendobj\n")
+    }
+    // obj 7: the xref STREAM with the REAL entries (raw, no filter)
+    val stmOff = out.size()
+    offsets(objects.length) = stmOff
+    // the stream is RAW (no filter), and nextN skips leading whitespace — a
+    // replicated reference quirk (tokenizer.rs:173-185) that would eat a free
+    // row's leading NUL type byte — so /Index starts at object 1 (type byte 1)
+    val rows = new java.io.ByteArrayOutputStream()
+    (1 to 7).foreach { i =>
+      val off = offsets(i - 1)
+      rows.write(1); rows.write((off >> 8) & 0xff); rows.write(off & 0xff); rows.write(0)
+    }
+    val rb = rows.toByteArray
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Index [1 7] /W [1 2 1] /Root 1 0 R " +
+      s"/Length ${rb.length} >>\nstream\n")
+    out.write(rb, 0, rb.length)
+    w("\nendstream\nendobj\n")
+    // classic table at startxref: every object FREE + /XRefStm pointing at obj 7
+    val xrefOff = out.size()
+    w("xref\n0 8\n")
+    (0 until 8).foreach(_ => w("0000000000 65535 f \n"))
+    w("trailer\n")
+    w(s"<< /Size 8 /Root 1 0 R /XRefStm $stmOff >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
+  test("lenient: hybrid /XRefStm entries take precedence over the classic section") {
+    val pdf = synthesizeHybridPdf("Hybrid xref works")
+    assert(Pdf.lenient(pdf).extract(ExtractText) == "Hybrid xref works")
+    // strict mode has no /XRefStm handling: every entry is free -> parse fails
+    intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+  }
+
   // --- multi-subsection classic table --------------------------------------------
 
   /** MiniPdf document whose classic xref has THREE subsections (0-1, 1-4, 5-2);
