@@ -257,13 +257,18 @@ object Similarity {
     centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // index metadata: probes must size their heaps by the BUILD-time spill, or
+    // in-task duplicates could evict true top-k entries
+    Seq((nCells, spill)).toDF("n_cells", "spill")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
   /** Probe a built IVF index: per query rank cells by centroid cosine, scan the
     * union of the queries' top-nprobe cells with a pushed `cell IN (...)`
     * partition filter (directory-level pruning on the partitioned layout), and
     * bounded per-partition top-k inside the pruned scan. The heap capacity is
-    * k*maxSpill: a spilled vector can appear in up to maxSpill probed cells of
+    * k*spill (spill read from the index's own metadata; `maxSpill` > 0
+    * overrides): a spilled vector can appear in up to spill probed cells of
     * ONE task's input, and duplicates must not evict a distinct true top-k
     * entry — the cross-partition duplicates are removed by the distinct() on
     * the tiny merged set. Recall < 1 by design.
@@ -274,9 +279,13 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nprobe: Int = 4,
-      maxSpill: Int = 2
+      maxSpill: Int = -1
   ): DataFrame = {
     import spark.implicits._
+    val spill =
+      if (maxSpill > 0) maxSpill
+      else try spark.read.parquet(s"$indexDir/meta").select(col("spill")).head().getInt(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 2 } // pre-meta index layout
     val centroids: Array[(Int, Array[Float])] =
       spark.read.parquet(s"$indexDir/centroids")
         .as[(Int, Array[Float])].collect().sortBy(_._1)
@@ -293,7 +302,7 @@ object Similarity {
       .where(col("cell").isin(allCells: _*)) // partition-pruned scan
       .select(col("id"), col("vec"), col("cell"))
       .as[(Long, Array[Float], Int)]
-    val candidates = partitionTopK(spark, pruned, queries, k * maxSpill, Some(probeCells))
+    val candidates = partitionTopK(spark, pruned, queries, k * spill, Some(probeCells))
       .distinct() // spilled assignment: a vector can appear in 2 probed cells
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w))
