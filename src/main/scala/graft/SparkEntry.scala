@@ -153,6 +153,44 @@ object SparkEntry {
         .toDF("doc_id", "fnv64", "rolling_min").orderBy("doc_id")
     }),
 
+    // PII redaction over planted URL/email/phone tokens (the corpus itself is
+    // clean prose, so the fixtures are injected deterministically per doc).
+    "q_redact_pii" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user@example.com via https://example.com/a?b=1 or +12025550000"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.redactPii(injected).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style repetition metrics as INTEGER counts (exactly reproducible):
+    // planted duplication — each doc becomes (text \n text \n unique tail).
+    "q_repetition_counts" -> ((s, dir) => {
+      val tripled = concat_ws("\n", col("text"), col("text"), lit("unique tail line"))
+      val (nw, ndw) = TextFunctions.wordCounts(tripled)
+      val (nl, ndl) = TextFunctions.lineCounts(tripled)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nw.as("n_words"), ndw.as("n_distinct_words"),
+          nl.as("n_lines"), ndl.as("n_distinct_lines"))
+        .orderBy("doc_id")
+    }),
+    // Format sniffing + auto-routing: unlabeled payloads (plain / HTML / base64
+    // PDF by doc_id % 3) flow through the pipeline's "auto" tool and must both
+    // classify correctly and round-trip the text.
+    "q_sniff_route" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => text
+            case 1 => SynthGen.wrapHtml(text)
+            case _ => MiniPdf.synthesizeBase64(text)
+          }
+          val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user", payload, "auto", null))
+          (id, e.payload_kind, e.extracted_text, e.error == null)
+        })
+        .toDF("doc_id", "payload_kind", "extracted_text", "ok").orderBy("doc_id")
+    }),
+
     // ---- deduplication -------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -559,6 +597,26 @@ object SparkEntry {
       "SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct, len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) AS n_stop FROM documents ORDER BY doc_id",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) GROUP BY md5(text) ORDER BY text_hash",
+    // Same URL-then-email-then-digit-run replacement chain; the regexes use the
+    // RE2/Java-common subset so both engines match identically.
+    "q_redact_pii" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user@example.com via https://example.com/a?b=1 or +12025550000', " +
+        "'https?://[^\\s]+', '<URL>', 'g'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9]{7,15}', '<PHONE>', 'g') AS redacted FROM documents ORDER BY doc_id"),
+    "q_repetition_counts" ->
+      ("WITH d AS (SELECT doc_id, text || chr(10) || text || chr(10) || 'unique tail line' AS t FROM documents), " +
+        "x AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(trim(t), '\\s+'), w -> length(w) > 0) AS ws, " +
+        "list_filter(string_split(t, chr(10)), l -> length(trim(l)) > 0) AS ls FROM d) " +
+        "SELECT doc_id, CAST(len(ws) AS INT) AS n_words, CAST(len(list_distinct(ws)) AS INT) AS n_distinct_words, " +
+        "CAST(len(ls) AS INT) AS n_lines, CAST(len(list_distinct(ls)) AS INT) AS n_distinct_lines " +
+        "FROM x ORDER BY doc_id"),
+    "q_sniff_route" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'plain' WHEN doc_id % 3 = 1 THEN 'html' " +
+        "ELSE 'pdf' END AS payload_kind, text AS extracted_text, true AS ok " +
+        "FROM documents ORDER BY doc_id"),
     "q_ann_brute" ->
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5 ORDER BY query_id, rank",
     // Header parse re-expressed over the SAME payload bytes: PNG IHDR w/h are

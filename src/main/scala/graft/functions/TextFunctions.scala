@@ -58,6 +58,66 @@ object TextFunctions {
       aggregate(words, lit(0), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")))
   }
 
+  // --- PII redaction (codegen'd column exprs; deterministic placeholders) --------
+
+  /** RE2/Java-common regexes (identical semantics in Spark's java.util.regex and
+    * DuckDB's RE2): URL first (so an email inside a URL is consumed by the URL
+    * rule), then email, then long digit runs. Deterministic placeholders make
+    * redaction idempotent and exactly reproducible in any engine.
+    */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
+  val phoneRe = "\\+?[0-9]{7,15}"
+
+  /** Mask URLs, emails and long digit runs with fixed placeholders. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  // --- repetition metrics (Gopher-style curation filters; integer outputs) -------
+
+  /** Word repetition: (n_words, n_distinct_words). Integer counts, not ratios —
+    * exactly reproducible in any engine; callers derive the duplicate-word
+    * fraction 1 - distinct/total.
+    */
+  def wordCounts(text: Column): (Column, Column) = {
+    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    (size(words), size(array_distinct(words)))
+  }
+
+  /** Line repetition: (n_lines, n_distinct_lines) over non-empty lines. */
+  def lineCounts(text: Column): (Column, Column) = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    (size(lines), size(array_distinct(lines)))
+  }
+
+  // --- payload-format sniffing (auto-routing for unlabeled corpora) --------------
+
+  /** Column-expression payload sniffer: PDF magic, base64-of-PDF magic
+    * ("JVBERi0" == base64("%PDF-")), HTML tag presence, else plain. Must stay
+    * in lockstep with `sniffKind` (spec-gated agreement).
+    */
+  def sniffPayloadKind(text: Column): Column =
+    when(text.startsWith("%PDF-"), "pdf")
+      .when(text.startsWith("JVBERi0"), "pdf-b64")
+      .when(lower(text).rlike("<(html|head|body|div|p|a|span|table)[ >]"), "html")
+      .otherwise("plain")
+
+  private val htmlTagRe =
+    java.util.regex.Pattern.compile("<(html|head|body|div|p|a|span|table)[ >]")
+
+  /** Row-side twin of `sniffPayloadKind` for the per-row extraction path. */
+  def sniffKind(text: String): String = {
+    if (text == null) "plain"
+    else if (text.startsWith("%PDF-")) "pdf"
+    else if (text.startsWith("JVBERi0")) "pdf-b64"
+    else if (htmlTagRe.matcher(text.toLowerCase).find()) "html"
+    else "plain"
+  }
+
   // --- language ID (heuristic n-gram/stopword profile; Scala side) ---------------
 
   private val profiles: Seq[(String, Set[String])] = Seq(

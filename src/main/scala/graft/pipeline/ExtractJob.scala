@@ -40,6 +40,23 @@ object ExtractJob {
           (Pdf.lenient(bytes).extractResult(ExtractText), "pdf-lenient")
         case "html" =>
           (HtmlBoilerplate.extract(t.text), "html")
+        case "auto" =>
+          // unlabeled corpora: sniff the payload kind from the bytes (PDF magic,
+          // base64-of-PDF magic, HTML tag presence) and route accordingly; a raw
+          // "%PDF-" payload in a string column is decoded best-effort as
+          // ISO-8859-1 (binary PDFs normally arrive base64-encoded)
+          graft.functions.TextFunctions.sniffKind(t.text) match {
+            case "pdf-b64" =>
+              val bytes = java.util.Base64.getDecoder.decode(t.text)
+              (Pdf(bytes).extractResult(ExtractText), "pdf")
+            case "pdf" =>
+              val bytes = t.text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              (Pdf(bytes).extractResult(ExtractText), "pdf")
+            case "html" =>
+              (HtmlBoilerplate.extract(t.text), "html")
+            case _ =>
+              (ExtractResult(t.text, Vector(Span("plain", 0, t.text.length))), "plain")
+          }
         case _ =>
           (ExtractResult(t.text, Vector(Span("plain", 0, t.text.length))), "plain")
       }

@@ -294,6 +294,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decode(notImage) == Multimodal.decodeStub(notImage))
   }
 
+  test("redactPii masks URL/email/phone with fixed placeholders, idempotently") {
+    import spark.implicits._
+    val in = Seq(
+      "mail me at a.b+c@sub.example.org today",
+      "see https://example.com/path?q=1#frag and http://x.example.net",
+      "call +12025550000 or 98765432 now",
+      "an email inside a url https://example.com/u/a@b.cd stays one <URL>",
+      "short digits 123456 survive").toDF("text")
+    val got = in.select(TextFunctions.redactPii($"text").as("r")).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "see <URL> and <URL>",
+      "call <PHONE> or <PHONE> now",
+      "an email inside a url <URL> stays one <URL>",
+      "short digits 123456 survive"))
+    // idempotent: placeholders contain no redactable substrings
+    val again = got.toDF("text").select(TextFunctions.redactPii($"text").as("r"))
+      .as[String].collect().toSeq
+    assert(again == got)
+  }
+
+  test("word/line repetition counts (Gopher-style integer metrics)") {
+    import spark.implicits._
+    val in = Seq("a b a\na b a\n\n  \nunique").toDF("text")
+    val (nw, ndw) = TextFunctions.wordCounts($"text")
+    val (nl, ndl) = TextFunctions.lineCounts($"text")
+    val r = in.select(nw, ndw, nl, ndl).as[(Int, Int, Int, Int)].head()
+    assert(r == ((7, 3, 3, 2)), s"got $r") // 7 words / {a,b,unique}; 3 non-empty lines / 2 distinct
+  }
+
+  test("payload sniffing: column and row twins agree; auto route round-trips") {
+    import spark.implicits._
+    val text = docs(0)._2
+    val payloads = Seq(
+      text,
+      graft.pipeline.SynthGen.wrapHtml(text),
+      graft.pipeline.MiniPdf.synthesizeBase64(text),
+      new String(graft.pipeline.MiniPdf.synthesize(text), java.nio.charset.StandardCharsets.ISO_8859_1),
+      "", "JVBERi0 not really base64... actually sniffed as pdf-b64")
+    val colKinds = payloads.toDF("text")
+      .select(TextFunctions.sniffPayloadKind($"text")).as[String].collect().toSeq
+    val rowKinds = payloads.map(TextFunctions.sniffKind)
+    assert(colKinds == rowKinds, "column/row sniffers must agree")
+    assert(rowKinds.take(4) == Seq("plain", "html", "pdf-b64", "pdf"))
+    // auto-routing extracts the same text for all three labeled-equivalent kinds
+    Seq(payloads(0), payloads(1), payloads(2), payloads(3)).foreach { p =>
+      val e = graft.pipeline.ExtractJob.extractTurn(
+        graft.pipeline.Turn("c", 0, "user", p, "auto", null))
+      assert(e.error == null && e.extracted_text == text, s"auto route failed for ${e.payload_kind}")
+    }
+  }
+
   test("multimodal decode stub: deterministic meta + feature shape") {
     val payload = "some media bytes standing in for a jpeg".getBytes
     val meta = Multimodal.decodeStub(payload)
