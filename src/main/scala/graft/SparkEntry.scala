@@ -191,6 +191,24 @@ object SparkEntry {
         .toDF("doc_id", "payload_kind", "extracted_text", "ok").orderBy("doc_id")
     }),
 
+    // The COMPOSED curation pass a 100TB training-data pipeline actually runs:
+    // exact-dedup keeper selection -> language filter -> minimum-length gate ->
+    // PII redaction, value-checked end to end as one plan.
+    "q_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      val keepers = Dedup.exact(dupes, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      dupes.join(keepers, "doc_id")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter { case (_, text) => TextFunctions.langId(text) == "en" }
+        .toDF("doc_id", "text")
+        .where(TextFunctions.wordCounts(col("text"))._1 >= 5)
+        .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deduplication -------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -617,6 +635,27 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'plain' WHEN doc_id % 3 = 1 THEN 'html' " +
         "ELSE 'pdf' END AS payload_kind, text AS extracted_text, true AS ok " +
         "FROM documents ORDER BY doc_id"),
+    // Composed: dedup keepers (min id per text), 'en' argmax with langId's
+    // first-profile-wins tie rule (en = greatest), >= 5 words, redaction chain.
+    "q_curation_pipeline" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY text), " +
+        "kept AS (SELECT u.doc_id, u.text FROM u JOIN k USING (doc_id)), " +
+        "w AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ws FROM kept), " +
+        "sc AS (SELECT doc_id, text, " +
+        "len(list_filter(ws, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as'], x))) AS en, " +
+        "len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den'], x))) AS de, " +
+        "len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des','du','que','pour','dans'], x))) AS fr, " +
+        "len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','un','una','de','que','por','con'], x))) AS es, " +
+        "len(list_filter(ws, x -> list_contains(['il','la','di','e','che','un','una','per','sono','del','con','non'], x))) AS it " +
+        "FROM w), " +
+        "l AS (SELECT doc_id, text FROM sc WHERE greatest(en,de,fr,es,it) > 0 AND en = greatest(en,de,fr,es,it)), " +
+        "q AS (SELECT doc_id, text FROM l WHERE " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) >= 5) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'https?://[^\\s]+', '<URL>', 'g'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9]{7,15}', '<PHONE>', 'g') AS redacted FROM q ORDER BY doc_id"),
     "q_ann_brute" ->
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5 ORDER BY query_id, rank",
     // Header parse re-expressed over the SAME payload bytes: PNG IHDR w/h are
