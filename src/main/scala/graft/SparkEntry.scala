@@ -272,7 +272,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val dupes = emb.select(col("vec_id"), col("embedding"))
         .union(emb.select(col("vec_id") + 10000, col("embedding")))
-      Similarity.cosineNearDups(dupes, threshold = 0.999)
+      // like the Dedup near-dup queries: maxBucket above any bucket this corpus
+      // can produce, so cap truncation can never drop an oracle-expected pair
+      // (production keeps the default cap with observable truncation)
+      Similarity.cosineNearDups(dupes, threshold = 0.999, maxBucket = 30000)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 

@@ -317,8 +317,13 @@ object Lenient {
   private[core] def unpredict(data: Array[Byte], predictor: Int, columns: Int,
                               colors: Int, bpc: Int): Array[Byte] = {
     if (predictor <= 1) return data
+    // rowLen must be positive or the row loops below never advance (a crafted
+    // /Columns 0 payload would otherwise HANG the task — no exception for the
+    // per-row error column to catch)
+    if (columns < 1 || colors < 1 || bpc < 1) Err.fail(s"DecodeParms Columns/Colors/BitsPerComponent must be positive")
     val bpp = math.max(1, (colors * bpc + 7) / 8)
     val rowLen = (columns * colors * bpc + 7) / 8
+    if (rowLen < 1) Err.fail("DecodeParms row length must be positive")
     if (predictor == 2) {
       if (bpc != 8) Err.fail("TIFF predictor supported only at 8 bits per component")
       val out = data.clone()

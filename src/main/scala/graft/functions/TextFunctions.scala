@@ -106,15 +106,18 @@ object TextFunctions {
       .when(lower(text).rlike("<(html|head|body|div|p|a|span|table)[ >]"), "html")
       .otherwise("plain")
 
-  private val htmlTagRe =
-    java.util.regex.Pattern.compile("<(html|head|body|div|p|a|span|table)[ >]")
+  private val htmlTagRe = java.util.regex.Pattern.compile(
+    "<(html|head|body|div|p|a|span|table)[ >]", java.util.regex.Pattern.CASE_INSENSITIVE)
 
-  /** Row-side twin of `sniffPayloadKind` for the per-row extraction path. */
+  /** Row-side twin of `sniffPayloadKind` for the per-row extraction path.
+    * Case-insensitivity lives in the compiled pattern, NOT a text.toLowerCase
+    * copy — this runs per row on the extraction hot path.
+    */
   def sniffKind(text: String): String = {
     if (text == null) "plain"
     else if (text.startsWith("%PDF-")) "pdf"
     else if (text.startsWith("JVBERi0")) "pdf-b64"
-    else if (htmlTagRe.matcher(text.toLowerCase).find()) "html"
+    else if (htmlTagRe.matcher(text).find()) "html"
     else "plain"
   }
 

@@ -68,6 +68,9 @@ object Multimodal {
       if (u8(b, pos) != 0xff) return None
       var m = u8(b, pos + 1)
       while (m == 0xff && pos + 2 < b.length) { pos += 1; m = u8(b, pos + 1) } // fill bytes
+      // the fill loop can advance pos to the buffer edge (payload ending in a
+      // run of 0xFF) — re-check before the segment-length read below
+      if (pos + 3 >= b.length) return None
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
         if (pos + 8 >= b.length) return None
         val h = be16(b, pos + 5); val w = be16(b, pos + 7)
@@ -90,10 +93,14 @@ object Multimodal {
     * (no image libraries in this environment) — only header metadata is real.
     */
   def decode(payload: Array[Byte]): MediaMeta = {
+    // structural corruption must FALL BACK, never fail the row (the pipeline
+    // contract): the parsers bounds-check, and this catch backstops them
     val dims =
-      if (isPng(payload)) pngDims(payload)
-      else if (isJpeg(payload)) jpegDims(payload)
-      else None
+      try {
+        if (isPng(payload)) pngDims(payload)
+        else if (isJpeg(payload)) jpegDims(payload)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     dims match {
       case Some((w, h)) => MediaMeta(w, h, frames = 1, bytes = payload.length.toLong)
       case None         => decodeStub(payload)

@@ -180,8 +180,14 @@ object Similarity {
       .as[(Long, Array[Float])]
     val bound = if (idBound > 0) idBound else sampleSize.toLong * 4
     val ranged = base.where(col("id") < bound).collect()
+    // the range sample is only trusted when it provably holds as many vectors
+    // as a bounded sample could want: compare against a cheap bounded count
+    // (limit short-circuits the scan). A sparse/offset id domain that
+    // under-fills the range falls back to the exact TakeOrdered — never a
+    // silently smaller, different k-means sample.
+    val available = math.min(base.select(lit(1)).limit(sampleSize).count(), sampleSize.toLong)
     val sample: Array[Array[Float]] =
-      if (ranged.length >= nCells) ranged.sortBy(_._1).take(sampleSize).map(_._2)
+      if (ranged.length >= available) ranged.sortBy(_._1).take(sampleSize).map(_._2)
       else base.orderBy("id").limit(sampleSize).collect().map(_._2)
     require(sample.length >= nCells, s"need >= $nCells sample vectors")
     val dims = sample.head.length

@@ -229,7 +229,7 @@ object ExtractJob {
       // failure on a table with data is real corruption and must propagate,
       // not be committed as 0-row done manifests).
       val stats: Map[Int, (Long, Long)] =
-        if (io.shardsPresent(outDir).isEmpty) Map.empty
+        if (io.shardsPresent(spark, outDir).isEmpty) Map.empty
         else io.readOutputRaw(spark, outDir)
           .where(col("shard").isin(wave: _*))
           .groupBy(col("shard"))

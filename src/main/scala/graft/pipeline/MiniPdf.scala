@@ -125,19 +125,24 @@ object MiniPdf {
     }
     val xrefOff = out.size()
     offsets(objects.length) = xrefOff // the xref stream object itself (obj 7)
-    require(xrefOff <= 0xffff, "W [1 2 1] caps offsets at 65535; payload too large")
-    // rows (W [1 2 1] -> 4 bytes): obj0 free, objs 1..7 type-1 at their offsets
+    require(xrefOff <= 0xffffff, "W [1 3 1] caps offsets at ~16MB; payload too large")
+    // rows (W [1 3 1] -> 5 bytes; 3-byte offsets carry payloads up to 16MB):
+    // obj0 free, objs 1..7 type-1 at their offsets
     val rows = Array.tabulate(8) { i =>
-      if (i == 0) Array[Byte](0, 0, 0, -1)
-      else Array[Byte](1, ((offsets(i - 1) >> 8) & 0xff).toByte, (offsets(i - 1) & 0xff).toByte, 0)
+      if (i == 0) Array[Byte](0, 0, 0, 0, -1)
+      else {
+        val off = offsets(i - 1)
+        Array[Byte](1, ((off >> 16) & 0xff).toByte, ((off >> 8) & 0xff).toByte,
+          (off & 0xff).toByte, 0)
+      }
     }
-    // PNG Up filter per 4-byte row (filter byte 2; row[i] - prevRow[i])
+    // PNG Up filter per 5-byte row (filter byte 2; row[i] - prevRow[i])
     val encoded = new java.io.ByteArrayOutputStream()
-    var prev = new Array[Byte](4)
+    var prev = new Array[Byte](5)
     rows.foreach { row =>
       encoded.write(2)
       var i = 0
-      while (i < 4) { encoded.write((row(i) - prev(i)) & 0xff); i += 1 }
+      while (i < 5) { encoded.write((row(i) - prev(i)) & 0xff); i += 1 }
       prev = row
     }
     val deflater = new java.util.zip.Deflater(6)
@@ -146,8 +151,8 @@ object MiniPdf {
     val buf = new Array[Byte](enc.length + 64)
     val n = deflater.deflate(buf); deflater.end()
     val compressed = java.util.Arrays.copyOf(buf, n)
-    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Index [0 8] /W [1 2 1] /Root 1 0 R /Info 6 0 R " +
-      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> " +
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Index [0 8] /W [1 3 1] /Root 1 0 R /Info 6 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >> " +
       s"/Length ${compressed.length} >>\nstream\n")
     out.write(compressed, 0, compressed.length)
     w("\nendstream\nendobj\n")

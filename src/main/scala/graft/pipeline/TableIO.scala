@@ -37,9 +37,10 @@ trait TableIO {
     * the `.partitions` metadata table). Lets the wave-stats pass distinguish an
     * all-empty table (nothing written yet — 0-row manifests are legitimate)
     * from a corrupted/unreadable one (which must fail loudly, not be committed
-    * as done).
+    * as done). Must work on ANY Hadoop filesystem the table lives on (HDFS/S3/
+    * local), not just java.io paths.
     */
-  def shardsPresent(outDir: String): Set[Int]
+  def shardsPresent(spark: SparkSession, outDir: String): Set[Int]
 }
 
 object ParquetTableIO extends TableIO {
@@ -78,10 +79,12 @@ object ParquetTableIO extends TableIO {
   def manifestsExist(outDir: String): Boolean =
     new java.io.File(s"$outDir/_manifests").exists()
 
-  def shardsPresent(outDir: String): Set[Int] = {
-    val dirs = new java.io.File(s"$outDir/data").listFiles()
-    if (dirs == null) Set.empty
-    else dirs.iterator.filter(f => f.isDirectory && f.getName.startsWith("shard="))
-      .map(_.getName.stripPrefix("shard=").toInt).toSet
+  def shardsPresent(spark: SparkSession, outDir: String): Set[Int] = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else fs.listStatus(path).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .map(_.getPath.getName.stripPrefix("shard=").toInt).toSet
   }
 }

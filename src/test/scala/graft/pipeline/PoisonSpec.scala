@@ -89,8 +89,38 @@ class PoisonSpec extends AnyFunSuite {
       java.util.Base64.getEncoder.encodeToString(truncated), "pdf-b64-lenient",
       new java.sql.Timestamp(0)))
     assert(bad.error != null)
-    // ObjStm member-count poison: /N far beyond MaxMaterialized must error out
-    assert(graft.core.Lenient.MaxMaterialized <= 65536)
+    // ObjStm member-count poison: a container claiming a huge /N must error
+    // out via the member cap, not allocate/loop on attacker-controlled N
+    val poisonN = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      w("%PDF-1.5\n")
+      val stmBody = "2 0" // one real header pair; /N lies
+      val objStmOff = out.size()
+      w(s"1 0 obj\n<< /Type /ObjStm /N ${graft.core.Lenient.MaxMaterialized + 1} /First 10 " +
+        s"/Length ${stmBody.length} >>\nstream\n$stmBody\nendstream\nendobj\n")
+      val xrefOff = out.size()
+      // raw xref stream (W [1 3 1]): obj1 = the ObjStm container, obj2 type-2
+      // inside it, obj3 = this xref stream; /Root points at the type-2 member
+      val rows = new java.io.ByteArrayOutputStream()
+      def row(t: Int, mid: Int, f3: Int): Unit = {
+        rows.write(t); rows.write((mid >> 16) & 0xff); rows.write((mid >> 8) & 0xff)
+        rows.write(mid & 0xff); rows.write(f3)
+      }
+      row(1, objStmOff, 0); row(2, 1, 0); row(1, xrefOff, 0)
+      val rb = rows.toByteArray
+      w(s"3 0 obj\n<< /Type /XRef /Size 4 /Index [1 3] /W [1 3 1] /Root 2 0 R " +
+        s"/Length ${rb.length} >>\nstream\n")
+      out.write(rb, 0, rb.length)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefOff\n%%EOF")
+      out.toByteArray
+    }
+    val poisoned = ExtractJob.extractTurn(Turn("bigN", 0, "user",
+      java.util.Base64.getEncoder.encodeToString(poisonN), "pdf-b64-lenient",
+      new java.sql.Timestamp(0)))
+    assert(poisoned.error != null && poisoned.error.contains("out of range"),
+      s"huge /N must hit the member cap: ${poisoned.error}")
   }
 
   test("a poison row inside a job lands in the error column; healthy rows unaffected") {
