@@ -437,6 +437,41 @@ object SparkEntry {
         .orderBy("user_id", "start_s")
     }),
 
+    // Watermarked tumbling-window metrics, value-checked: events recast as a
+    // turn stream (text = event_type, so n_chars is SQL-derivable), one global
+    // sentinel past max+100d advances the watermark so every real 1-minute
+    // window closes; the sentinel's own window never closes and is excluded by
+    // construction. Oracle: the same tumbling aggregation in batch SQL.
+    "q_stream_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-met-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-met-cp").toString
+      val ev = t(s, dir, "events")
+      val maxRealEpochS = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      val turns = ev.select(col("user_id").cast("string").as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"), lit("user").as("role"),
+        col("event_type").as("text"), lit("plain").as("tool"), col("ts"))
+      val sentinel = ev.limit(1).select(lit("sentinel").as("conv_id"),
+        lit(-1).as("turn_idx"), lit("user").as("role"), lit("x").as("text"),
+        lit("plain").as("tool"), to_timestamp(lit(maxRealEpochS + 100L * 86400)).as("ts"))
+      turns.union(sentinel).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
+        .parquet(tmp).as[Turn]
+      val name = s"metrics_out_${System.nanoTime()}"
+      val q = graft.streaming.StreamingExtract.windowedMetrics(stream, "1 minute", "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("payload_kind"), col("n_turns"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_errors").cast("long").as("n_errors"))
+        .orderBy("window_start_s")
+    }),
+
     // ---- the transcript pipeline itself (north-rule flagship, full oracle) -----------
     // Per-turn output compared against the INDEPENDENTLY generated expectations:
     // SynthGen emits (payload, expected_text) pairs by construction (the golden is
@@ -704,6 +739,13 @@ object SparkEntry {
         "epoch_ms(max(ts)) // 1000 AS end_s, count(*) AS n_turns " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_s"),
     "q_stream_extract" ->
-      "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id"
+      "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    // Tumbling 1-minute windows of the events table; DuckDB time_bucket floors
+    // to the minute exactly like Spark's window(ts, '1 minute').start.
+    "q_stream_metrics" ->
+      ("SELECT epoch_ms(time_bucket(INTERVAL 1 MINUTE, ts)) // 1000 AS window_start_s, " +
+        "'plain' AS payload_kind, count(*) AS n_turns, " +
+        "CAST(sum(length(event_type)) AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS n_errors " +
+        "FROM events GROUP BY 1 ORDER BY window_start_s")
   )
 }
