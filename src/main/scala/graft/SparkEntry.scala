@@ -368,6 +368,22 @@ object SparkEntry {
         .withColumn("price", col("price").cast("double"))
     }),
 
+    // P7 accumulator metrics, value-checked: run extractWithMetrics over the
+    // documents table as plain turns and emit the accumulator totals as one
+    // row; the oracle recomputes them relationally. Deterministic here: local
+    // mode has no task retries (accumulators in transformations are
+    // at-least-once under retries — documented in ExtractJob).
+    "q_extract_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val turns = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) => Turn(id.toString, 0, "user", text, "plain",
+          new java.sql.Timestamp(0L)) }
+      val m = ExtractJob.ExtractMetrics.register(s)
+      ExtractJob.extractWithMetrics(turns, partitions = 8, m).toDF().count()
+      Seq((m.rows.value: Long, m.errors.value: Long, m.chars.value: Long))
+        .toDF("n_rows", "n_errors", "n_chars")
+    }),
+
     // ---- structured streaming (file source -> extract -> memory sink) ----------------
     "q_stream_extract" -> ((s, dir) => {
       import s.implicits._
@@ -740,6 +756,8 @@ object SparkEntry {
         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_s"),
     "q_stream_extract" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    "q_extract_metrics" ->
+      "SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_errors, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents",
     // Tumbling 1-minute windows of the events table; DuckDB time_bucket floors
     // to the minute exactly like Spark's window(ts, '1 minute').start.
     "q_stream_metrics" ->
