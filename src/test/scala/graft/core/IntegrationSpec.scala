@@ -80,6 +80,20 @@ class IntegrationSpec extends AnyFunSuite {
       val bytes = read(name)
       assert(Pdf.lenient(bytes).extract(ExtractText) == Pdf(bytes).extract(ExtractText),
         s"lenient Text diverges on $name")
+      assert(Pdf.lenient(bytes).extract(ExtractRawContent) == Pdf(bytes).extract(ExtractRawContent),
+        s"lenient RawContent diverges on $name")
+    }
+  }
+
+  test("lenient == strict on fuzzed classic MiniPdfs (plain and flate variants)") {
+    val rnd = new scala.util.Random(31337)
+    (0 until 100).foreach { i =>
+      val text = graft.pipeline.SynthGen.prose(rnd.nextLong(), 1 + rnd.nextInt(12), 40)
+      val pdf = if (i % 2 == 0) graft.pipeline.MiniPdf.synthesize(text)
+                else graft.pipeline.MiniPdf.synthesizeFlate(text)
+      val strictText = Pdf(pdf).extract(ExtractText)
+      assert(Pdf.lenient(pdf).extract(ExtractText) == strictText, s"fuzz case $i")
+      assert(strictText == text, s"roundtrip fuzz case $i")
     }
   }
 
