@@ -70,6 +70,18 @@ object SparkEntry {
         .toDF("doc_id", "span_idx", "n_spans", "span_op", "span_start", "span_end")
         .orderBy("doc_id", "span_idx")
     }),
+    // Multi-PAGE join semantics (the correctness heart's tree rule, previously
+    // fixture-gated only): each doc becomes one page per 100-char slice; page
+    // outputs join with "\n" and each page trims its leading ' '/'\n' run —
+    // the oracle re-derives exactly that from the text.
+    "q_pdf_multipage" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Pdf(MiniPdf.synthesizeMultiPage(text, 100)).extract(ExtractText))
+        })
+        .toDF("doc_id", "extracted_text").orderBy("doc_id")
+    }),
     "q_pdf_rawcontent" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -646,6 +658,14 @@ object SparkEntry {
         "SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b ON a.e = b.e AND a.id < b.id ORDER BY id_a, id_b"),
     "q_pdf_roundtrip" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    // pages = 100-char slices, each with its leading ' '/'\n' run trimmed
+    // (content.rs:950), joined with "\n" (body.rs:413-419)
+    "q_pdf_multipage" ->
+      ("WITH c AS (SELECT doc_id, list_transform(" +
+        "range(0, CAST(ceil(greatest(length(text), 1) / 100.0) AS BIGINT)), " +
+        "i -> regexp_replace(substr(text, CAST(i * 100 + 1 AS INT), 100), '^[ \\n]+', '')) AS chunks " +
+        "FROM documents) " +
+        "SELECT doc_id, array_to_string(chunks, chr(10)) AS extracted_text FROM c ORDER BY doc_id"),
     "q_pdf_spans" ->
       ("WITH s AS (SELECT doc_id, length(text) AS len, " +
         "unnest(range(0, CAST(ceil(length(text) / 40.0) AS BIGINT))) AS i FROM documents) " +

@@ -98,6 +98,52 @@ object MiniPdf {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** MULTI-PAGE variant: the text is split into `chunk`-char slices, one PAGE
+    * (own content stream, one Tj) per slice under a single Pages node. Page
+    * outputs join with "\n" at every tree level (body.rs:413-419) and each
+    * page trims its leading ' '/'\n' run (content.rs:950), so
+    * extractText == chunks.map(trimLeading).mkString("\n"). Empty text yields
+    * one empty page.
+    */
+  def synthesizeMultiPage(text: String, chunk: Int): Array[Byte] = {
+    val chunks = if (text.isEmpty) Seq("") else text.grouped(chunk).toSeq
+    val n = chunks.length
+    // object numbering: 1 catalog, 2 pages node, 3..2+n pages, 3+n..2+2n
+    // contents, 3+2n font, 4+2n info
+    val fontObj = 3 + 2 * n
+    val infoObj = 4 + 2 * n
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    val pageObjs = (0 until n).map { i =>
+      s"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${3 + n + i} 0 R >>"
+    }
+    val contentObjs = chunks.map { c =>
+      val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(c)}) Tj\nET\n"
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream"
+    }
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+      pageObjs ++ contentObjs ++ Seq(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>")
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n")
+    sb.append(s"0 ${objects.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
+    sb.append("trailer\n")
+    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info $infoObj 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** PDF 1.5-shaped variant: same document, but the cross-reference is a
     * /Type /XRef STREAM (W [1 2 1]) whose data is PNG-Up predictor-encoded
     * (/DecodeParms << /Predictor 12 /Columns 4 >>) and flate-compressed — the

@@ -45,6 +45,20 @@ class MiniPdfSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-page synthesis: pages join with newline, each page trims leading ' '/'\\n'") {
+    def expected(text: String, chunk: Int): String = {
+      val chunks = if (text.isEmpty) Seq("") else text.grouped(chunk).toSeq
+      chunks.map(_.dropWhile(c => c == ' ' || c == '\n')).mkString("\n")
+    }
+    for ((text, chunk) <- Seq(("Hello, world!", 5), ("", 40),
+        ("space boundary x yz", 6), // a chunk starting with ' ' gets page-trimmed
+        ("line\nbreaks\ninside pages", 7),
+        (SynthGen.prose(13L, 12, 50), 100))) {
+      val got = Pdf(MiniPdf.synthesizeMultiPage(text, chunk)).extract(graft.core.ExtractText)
+      assert(got == expected(text, chunk), s"chunk=$chunk text=$text")
+    }
+  }
+
   test("synthesized PDF raw content matches the content stream shape") {
     val raw = Pdf(MiniPdf.synthesize("Hi")).extract(graft.core.ExtractRawContent)
     assert(raw == "BT\n70 50 TD\n/F1 12 Tf\n(Hi) Tj\nET\n")
