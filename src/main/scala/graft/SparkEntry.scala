@@ -371,6 +371,17 @@ object SparkEntry {
         .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+    // AS-OF join (point-in-time lookup): every event picks up the value of the
+    // user's LATEST purchase at or before its own timestamp; DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(ev, purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
     "q_sort_topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -755,6 +766,10 @@ object SparkEntry {
       "SELECT c_custkey, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue, count(DISTINCT o_orderkey) AS n_orders FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q_window_top_orders" ->
       "SELECT o_custkey, rk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk",
+    "q_asof_join" ->
+      ("SELECT a.event_id, b.value AS asof_value FROM events a " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
+        "ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id"),
     "q_events_sessionize" ->
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->

@@ -346,6 +346,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: latest right value at or before each left ts, per key") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(5), "c"),
+      (2L, ts(10), "d")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(10), 1.5), (1L, ts(15), 2.5), (2L, ts(11), 9.0))
+      .toDF("k", "ts", "v")
+    val got = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    // equal ts matches (inclusive); earlier left rows get nulls; keys isolate
+    assert(got == Map("a" -> Some(1.5), "b" -> Some(2.5), "c" -> None, "d" -> None))
+  }
+
   test("multimodal decode stub: deterministic meta + feature shape") {
     val payload = "some media bytes standing in for a jpeg".getBytes
     val meta = Multimodal.decodeStub(payload)
