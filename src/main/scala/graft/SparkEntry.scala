@@ -382,6 +382,21 @@ object SparkEntry {
         .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")
     }),
+    // RANGE join: events falling inside [purchase, purchase + 30min] windows of
+    // the same user, counted per purchase. Bucketed equi-join under the hood
+    // (no per-key nested loop); plain inclusive BETWEEN join is the oracle.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val intervals = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+      graft.operators.Temporal.rangeJoin(ev, intervals, "user_id", "ts",
+        "win_start", "win_end", bucketSec = 1800L)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_events_in_window"))
+        .orderBy("purchase_id")
+    }),
     "q_sort_topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -770,6 +785,12 @@ object SparkEntry {
       ("SELECT a.event_id, b.value AS asof_value FROM events a " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
         "ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id"),
+    "q_range_join" ->
+      ("SELECT p.event_id AS purchase_id, count(*) AS n_events_in_window " +
+        "FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "JOIN events e ON e.user_id = p.user_id " +
+        "AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE " +
+        "GROUP BY p.event_id ORDER BY purchase_id"),
     "q_events_sessionize" ->
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->

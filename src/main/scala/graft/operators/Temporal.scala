@@ -53,4 +53,40 @@ object Temporal {
       .where(col("__side") === 1)
       .drop("__side")
   }
+
+  /** RANGE (interval-containment) join: pair each event row with every interval
+    * of the same key whose [startCol, endCol] contains the event's ts
+    * (inclusive bounds). The naive conditional join degenerates to a per-key
+    * nested loop in Spark; instead both sides are binned into `bucketSec`-wide
+    * time buckets — an interval EXPLODES to every bucket it overlaps, the join
+    * runs on (key, bucket) equi-keys, and the exact containment predicate
+    * prunes after the hash join. An event lives in exactly one bucket, so each
+    * (event, interval) pair joins at most once (no dedup pass). At 100TB this
+    * is a shuffle-on-key hash join with bounded row amplification
+    * ceil(len/bucket)+1 per interval; pick bucketSec near the typical interval
+    * length to keep it ~2x.
+    *
+    * Output: every matched pair, event columns + the interval's columns
+    * (callers aggregate). Interval columns other than key/start/end must not
+    * collide with event column names.
+    */
+  def rangeJoin(
+      events: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSec: Long = 3600L
+  ): DataFrame = {
+    val e = events.withColumn("__ebucket", floor(unix_timestamp(col(tsCol)) / bucketSec))
+    val i = intervals
+      .withColumn("__ibucket", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSec),
+        floor(unix_timestamp(col(endCol)) / bucketSec))))
+      .withColumnRenamed(key, "__ikey")
+    e.join(i, col("__ebucket") === col("__ibucket") && col(key) === col("__ikey"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__ebucket", "__ibucket", "__ikey")
+  }
 }

@@ -359,6 +359,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("a" -> Some(1.5), "b" -> Some(2.5), "c" -> None, "d" -> None))
   }
 
+  test("rangeJoin: inclusive containment, bucket-boundary-spanning intervals, key isolation") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val events = Seq((1L, 100L, ts(0)), (1L, 101L, ts(50)), (1L, 102L, ts(120)),
+      (1L, 103L, ts(121)), (2L, 200L, ts(50))).toDF("k", "eid", "ts")
+    // interval [0, 120] spans several 60s buckets; bounds inclusive both ends
+    val intervals = Seq((1L, 900L, ts(0), ts(120))).toDF("k", "iid", "lo", "hi")
+    val got = Temporal.rangeJoin(events, intervals, "k", "ts", "lo", "hi", bucketSec = 60L)
+      .select($"eid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 900L), (101L, 900L), (102L, 900L)),
+      s"expected inclusive [0,120] matches for key 1 only, got $got")
+    // brute-force parity on a denser random set
+    val rnd = new scala.util.Random(5)
+    val es = (0 until 200).map(i => (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(1000))))
+    val is = (0 until 30).map { i =>
+      val lo = rnd.nextInt(900); (rnd.nextInt(3).toLong, 1000L + i, ts(lo), ts(lo + rnd.nextInt(200)))
+    }
+    val gotDense = Temporal.rangeJoin(es.toDF("k", "eid", "ts"),
+      is.toDF("k", "iid", "lo", "hi"), "k", "ts", "lo", "hi", bucketSec = 90L)
+      .select($"eid", $"iid").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (ek, eid, ets) <- es
+      (ik, iid, lo, hi) <- is
+      if ek == ik && !ets.before(lo) && !ets.after(hi)
+    } yield (eid, iid)).toSet
+    assert(gotDense == brute, s"diff: ${(gotDense diff brute) ++ (brute diff gotDense)}")
+  }
+
   test("multimodal decode stub: deterministic meta + feature shape") {
     val payload = "some media bytes standing in for a jpeg".getBytes
     val meta = Multimodal.decodeStub(payload)
