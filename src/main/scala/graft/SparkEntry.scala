@@ -187,13 +187,18 @@ object SparkEntry {
     }),
     // Format sniffing + auto-routing: unlabeled payloads (plain / HTML / base64
     // PDF by doc_id % 3) flow through the pipeline's "auto" tool and must both
-    // classify correctly and round-trip the text.
+    // classify correctly and round-trip the text. The plain-branch payload is
+    // sanitized ("t " prefix kills the %PDF-/JVBERi0 magics, '<'->'(' kills
+    // any tag match) so its sniff class is guaranteed BY CONSTRUCTION on any
+    // corpus — the oracle's expected kind then never depends on whether a
+    // document happens to contain '<p>' or start with a PDF magic (the html
+    // and pdf branches are construction-guaranteed already).
     "q_sniff_route" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val payload = (id % 3) match {
-            case 0 => text
+            case 0 => "t " + text.replace('<', '(')
             case 1 => SynthGen.wrapHtml(text)
             case _ => MiniPdf.synthesizeBase64(text)
           }
@@ -731,10 +736,13 @@ object SparkEntry {
         "SELECT doc_id, CAST(len(ws) AS INT) AS n_words, CAST(len(list_distinct(ws)) AS INT) AS n_distinct_words, " +
         "CAST(len(ls) AS INT) AS n_lines, CAST(len(list_distinct(ls)) AS INT) AS n_distinct_lines " +
         "FROM x ORDER BY doc_id"),
+    // the plain branch's payload is sanitized on the Spark side (see the query)
+    // so every branch's sniff class holds by construction on any corpus
     "q_sniff_route" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'plain' WHEN doc_id % 3 = 1 THEN 'html' " +
-        "ELSE 'pdf' END AS payload_kind, text AS extracted_text, true AS ok " +
-        "FROM documents ORDER BY doc_id"),
+        "ELSE 'pdf' END AS payload_kind, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 't ' || replace(text, '<', '(') ELSE text END AS extracted_text, " +
+        "true AS ok FROM documents ORDER BY doc_id"),
     // Composed: dedup keepers (min id per text), 'en' argmax with langId's
     // first-profile-wins tie rule (en = greatest), >= 5 words, redaction chain.
     "q_curation_pipeline" ->

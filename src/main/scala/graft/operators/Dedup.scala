@@ -201,19 +201,34 @@ object Dedup {
     * and its label's label (label(label(x))), so long chains collapse in
     * O(log diameter) rounds rather than O(diameter); real duplicate families
     * are stars/cliques and converge in 1-2. Every step is a shuffle-on-key
-    * join/agg (no driver-side graph), labels are localCheckpoint'ed per round
-    * to truncate lineage (a durable checkpoint dir does the same on a cluster),
-    * and the loop stops at the first round with zero label changes (one
-    * bounded-size count per round). Ids with no pair (singletons) are not
-    * emitted — they are their own keeper by definition.
+    * join/agg (no driver-side graph), labels are checkpointed per round to
+    * truncate lineage — pass `checkpointDir` (any shared/durable path) on a
+    * real cluster so executor loss replays from the durable checkpoint; the
+    * localCheckpoint default is for local mode, where executor loss cannot
+    * happen. Convergence detection rides the propagation frame itself (the
+    * previous label travels as a column), so the per-round check is a plain
+    * filter on the just-checkpointed labels — no extra join job per round.
+    * Ids with no pair (singletons) are not emitted — they are their own
+    * keeper by definition. Throws if the propagation has not converged after
+    * `maxIters` rounds (pointer jumping covers chain diameter ~2^maxIters, so
+    * this cannot trigger on real near-dup graphs; an unconverged labeling is
+    * inconsistent and must fail loudly, never be returned silently).
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusters(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e0 = pairs.select(col(pairs.columns(0)).cast("long").as("src"),
       col(pairs.columns(1)).cast("long").as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    val edges = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -222,20 +237,19 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .select(col("src").as("id"), col("nlabel"))
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val jumped = prop
+      val jumped = ckpt(prop
         .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
           prop("label") === col("jid"), "left")
-        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
-        .localCheckpoint()
-      val changed = jumped
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = jumped
-      converged = changed == 0
+        .select(col("id"), col("__old"), coalesce(col("jlabel"), col("label")).as("label")))
+      converged = jumped.where(col("label") =!= col("__old")).isEmpty
+      labels = jumped.drop("__old")
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters did not converge after $maxIters rounds — an unconverged " +
+        "labeling is inconsistent; raise maxIters (pointer jumping covers diameter ~2^maxIters)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -291,7 +291,16 @@ object Similarity {
     val spill =
       if (maxSpill > 0) maxSpill
       else try spark.read.parquet(s"$indexDir/meta").select(col("spill")).head().getInt(0)
-      catch { case _: org.apache.spark.sql.AnalysisException => 2 } // pre-meta index layout
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // pre-meta index layout: guessing the build-time spill would
+          // under-size the per-partition heaps (in-task duplicates from
+          // spilled cells could evict distinct true top-k entries) — exactly
+          // the failure mode the meta file exists to prevent. Fail loudly.
+          throw new IllegalArgumentException(
+            s"IVF index at $indexDir has no meta file (pre-meta layout); pass an " +
+              "explicit maxSpill matching the build-time spill to probe it")
+      }
     val centroids: Array[(Int, Array[Float])] =
       spark.read.parquet(s"$indexDir/centroids")
         .as[(Int, Array[Float])].collect().sortBy(_._1)

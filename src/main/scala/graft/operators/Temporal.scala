@@ -1,27 +1,56 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Temporal joins for event/transcript analytics. */
 object Temporal {
+
+  /** Epoch seconds (floor) of a timestamp/timestamp_ntz/numeric column —
+    * TIMESTAMP_NTZ cannot CAST to BIGINT directly.
+    */
+  private def epochSec(dt: DataType, c: Column): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_timestamp(c)
+    case _                                => c.cast("long")
+  }
 
   /** AS-OF join: for every left row, attach the values of the LATEST right row
     * with `ts_right <= ts_left` for the same key (point-in-time lookup; left
     * rows with no prior right row get nulls). Spark has no native ASOF
     * operator, so this composes built-ins — preference (a) of the custom-
-    * operator ladder — into the scale-right plan: tag and UNION the two sides,
-    * ONE exchange on the key, sort within the key window by (ts, side) with
-    * right rows first at equal timestamps (ties are inclusive: a right row at
-    * exactly ts_left matches, like DuckDB's `a.ts >= b.ts`), and carry the
-    * last non-null right values forward with last(ignoreNulls). No per-row
-    * range probe, no broadcast, no skewed band join: cost is one shuffle +
-    * one linear window pass, the same shape as any keyed window at 100TB.
+    * operator ladder — into a TIME-SLICED two-pass plan that stays bounded on
+    * power-law keys:
+    *
+    *  1. Tag and UNION the two sides, bucket every row into `sliceSec`-wide
+    *     time slices, and run the carry-forward window over
+    *     `(key, bucket)` — a hot key with 10^8 events splits across its time
+    *     buckets instead of serializing into ONE window task (the classic
+    *     skewed-key scale-killer of a plain `partitionBy(key)` window).
+    *  2. Seed each bucket with the last right row of any EARLIER bucket: the
+    *     per-(key, bucket) "last right row" boundary table is tiny (one row
+    *     per key per occupied slice, independent of event count), so its
+    *     per-key prefix scan is bounded by the time range / sliceSec, never by
+    *     the row count. The seeds join back on (key, bucket) — the same
+    *     hash partitioning the window uses, so the exchange is reused.
+    *
+    * The right row travels as ONE struct (`last` without per-column
+    * ignoreNulls): when the latest right row carries a NULL in a value column,
+    * the output preserves that NULL instead of resurrecting an older non-null
+    * value, and all attached columns come from the same right row — matching
+    * SQL/DuckDB ASOF semantics exactly.
+    *
+    * Ties are inclusive (a right row at exactly ts_left matches, like DuckDB's
+    * `a.ts >= b.ts`: right rows sort before left rows at equal timestamps).
+    * Right rows with a NULL timestamp can never match and are dropped; left
+    * rows with a NULL timestamp are kept with null values (LEFT semantics).
     *
     * `right` must carry `key`, `tsCol`, and `valueCols`; the attached columns
     * are named `$prefix<valueCol>`. Multiple right rows at the same (key, ts)
     * are ambiguous by definition (same as SQL ASOF) — callers dedup first.
+    * `sliceSec` trades the number of (key, bucket) groups against per-group
+    * size; correctness is independent of its value.
     */
   def asofJoin(
       left: DataFrame,
@@ -29,29 +58,53 @@ object Temporal {
       key: String,
       tsCol: String,
       valueCols: Seq[String],
-      prefix: String = "asof_"
+      prefix: String = "asof_",
+      sliceSec: Long = 21600L
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    require(sliceSec > 0, "sliceSec must be positive")
     val leftCols = left.columns.toSeq
+    val rvType = StructType(valueCols.map(c => right.schema(c)))
+    // null ts rows park in a sentinel first bucket where no right row can
+    // exist (null-ts right rows are dropped below)
+    def bucketOf(ts: Column) =
+      coalesce(floor(epochSec(left.schema(tsCol).dataType, ts) / sliceSec), lit(Long.MinValue))
     val lAligned = left.select(
       leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
-        lit(1).as("__side"): _*)
-    val rAligned = right.select(
+        Seq(lit(null).cast(rvType).as("__rv"), lit(1).as("__side")): _*)
+    val rAligned = right.where(col(tsCol).isNotNull).select(
       leftCols.map { c =>
         if (c == key) col(key)
         else if (c == tsCol) col(tsCol)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ valueCols.map(c => col(c).as(s"__r_$c")) :+ lit(0).as("__side"): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol).asc, col("__side").asc)
+      } ++ Seq(struct(valueCols.map(col): _*).as("__rv"), lit(0).as("__side")): _*)
+    val unioned = lAligned.union(rAligned)
+      .withColumn("__bucket", bucketOf(col(tsCol)))
+    // boundary table: last right struct per occupied (key, bucket) — ONE row
+    // per group regardless of how many events the bucket holds
+    val lastPerBucket = rAligned
+      .withColumn("__bucket", bucketOf(col(tsCol)))
+      .groupBy(col(key), col("__bucket"))
+      .agg(max_by(col("__rv"), col(tsCol)).as("__blast"))
+    val allBuckets = unioned.select(col(key), col("__bucket")).distinct()
+    // per-key prefix scan over BUCKETS (bounded by time-range/sliceSec, not by
+    // row count): seed = last right row of any strictly earlier bucket
+    val wSeed = Window.partitionBy(col(key)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = allBuckets
+      .join(lastPerBucket, Seq(key, "__bucket"), "left")
+      .select(col(key), col("__bucket"),
+        last(col("__blast"), ignoreNulls = true).over(wSeed).as("__seed"))
+    // within-bucket linear carry: right rows first at equal ts (inclusive match)
+    val wB = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lAligned.union(rAligned)
-      .select(
-        leftCols.map(col) ++
-          valueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")) :+
-          col("__side"): _*)
+    unioned.join(seeds, Seq(key, "__bucket"))
+      .withColumn("__rvc",
+        coalesce(last(col("__rv"), ignoreNulls = true).over(wB), col("__seed")))
       .where(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__rvc").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** RANGE (interval-containment) join: pair each event row with every interval
@@ -66,6 +119,18 @@ object Temporal {
     * ceil(len/bucket)+1 per interval; pick bucketSec near the typical interval
     * length to keep it ~2x.
     *
+    * Poison-interval discipline: one hostile/corrupt interval (end in year
+    * 3000) would otherwise explode to millions of bucket rows — or trip
+    * Spark's array-length ceiling and FAIL THE JOB. Interval length is
+    * therefore clamped at `maxIntervalSec`: matches more than
+    * maxIntervalSec (rounded up to the next bucket boundary) past the
+    * interval's start are dropped, and the truncation is OBSERVABLE, never
+    * silent — `truncated_intervals` / `intervals` ride the pass as an
+    * Observation (pass one in) or a named observe metric, mirroring the
+    * capped-bucket near-dup operators. Degenerate intervals (null bounds or
+    * end < start) match nothing by definition and are filtered before the
+    * explode.
+    *
     * Output: every matched pair, event columns + the interval's columns
     * (callers aggregate). Interval columns other than key/start/end must not
     * collide with event column names.
@@ -77,13 +142,31 @@ object Temporal {
       tsCol: String,
       startCol: String,
       endCol: String,
-      bucketSec: Long = 3600L
+      bucketSec: Long = 3600L,
+      maxIntervalSec: Long = 30L * 86400L,
+      obs: Option[Observation] = None
   ): DataFrame = {
-    val e = events.withColumn("__ebucket", floor(unix_timestamp(col(tsCol)) / bucketSec))
-    val i = intervals
+    require(bucketSec > 0, "bucketSec must be positive")
+    require(maxIntervalSec > 0, "maxIntervalSec must be positive")
+    val e = events.withColumn("__ebucket",
+      floor(epochSec(events.schema(tsCol).dataType, col(tsCol)) / bucketSec))
+    val startSec = epochSec(intervals.schema(startCol).dataType, col(startCol))
+    val endSec = epochSec(intervals.schema(endCol).dataType, col(endCol))
+    val clamped0 = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull && endSec >= startSec)
+      .withColumn("__trunc", endSec > startSec + maxIntervalSec)
+      .withColumn("__cend", least(endSec, startSec + maxIntervalSec))
+    val truncExprs = Seq(
+      sum(when(col("__trunc"), 1L).otherwise(0L)).as("truncated_intervals"),
+      count(lit(1)).as("intervals"))
+    val clamped = obs match {
+      case Some(o) => clamped0.observe(o, truncExprs.head, truncExprs.tail: _*)
+      case None    => clamped0.observe("graft.temporal.range", truncExprs.head, truncExprs.tail: _*)
+    }
+    val i = clamped
       .withColumn("__ibucket", explode(sequence(
-        floor(unix_timestamp(col(startCol)) / bucketSec),
-        floor(unix_timestamp(col(endCol)) / bucketSec))))
+        floor(startSec / bucketSec), floor(col("__cend") / bucketSec))))
+      .drop("__trunc", "__cend")
       .withColumnRenamed(key, "__ikey")
     e.join(i, col("__ebucket") === col("__ibucket") && col(key) === col("__ikey"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))

@@ -145,8 +145,9 @@ object MiniPdf {
   }
 
   /** PDF 1.5-shaped variant: same document, but the cross-reference is a
-    * /Type /XRef STREAM (W [1 2 1]) whose data is PNG-Up predictor-encoded
-    * (/DecodeParms << /Predictor 12 /Columns 4 >>) and flate-compressed — the
+    * /Type /XRef STREAM (W [1 3 1]: 5-byte rows whose 3-byte offsets carry
+    * payloads up to ~16MB) whose data is PNG-Up predictor-encoded
+    * (/DecodeParms << /Predictor 12 /Columns 5 >>) and flate-compressed — the
     * modern layout the reference cannot open (xref.rs:331-333, 368-376). Only
     * the LENIENT engine mode (core/Lenient.scala) extracts these; strict mode
     * replicates the reference panic. Deterministic.

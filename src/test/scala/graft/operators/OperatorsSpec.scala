@@ -359,6 +359,131 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("a" -> Some(1.5), "b" -> Some(2.5), "c" -> None, "d" -> None))
   }
 
+  test("asofJoin: latest right row travels whole — its nulls are preserved, all cols from one row") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // the latest right row (ts=20) has v1=null: SQL ASOF attaches THAT row's
+    // null, never an older row's non-null v1; v1/v2 must come from the same row
+    val left = Seq((1L, ts(25), "q")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), Option(1.0), Option("x")),
+      (1L, ts(20), Option.empty[Double], Option("y"))).toDF("k", "ts", "v1", "v2")
+    val got = Temporal.asofJoin(left, right, "k", "ts", Seq("v1", "v2"))
+      .select($"asof_v1", $"asof_v2").as[(Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq((None, Some("y"))),
+      s"nulls of the matched right row must be preserved, got $got")
+  }
+
+  test("asofJoin: brute-force parity on a dense random set across slice boundaries") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rnd = new scala.util.Random(11)
+    val ls = (0 until 400).map(i => (rnd.nextInt(4).toLong, i.toLong, ts(rnd.nextInt(5000))))
+    val rs = (0 until 60).map(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(5000)), if (i % 7 == 0) None else Some(i.toDouble)))
+    // sliceSec smaller than the time range: seeds must carry across many buckets
+    val got = Temporal.asofJoin(ls.toDF("k", "eid", "ts"), rs.toDF("k", "ts", "v"),
+      "k", "ts", Seq("v"), sliceSec = 300L)
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    // dedup equal (k, ts) right rows like the operator contract demands
+    // (ambiguous by definition); this seed has none — assert that first
+    val rKeys = rs.map(r => (r._1, r._2.getTime))
+    assert(rKeys.distinct.size == rKeys.size, "seed produced ambiguous right rows")
+    val expected = ls.map { case (k, eid, t) =>
+      val prior = rs.filter(r => r._1 == k && !r._2.after(t))
+      eid -> (if (prior.isEmpty) None else prior.maxBy(_._2.getTime)._3)
+    }.toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
+  }
+
+  test("asofJoin: hot key is time-sliced — window tasks bounded by (key, bucket), not key") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // one user with 20,000 events among tiny keys — the round-3 plan serialized
+    // all 20k into ONE window task; the sliced plan bounds each task by the
+    // events inside one sliceSec bucket
+    val sliceSec = 1000L
+    val hot = (0 until 20000).map(i => (1L, i.toLong, ts(i.toLong)))
+    val cold = (0 until 50).map(i => (100L + i, 90000L + i, ts(i * 37L)))
+    val ls = hot ++ cold
+    val rs = (0 until 200).map(i => (1L, ts(i * 100L), i.toDouble)) ++
+      (0 until 50).map(i => (100L + i, ts(5L), -1.0))
+    val df = Temporal.asofJoin(ls.toDF("k", "eid", "ts"), rs.toDF("k", "ts", "v"),
+      "k", "ts", Seq("v"), sliceSec = sliceSec)
+    // plan evidence: the carry window partitions on (key, bucket)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"), s"window must partition on the time slice:\n${plan.take(1500)}")
+    // data evidence: the largest (key, bucket) group is bucket-sized, far below
+    // the hot key's row count
+    val maxGroup = ls.groupBy(l => (l._1, l._3.getTime / 1000 / sliceSec))
+      .values.map(_.size).max
+    assert(maxGroup <= sliceSec + 1 && maxGroup < hot.size / 10,
+      s"hot key not sliced: max group $maxGroup of ${hot.size}")
+    // correctness unchanged by slicing
+    val got = df.select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    val expected = ls.map { case (k, eid, t) =>
+      val prior = rs.filter(r => r._1 == k && !r._2.after(t))
+      eid -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("rangeJoin: hostile interval is clamped with an observable truncation count, job survives") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // end in the year 3000: unclamped this explodes to ~18M bucket rows (or
+    // trips MAX_ROUNDED_ARRAY_LENGTH and fails the job); clamped it completes
+    // with the truncation observable — the pipeline's poison-row discipline
+    val year3000 = 32503680000L
+    val events = Seq((1L, 100L, ts(10)), (1L, 101L, ts(3000)), (1L, 102L, ts(999999)))
+      .toDF("k", "eid", "ts")
+    val intervals = Seq((1L, 900L, ts(0), ts(year3000)), (1L, 901L, ts(0), ts(3600)))
+      .toDF("k", "iid", "lo", "hi")
+    val obs = new org.apache.spark.sql.Observation("range-trunc")
+    val got = Temporal.rangeJoin(events, intervals, "k", "ts", "lo", "hi",
+      bucketSec = 1800L, maxIntervalSec = 86400L, obs = Some(obs))
+      .select($"eid", $"iid").as[(Long, Long)].collect().toSet
+    // matches inside the clamp window survive; the 999999s event (past the
+    // 86400s clamp) is the documented recall loss
+    assert(got == Set((100L, 900L), (101L, 900L), (100L, 901L), (101L, 901L)), s"got $got")
+    assert(obs.get("truncated_intervals").asInstanceOf[Long] == 1L,
+      "clamping must be reported, never silent")
+    assert(obs.get("intervals").asInstanceOf[Long] == 2L)
+    // degenerate interval (end < start) matches nothing and never explodes
+    val degenerate = Seq((1L, 902L, ts(100), ts(50))).toDF("k", "iid", "lo", "hi")
+    assert(Temporal.rangeJoin(events, degenerate, "k", "ts", "lo", "hi").count() == 0L)
+  }
+
+  test("clusters: durable checkpointDir variant labels identically; convergence is join-free") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val got = Dedup.clusters(pairs, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the durable checkpoint actually landed in the requested dir
+    assert(new java.io.File(dir).listFiles().nonEmpty, "checkpointDir unused")
+  }
+
+  test("ivfProbe: pre-meta index layout fails loudly instead of guessing spill") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-premeta").toString
+    Similarity.ivfBuildIndex(emb, dir, nCells = 8)
+    // simulate a legacy index: remove the meta file
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/meta"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfProbe(spark, dir, 0L until 2L, k = 3)
+    }
+    assert(e.getMessage.contains("maxSpill"))
+    // and the documented escape hatch works
+    val ok = Similarity.ivfProbe(spark, dir, 0L until 2L, k = 3, maxSpill = 2)
+    assert(ok.count() > 0)
+  }
+
   test("rangeJoin: inclusive containment, bucket-boundary-spanning intervals, key isolation") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
