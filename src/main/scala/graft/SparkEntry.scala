@@ -122,6 +122,23 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
+    // LENIENT filter extension end to end: every doc becomes a classic-xref PDF
+    // whose CONTENT STREAM is ASCIIHexDecode- (even ids) or LZWDecode-encoded
+    // (odd ids) — filter names the reference (and strict mode) panics on
+    // (body.rs:42-54) — routed through pdf-b64-lenient; the text must round-trip
+    // exactly and the LZW path exercises real 9->10-bit code-width growth on
+    // longer docs.
+    "q_pdf_filters_lenient" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val f = if (id % 2 == 0) "ASCIIHexDecode" else "LZWDecode"
+          val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",
+            MiniPdf.synthesizeFilteredBase64(text, f), "pdf-b64-lenient", null))
+          (id, e.extracted_text, e.payload_kind, e.error == null)
+        })
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+    }),
     "q_plain_identity" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -713,6 +730,8 @@ object SparkEntry {
     "q_plain_identity" ->
       "SELECT doc_id, text AS extracted_text, true AS ok FROM documents ORDER BY doc_id",
     "q_pdf_lenient_roundtrip" ->
+      "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
+    "q_pdf_filters_lenient" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     "q_token_count" ->
       "SELECT doc_id, CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> CAST(ceil(length(w)/4.0) AS INT)), 'sum') AS INT) END AS bpe_tokens, length(text) AS n_chars_obs FROM documents ORDER BY doc_id",

@@ -4,12 +4,20 @@ package graft.core
 
 sealed trait BodyFilter
 case object FlateDecodeFilter extends BodyFilter
+/** Lenient-only (core/Filters.scala); strict mode panics like the reference. */
+case object AsciiHexFilter extends BodyFilter
+case object LzwFilter extends BodyFilter
 
 object BodyFilter {
-  /** body.rs:42-54 — only FlateDecode supported. */
-  def from(name: String): BodyFilter = name match {
-    case "FlateDecode" => FlateDecodeFilter
-    case other         => Err.fail(s"Filter name $other is currently not supported")
+  /** body.rs:42-54 — only FlateDecode supported in strict mode; the lenient
+    * engine extension additionally admits ASCIIHexDecode and LZWDecode (any
+    * other name keeps the reference's exact panic in both modes).
+    */
+  def from(name: String, lenient: Boolean = false): BodyFilter = name match {
+    case "FlateDecode"                  => FlateDecodeFilter
+    case "ASCIIHexDecode" if lenient    => AsciiHexFilter
+    case "LZWDecode" if lenient         => LzwFilter
+    case other                          => Err.fail(s"Filter name $other is currently not supported")
   }
 }
 
@@ -17,7 +25,7 @@ object BodyFilter {
 final case class StreamDict(length: Num, filter: Option[BodyFilter])
 
 object StreamDict {
-  def from(dict: Map[String, PdfObj]): StreamDict = StreamDict(
+  def from(dict: Map[String, PdfObj], lenient: Boolean = false): StreamDict = StreamDict(
     length = dict.get("Length") match {
       case Some(PNum(n)) => n
       case Some(PRef(obj, gen, ctx)) =>
@@ -33,7 +41,7 @@ object StreamDict {
       case _    => Err.fail("Length should be a numeric")
     },
     filter = dict.get("Filter") match {
-      case Some(PName(name)) => Some(BodyFilter.from(name))
+      case Some(PName(name)) => Some(BodyFilter.from(name, lenient))
       case None              => None
       case _                 => Err.fail("Filter should be a name")
     }
@@ -42,9 +50,14 @@ object StreamDict {
 
 /** Typed stream — body.rs:87-116. */
 final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
-  /** body.rs:103-109 — FlateDecode (with 10x zero-pad semantics) or raw. */
+  /** body.rs:103-109 — FlateDecode (with 10x zero-pad semantics) or raw; the
+    * lenient-only filters decode exactly (no pad quirk — that quirk is a
+    * FlateDecode implementation artifact of the reference).
+    */
   def getData: Array[Byte] = dict.filter match {
     case Some(FlateDecodeFilter) => Flate.flateDecode(content)
+    case Some(AsciiHexFilter)    => LenientFilters.asciiHexDecode(content)
+    case Some(LzwFilter)         => LenientFilters.lzwDecode(content)
     case None                    => content
   }
 
@@ -55,6 +68,8 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
     */
   def getDataExact: Array[Byte] = dict.filter match {
     case Some(FlateDecodeFilter) => Flate.flateDecodeExact(content)
+    case Some(AsciiHexFilter)    => LenientFilters.asciiHexDecode(content)
+    case Some(LzwFilter)         => LenientFilters.lzwDecode(content)
     case None                    => content
   }
 
@@ -72,16 +87,19 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
     case Some(FlateDecodeFilter) =>
       val exact = Flate.flateDecodeExact(content)
       if (PdfTokenizer.padSensitiveAtEof(exact)) Flate.flateDecode(content) else exact
-    case None => content
+    case Some(AsciiHexFilter) => LenientFilters.asciiHexDecode(content)
+    case Some(LzwFilter)      => LenientFilters.lzwDecode(content)
+    case None                 => content
   }
 }
 
 object BodyStream {
   def parseAt(ctx: Ctx, at: Int): BodyStream = ObjParser.parseAt(ctx, at) match {
-    case PStream(header, bytes) => BodyStream(StreamDict.from(header), bytes)
+    case PStream(header, bytes) => BodyStream(StreamDict.from(header, ctx.lenient), bytes)
     case _                      => Err.fail("Stream should be a dictionary")
   }
-  def from(s: PStream): BodyStream = BodyStream(StreamDict.from(s.header), s.bytes)
+  def from(s: PStream, lenient: Boolean = false): BodyStream =
+    BodyStream(StreamDict.from(s.header, lenient), s.bytes)
 }
 
 /** Font record — body.rs:150-299. */
@@ -222,7 +240,7 @@ object PdfFont {
             case Some(address) =>
               ObjParser.parseAt(ctx, address) match {
                 case s: PStream =>
-                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s).getDataForLexing)))
+                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s, ctx.lenient).getDataForLexing)))
                 case o => Err.fail(s"ToUnicode should be a stream object, found $o")
               }
             case None => Err.fail("ToUnicode stream object not found in xref table")

@@ -87,7 +87,7 @@ object Lenient {
       if (typ2.size > MaxMaterialized) Err.fail(s"more than $MaxMaterialized object-stream members")
       val out = new java.io.ByteArrayOutputStream(raw.length + 1024)
       out.write(raw, 0, raw.length)
-      val baseCtx = new Ctx(raw, XrefTable(NInt(size), None, root, None, info, table))
+      val baseCtx = new Ctx(raw, XrefTable(NInt(size), None, root, None, info, table), lenient = true)
       typ2.groupBy(_._2._1).foreach { case (container, members) =>
         val containerOff = table.get((container, 0)) match {
           case Some((off, true)) => off
@@ -207,9 +207,11 @@ object Lenient {
       case _    => Err.fail("/Index must be an array")
     }
     val inflated = s.header.get("Filter") match {
-      case Some(PName("FlateDecode")) => Flate.flateDecodeExact(s.bytes)
-      case None                       => s.bytes
-      case Some(o)                    => Err.fail(s"xref stream filter not supported: $o")
+      case Some(PName("FlateDecode"))    => Flate.flateDecodeExact(s.bytes)
+      case Some(PName("ASCIIHexDecode")) => LenientFilters.asciiHexDecode(s.bytes)
+      case Some(PName("LZWDecode"))      => LenientFilters.lzwDecode(s.bytes)
+      case None                          => s.bytes
+      case Some(o)                       => Err.fail(s"xref stream filter not supported: $o")
     }
     val data = s.header.get("DecodeParms") match {
       case Some(PDict(p)) =>
@@ -275,9 +277,11 @@ object Lenient {
     }
     if (n < 0 || n > MaxMaterialized) Err.fail(s"object stream /N $n out of range")
     val data = stm.header.get("Filter") match {
-      case Some(PName("FlateDecode")) => Flate.flateDecodeExact(stm.bytes)
-      case None                       => stm.bytes
-      case Some(o)                    => Err.fail(s"object stream filter not supported: $o")
+      case Some(PName("FlateDecode"))    => Flate.flateDecodeExact(stm.bytes)
+      case Some(PName("ASCIIHexDecode")) => LenientFilters.asciiHexDecode(stm.bytes)
+      case Some(PName("LZWDecode"))      => LenientFilters.lzwDecode(stm.bytes)
+      case None                          => stm.bytes
+      case Some(o)                       => Err.fail(s"object stream filter not supported: $o")
     }
     val tok = new PdfTokenizer(data, 0)
     val pairs = Array.tabulate(n) { _ =>

@@ -425,8 +425,11 @@ final class Lemmatizer(val tok: PdfTokenizer, val ctx: Ctx) {
 
 /** Resolution context: the byte array refs resolve against + the xref index.
   * Mirrors the (bytes, Rc<XRef>) pair the reference stores inside IndirectRef/Object::Ref.
+  * `lenient` rides along so stream decoding can admit the lenient-only filters
+  * (ASCIIHex/LZW — core/Filters.scala); strict contexts keep the reference's
+  * FlateDecode-only panic.
   */
-final class Ctx(val bytes: Array[Byte], val xref: XRef)
+final class Ctx(val bytes: Array[Byte], val xref: XRef, val lenient: Boolean = false)
 
 object Lemmatizer {
   def apply(bytes: Array[Byte], at: Int, ctx: Ctx): Lemmatizer =

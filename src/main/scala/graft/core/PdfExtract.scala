@@ -33,7 +33,7 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean) {
   /** Text + spans (engine addition; spans populated for Text mode only). */
   def extractResult(mode: ExtractMode): ExtractResult = {
     val catalogOffset = xref.getCatalogOffset.getOrElse(Err.fail("catalog offset not found"))
-    val ctx = new Ctx(body, xref)
+    val ctx = new Ctx(body, xref, lenient)
     val catalog = PdfCatalog.parseAt(ctx, catalogOffset)
     catalog.extract(mode)
   }
@@ -42,7 +42,7 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean) {
     * reference never wires this to its CLI; exposed here as a library call).
     */
   def readInfo: Option[PdfInfo] = xref.infoKey.flatMap { key =>
-    xref.getAndFix(key, body).map(off => PdfInfo.parseAt(new Ctx(body, xref), off))
+    xref.getAndFix(key, body).map(off => PdfInfo.parseAt(new Ctx(body, xref, lenient), off))
   }
 }
 

@@ -210,6 +210,57 @@ object MiniPdf {
   def synthesizeXrefStreamBase64(text: String): String =
     java.util.Base64.getEncoder.encodeToString(synthesizeXrefStream(text))
 
+  /** Variant whose content stream is ASCIIHexDecode- or LZWDecode-encoded —
+    * filters the reference panics on (body.rs:42-54) and strict mode panics on
+    * identically; only the LENIENT engine mode (core/Filters.scala decoders,
+    * admitted through the Ctx.lenient flag) extracts these. Classic xref
+    * otherwise — the document is strict-shaped except for the filter name.
+    * Deterministic: both encoders are pure functions.
+    */
+  def synthesizeFiltered(text: String, filterName: String): Array[Byte] = {
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
+      .getBytes(ISO_8859_1)
+    val encoded = filterName match {
+      case "ASCIIHexDecode" => graft.core.LenientFilters.asciiHexEncode(content)
+      case "LZWDecode"      => graft.core.LenientFilters.lzwEncode(content)
+      case other            => throw new IllegalArgumentException(s"no encoder for $other")
+    }
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      null, // stream object assembled below (binary body)
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      if (body == null) {
+        w(s"<< /Length ${encoded.length} /Filter /$filterName >>\nstream\n")
+        out.write(encoded)
+        w("\nendstream")
+      } else w(body)
+      w("\nendobj\n")
+    }
+    val xrefOff = out.size()
+    w("xref\n")
+    w(s"0 ${objects.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w("trailer\n")
+    w(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
+  def synthesizeFilteredBase64(text: String, filterName: String): String =
+    java.util.Base64.getEncoder.encodeToString(synthesizeFiltered(text, filterName))
+
   /** Variant with a FlateDecode-compressed content stream — exercises the filter
     * path (body.rs:103-109 + filters.rs semantics) end-to-end. Deterministic:
     * JDK Deflater with a fixed level on fixed input.

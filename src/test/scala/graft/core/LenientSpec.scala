@@ -171,4 +171,72 @@ class LenientSpec extends AnyFunSuite {
     // reference-faithful failure
     intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
   }
+
+  // --- lenient-only stream filters (ASCIIHexDecode / LZWDecode) -------------------
+
+  test("ASCIIHexDecode: whitespace, case, EOD, odd-digit padding, invalid char") {
+    def d(s: String) = LenientFilters.asciiHexDecode(s.getBytes(ISO_8859_1)).toSeq
+    assert(d("48656C6C6F>") == "Hello".getBytes(ISO_8859_1).toSeq)
+    assert(d("48 65\n6c6C\t6f>") == "Hello".getBytes(ISO_8859_1).toSeq)
+    assert(d("7>") == Seq(0x70.toByte)) // odd digit: implicit trailing '0'
+    assert(d("414>ignored garbage after EOD") == Seq('A'.toByte, 0x40.toByte))
+    assert(d("") == Seq.empty)
+    intercept[PdfParseException](d("4z>"))
+    // encoder pairs with the decoder
+    val bytes = Array.tabulate(300)(i => (i * 7).toByte)
+    assert(LenientFilters.asciiHexDecode(LenientFilters.asciiHexEncode(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("LZWDecode: round-trip across code-width growth, KwKwK, clear handling") {
+    def rt(b: Array[Byte]): Unit =
+      assert(LenientFilters.lzwDecode(LenientFilters.lzwEncode(b)).toSeq == b.toSeq,
+        s"round-trip failed at ${b.length} bytes")
+    rt(Array.empty[Byte])
+    rt("a".getBytes(ISO_8859_1))
+    // KwKwK: runs of one byte force code == nextCode on the decoder
+    rt(Array.fill(50)('a'.toByte))
+    // random bytes never compress: one table entry per ~emitted code — 2KB
+    // crosses the 9->10-bit boundary, 16KB crosses 10->11 and 11->12
+    val rnd = new scala.util.Random(42)
+    rt(Array.fill(2048)(rnd.nextInt(256).toByte))
+    rt(Array.fill(16384)(rnd.nextInt(256).toByte))
+    // highly repetitive text exercises long table chains
+    rt(("the quick brown fox " * 400).getBytes(ISO_8859_1))
+    // table-full clear: enough distinct-pair pressure to pass 4095 entries
+    rt(Array.tabulate(40000)(i => ((i * 31) ^ (i >> 3)).toByte))
+    // hand-checked vector: CLEAR 'A' 'B' EOD at 9 bits
+    // 256=100000000, 65=001000001, 66=001000010, 257=100000001 -> packed MSB-first
+    val enc = LenientFilters.lzwEncode("AB".getBytes(ISO_8859_1))
+    assert(LenientFilters.lzwDecode(enc).toSeq == "AB".getBytes(ISO_8859_1).toSeq)
+    // truncated stream (EOD missing) returns the decoded prefix, never throws
+    val noEod = enc.dropRight(1)
+    assert(LenientFilters.lzwDecode(noEod).length <= 2)
+  }
+
+  test("lenient: ASCIIHex/LZW content streams extract; strict panics with the reference wording") {
+    for (f <- Seq("ASCIIHexDecode", "LZWDecode")) {
+      val pdf = graft.pipeline.MiniPdf.synthesizeFiltered(s"Filtered via $f!", f)
+      assert(Pdf.lenient(pdf).extract(ExtractText) == s"Filtered via $f!", f)
+      // readInfo is unaffected (info dict is not behind the filter)
+      assert(Pdf.lenient(pdf).readInfo.flatMap(_.author).contains("graft"))
+      // strict mode: the reference's exact panic (body.rs:42-54) — parity
+      val e = intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+      assert(e.getMessage == s"Filter name $f is currently not supported")
+    }
+    // unknown filter names still panic identically in BOTH modes
+    val e2 = intercept[PdfParseException](graft.core.BodyFilter.from("DCTDecode", lenient = true))
+    assert(e2.getMessage == "Filter name DCTDecode is currently not supported")
+  }
+
+  test("lenient filters flow through the pipeline's pdf-b64-lenient route") {
+    for (f <- Seq("ASCIIHexDecode", "LZWDecode")) {
+      val turn = graft.pipeline.Turn("c", 0, "user",
+        graft.pipeline.MiniPdf.synthesizeFilteredBase64(s"route $f", f), "pdf-b64-lenient", null)
+      val e = graft.pipeline.ExtractJob.extractTurn(turn)
+      assert(e.error == null && e.extracted_text == s"route $f", f)
+      // the strict route lands the reference panic in the error column
+      val strict = graft.pipeline.ExtractJob.extractTurn(turn.copy(tool = "pdf-b64"))
+      assert(strict.error != null && strict.error.contains("currently not supported"))
+    }
+  }
 }
