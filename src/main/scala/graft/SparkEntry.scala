@@ -315,11 +315,13 @@ object SparkEntry {
 
     // ---- multimodal plumbing ----------------------------------------------------------
     // Real header decode, value-checked end to end: docs are wrapped into
-    // structurally valid PNG / JPEG envelopes (dims derived from doc_id) or left
-    // opaque (stub path), the payload blobs land at a fixed parquet path, and
-    // the DuckDB oracle re-parses width/height FROM THE SAME BYTES via
-    // hex-offset arithmetic — so the header parsers, not just the plumbing, are
-    // driver-checked.
+    // structurally valid PNG / JPEG / WAV / MP4 envelopes (dims and audio
+    // params derived from doc_id) or left opaque (stub path), the payload
+    // blobs land at a fixed parquet path, and the DuckDB oracle re-parses
+    // width/height/rate/channels/sample-frames FROM THE SAME BYTES via
+    // hex-offset arithmetic (incl. little-endian RIFF fields and 16.16
+    // fixed-point tkhd dims) — so the header parsers, not just the plumbing,
+    // are driver-checked.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -327,9 +329,11 @@ object SparkEntry {
           val tail = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val w = (1 + id % 640).toInt
           val h = (1 + id % 480).toInt
-          val payload = (id % 3) match {
+          val payload = (id % 5) match {
             case 0 => Multimodal.pngEnvelope(w, h, tail)
             case 1 => Multimodal.jpegEnvelope(w, h, tail)
+            case 2 => Multimodal.wavEnvelope(8000 + (id % 96).toInt * 250, 1 + (id % 2).toInt, tail)
+            case 3 => Multimodal.mp4Envelope(w, h, tail)
             case _ => tail // opaque payload -> deterministic stub path
           }
           Multimodal.MediaRow(id, payload)
@@ -787,21 +791,37 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5 ORDER BY query_id, rank",
     // Header parse re-expressed over the SAME payload bytes: PNG IHDR w/h are
     // the big-endian u32s at byte offsets 16/20 (hex offsets 33/41); the JPEG
-    // envelope pins SOF0 at byte offset 20, so h/w sit at hex offsets 51/55.
-    // Non-image payloads take the documented stub formulas.
+    // envelope pins SOF0 at byte offset 20, so h/w sit at hex offsets 51/55;
+    // the WAV envelope pins the fmt chunk (channels LE16 @22, rate LE32 @24,
+    // data length LE32 @40 — little-endian = hex pairs concatenated in
+    // reverse); the MP4 envelope pins tkhd dims at bytes 116/120 (16.16 fixed
+    // point: integer part = u32 // 65536). Non-media payloads take the
+    // documented stub formulas.
     "q_multimodal_meta" ->
       (s"WITH m AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n " +
-        s"FROM read_parquet('$MultimodalPayloadPath/*.parquet')) " +
+        s"FROM read_parquet('$MultimodalPayloadPath/*.parquet')), " +
+        "k AS (SELECT doc_id, h, n, " +
+        "(substr(h, 1, 16) = '89504E470D0A1A0A') AS is_png, " +
+        "(substr(h, 1, 4) = 'FFD8') AS is_jpg, " +
+        "(substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645') AS is_wav, " +
+        "(substr(h, 9, 8) = '66747970') AS is_mp4 FROM m), " +
+        "w AS (SELECT *, CASE WHEN is_wav THEN " +
+        "('0x' || substr(h, 47, 2) || substr(h, 45, 2))::BIGINT ELSE 0 END AS wav_ch FROM k) " +
         "SELECT doc_id, " +
-        "CAST(CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN ('0x' || substr(h, 33, 8))::BIGINT " +
-        "WHEN substr(h, 1, 4) = 'FFD8' THEN ('0x' || substr(h, 55, 4))::BIGINT " +
+        "CAST(CASE WHEN is_png THEN ('0x' || substr(h, 33, 8))::BIGINT " +
+        "WHEN is_jpg THEN ('0x' || substr(h, 55, 4))::BIGINT " +
+        "WHEN is_wav THEN ('0x' || substr(h, 55, 2) || substr(h, 53, 2) || substr(h, 51, 2) || substr(h, 49, 2))::BIGINT " +
+        "WHEN is_mp4 THEN ('0x' || substr(h, 233, 8))::BIGINT // 65536 " +
         "ELSE 1 + (n % 64) END AS INT) AS width, " +
-        "CAST(CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN ('0x' || substr(h, 41, 8))::BIGINT " +
-        "WHEN substr(h, 1, 4) = 'FFD8' THEN ('0x' || substr(h, 51, 4))::BIGINT " +
+        "CAST(CASE WHEN is_png THEN ('0x' || substr(h, 41, 8))::BIGINT " +
+        "WHEN is_jpg THEN ('0x' || substr(h, 51, 4))::BIGINT " +
+        "WHEN is_wav THEN wav_ch " +
+        "WHEN is_mp4 THEN ('0x' || substr(h, 241, 8))::BIGINT // 65536 " +
         "ELSE 1 + (n % 37) END AS INT) AS height, " +
-        "CAST(CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' OR substr(h, 1, 4) = 'FFD8' " +
-        "THEN 1 ELSE 1 + n // 100 END AS INT) AS frames, " +
-        "CAST(n AS BIGINT) AS bytes FROM m ORDER BY doc_id"),
+        "CAST(CASE WHEN is_png OR is_jpg OR is_mp4 THEN 1 " +
+        "WHEN is_wav THEN ('0x' || substr(h, 87, 2) || substr(h, 85, 2) || substr(h, 83, 2) || substr(h, 81, 2))::BIGINT // (wav_ch * 2) " +
+        "ELSE 1 + n // 100 END AS INT) AS frames, " +
+        "CAST(n AS BIGINT) AS bytes FROM w ORDER BY doc_id"),
     "q1_pricing_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_revenue" ->

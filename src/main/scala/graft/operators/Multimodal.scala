@@ -86,24 +86,97 @@ object Multimodal {
     None
   }
 
-  /** Decode image dimensions from REAL container headers — pure-JVM byte reads,
-    * no codec library needed: PNG IHDR and JPEG SOFn marker scan. Stills have
-    * frames=1. Payloads that are neither (or are structurally corrupt) fall
-    * back to the deterministic `decodeStub`; full pixel decode stays stubbed
-    * (no image libraries in this environment) — only header metadata is real.
+  @inline private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  @inline private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** WAV/RIFF audio meta via a real chunk walk (RIFF spec; WAVE fmt + data
+    * chunks): the audio axes flatten into MediaMeta as width = sample rate,
+    * height = channel count, frames = SAMPLE frames (data bytes / block
+    * align) — the documented audio mapping of the shared media schema.
+    */
+  private def wavMeta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var pos = 12
+    var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1
+    while (pos + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16) {
+        channels = le16(b, pos + 10)
+        rate = le32(b, pos + 12)
+        blockAlign = le16(b, pos + 20)
+      } else if (id == "data") dataLen = size
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned (odd sizes pad)
+    }
+    if (rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0)
+      Some((rate, channels, dataLen / blockAlign))
+    else None
+  }
+
+  /** MP4/ISO-BMFF video dims via a real box walk: moov -> trak -> tkhd, whose
+    * v0/v1 payload ends in 16.16 fixed-point track width/height
+    * (ISO 14496-12 §8.3.2). frames stays 1 (frame COUNT lives in stbl sample
+    * tables — out of header-metadata scope).
+    */
+  private def mp4Dims(b: Array[Byte]): Option[(Int, Int)] = {
+    // find a child box named `name` inside [from, to); returns (payloadStart, payloadEnd)
+    def child(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size = be32(b, pos)
+        if (size < 8 || pos + size > to) return None
+        val id = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (id == name) return Some((pos + 8, pos + size))
+        pos += size
+      }
+      None
+    }
+    for {
+      (moovS, moovE) <- child("moov", 0, b.length)
+      (trakS, trakE) <- child("trak", moovS, moovE)
+      (tkhdS, tkhdE) <- child("tkhd", trakS, trakE)
+      version = u8(b, tkhdS)
+      // v0: 4 flags + 20 times/ids + 8 reserved + 8 layer/group/vol + 36 matrix
+      // = 76 bytes before width; v1 carries 64-bit times (+12)
+      wOff = tkhdS + (if (version == 1) 88 else 76)
+      if wOff + 8 <= tkhdE
+      w = be32(b, wOff) >>> 16
+      h = be32(b, wOff + 4) >>> 16
+      if w > 0 && h > 0
+    } yield (w, h)
+  }
+
+  /** Decode media metadata from REAL container headers — pure-JVM byte reads,
+    * no codec library needed: PNG IHDR, JPEG SOFn marker scan, WAV/RIFF fmt
+    * chunk walk, MP4 moov/trak/tkhd box walk. Stills and videos report their
+    * pixel dims (frames=1 — sample tables are out of scope); audio flattens as
+    * (sample rate, channels, sample frames). Payloads that are none of these
+    * (or are structurally corrupt) fall back to the deterministic
+    * `decodeStub`; full pixel/sample decode stays stubbed (no codec libraries
+    * in this environment) — only header metadata is real.
     */
   def decode(payload: Array[Byte]): MediaMeta = {
     // structural corruption must FALL BACK, never fail the row (the pipeline
     // contract): the parsers bounds-check, and this catch backstops them
-    val dims =
+    val meta =
       try {
-        if (isPng(payload)) pngDims(payload)
-        else if (isJpeg(payload)) jpegDims(payload)
+        if (isPng(payload)) pngDims(payload).map { case (w, h) => (w, h, 1) }
+        else if (isJpeg(payload)) jpegDims(payload).map { case (w, h) => (w, h, 1) }
+        else if (isWav(payload)) wavMeta(payload)
+        else if (isMp4(payload)) mp4Dims(payload).map { case (w, h) => (w, h, 1) }
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
-    dims match {
-      case Some((w, h)) => MediaMeta(w, h, frames = 1, bytes = payload.length.toLong)
-      case None         => decodeStub(payload)
+    meta match {
+      case Some((w, h, f)) => MediaMeta(w, h, frames = f, bytes = payload.length.toLong)
+      case None            => decodeStub(payload)
     }
   }
 
@@ -157,6 +230,63 @@ object Multimodal {
     wb(0x01, 0x01, 0x11, 0x00) // 1 component: id 1, 1x1 sampling, qtable 0
     out.write(tail, 0, tail.length)
     wb(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid WAV: RIFF/WAVE header, a canonical 16-byte PCM
+    * fmt chunk at FIXED byte offset 12 (channels LE16 @22, sample rate LE32
+    * @24, block align LE16 @32), data length LE32 @40, and the tail as the
+    * data chunk payload from byte 44. The fixed layout lets a SQL oracle read
+    * the fields at hex offsets without a chunk walk; the DECODER still does
+    * the real walk. 16-bit PCM: block align = channels*2.
+    */
+  def wavEnvelope(sampleRate: Int, channels: Int, tail: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wle32(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def wle16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    val blockAlign = channels * 2
+    tag("RIFF"); wle32(36 + tail.length); tag("WAVE")
+    tag("fmt "); wle32(16)
+    wle16(1) // PCM
+    wle16(channels)
+    wle32(sampleRate)
+    wle32(sampleRate * blockAlign) // byte rate
+    wle16(blockAlign)
+    wle16(16) // bits per sample
+    tag("data"); wle32(tail.length)
+    out.write(tail, 0, tail.length)
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid MP4: 16-byte ftyp, then moov > trak > tkhd(v0)
+    * with 16.16 fixed-point dims, then the tail as mdat. Fixed layout: tkhd
+    * payload starts at byte 40, so width/height sit at bytes 116/120 (BE32,
+    * integer part = value >> 16) — SQL-oracle-readable at fixed hex offsets
+    * while the decoder does the real nested box walk.
+    */
+  def mp4Envelope(width: Int, height: Int, tail: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wbe32(v: Int): Unit = { out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    wbe32(16); tag("ftyp"); tag("isom"); wbe32(0)
+    val tkhdSize = 8 + 84 // header + v0 payload (4 flags + 20 + 8 + 8 + 36 matrix + 8 dims)
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + trakSize
+    wbe32(moovSize); tag("moov")
+    wbe32(trakSize); tag("trak")
+    wbe32(tkhdSize); tag("tkhd")
+    wbe32(0x00000007) // version 0, flags: enabled|in-movie|in-preview
+    wbe32(0); wbe32(0); wbe32(1); wbe32(0); wbe32(0) // times, track 1, reserved, duration
+    wbe32(0); wbe32(0) // reserved[2]
+    wbe32(0); wbe32(0) // layer/alt-group, volume/reserved
+    // unity matrix (a=c=1.0 in 16.16, w=1.0 in 2.30)
+    wbe32(0x00010000); wbe32(0); wbe32(0)
+    wbe32(0); wbe32(0x00010000); wbe32(0)
+    wbe32(0); wbe32(0); wbe32(0x40000000)
+    wbe32(width << 16); wbe32(height << 16)
+    wbe32(8 + tail.length); tag("mdat")
+    out.write(tail, 0, tail.length)
     out.toByteArray
   }
 

@@ -138,6 +138,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("ann IVF on a clustered corpus: recall >= 0.9 while probing a strict cell fraction") {
+    import spark.implicits._
+    // the driver's embeddings are uniform-random, where NO coarse quantizer can
+    // prune (ivfBuildIndex scaladoc caveat) — this gate evidences the pruning
+    // claim on a corpus where pruning is possible: 32 planted clusters, points
+    // = center + small noise, so a query's neighbors share its cluster and its
+    // top-nprobe cells cover them
+    val rnd = new scala.util.Random(123)
+    val dim = 32
+    val centers = Array.fill(32)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 32)
+      (i.toLong, c.map(v => v + (rnd.nextDouble() * 0.1 - 0.05).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-clustered").toString
+    Similarity.ivfBuildIndex(emb, dir, nCells = 16, spill = 2)
+    val queryIds = 0L until 10L
+    val brute = Similarity.bruteTopK(emb, queryIds, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nprobe = 2
+    val ivf = Similarity.ivfProbe(spark, dir, queryIds, k = 5, nprobe = nprobe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"clustered-corpus IVF recall too low at nprobe=$nprobe: $recall")
+    // pruning evidence: the union of the queries' probe cells is a strict
+    // fraction of the index (re-derive the probe list from the index's own
+    // centroids, exactly like ivfProbe does)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val qVecs = rows.take(10)
+    val probed = qVecs.flatMap { case (_, qv) =>
+      centroids.map { case (ci, cv) => (ci, Similarity.cosine(cv, qv)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
+    }.toSet
+    assert(probed.size < 16, s"probe set must prune cells, probed ${probed.size}/16")
+    // scanned-row fraction: probed partitions hold a strict subset of the corpus
+    val scanned = spark.read.parquet(s"$dir/data")
+      .where(org.apache.spark.sql.functions.col("cell").isin(probed.toSeq: _*)).count()
+    val total = spark.read.parquet(s"$dir/data").count()
+    assert(scanned < total, s"pruned scan must skip rows: $scanned/$total")
+  }
+
   test("ann IVF index layout is cell-partitioned and probes prune partitions") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
@@ -292,6 +335,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decode(truncated) == Multimodal.decodeStub(truncated))
     val notImage = "plain text payload".getBytes
     assert(Multimodal.decode(notImage) == Multimodal.decodeStub(notImage))
+  }
+
+  test("multimodal: WAV/RIFF and MP4 tkhd headers decode via real chunk/box walks") {
+    // WAV: audio flattens as (rate, channels, sample frames); 100-byte data
+    // chunk at 2ch/16-bit = 25 sample frames
+    val tail = Array.fill(100)(0x42.toByte)
+    val wav = Multimodal.decode(Multimodal.wavEnvelope(44100, 2, tail))
+    assert((wav.width, wav.height, wav.frames) == ((44100, 2, 25)), s"wav: $wav")
+    // the walk is real, not offset-pinned: an extra chunk before fmt still decodes
+    val shifted = {
+      val base = Multimodal.wavEnvelope(8000, 1, tail)
+      val extra = new java.io.ByteArrayOutputStream()
+      extra.write(base, 0, 12)
+      extra.write("LIST".getBytes, 0, 4)
+      extra.write(Array[Byte](4, 0, 0, 0), 0, 4) // LE32 size 4
+      extra.write("info".getBytes, 0, 4)
+      extra.write(base, 12, base.length - 12)
+      extra.toByteArray
+    }
+    val sh = Multimodal.decode(shifted)
+    assert((sh.width, sh.height, sh.frames) == ((8000, 1, 50)), s"shifted wav: $sh")
+    // MP4: nested moov > trak > tkhd box walk, 16.16 fixed-point dims
+    val mp4 = Multimodal.decode(Multimodal.mp4Envelope(1920, 1080, tail))
+    assert((mp4.width, mp4.height, mp4.frames) == ((1920, 1080, 1)), s"mp4: $mp4")
+    // truncated containers fall back to the stub, never throw
+    val cutWav = Multimodal.wavEnvelope(8000, 1, tail).take(30)
+    assert(Multimodal.decode(cutWav) == Multimodal.decodeStub(cutWav))
+    val cutMp4 = Multimodal.mp4Envelope(64, 48, tail).take(40)
+    assert(Multimodal.decode(cutMp4) == Multimodal.decodeStub(cutMp4))
   }
 
   test("redactPii masks URL/email/phone with fixed placeholders, idempotently") {
