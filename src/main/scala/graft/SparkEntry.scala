@@ -139,6 +139,20 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
+    // LENIENT-TEXT operators end to end: every doc becomes a PDF whose content
+    // stream shows 40-char lines via `'` / `"` move-shows after TL/Tw/Tz/Ts —
+    // operators the reference (and strict mode) cannot execute; the
+    // pdf-b64-lenient-text route must extract the chunks newline-joined.
+    "q_pdf_textops_lenient" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",
+            MiniPdf.synthesizeTextOpsBase64(text, 40), "pdf-b64-lenient-text", null))
+          (id, e.extracted_text, e.payload_kind, e.error == null)
+        })
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+    }),
     "q_plain_identity" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -737,6 +751,14 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     "q_pdf_filters_lenient" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
+    // 40-char slices, one `'`/`"` move-show per slice -> newline-joined; the
+    // page trim eats any leading ' '/'\n' run of the whole output
+    "q_pdf_textops_lenient" ->
+      ("WITH c AS (SELECT doc_id, list_transform(" +
+        "range(0, CAST(ceil(length(text) / 40.0) AS BIGINT)), " +
+        "i -> substr(text, CAST(i * 40 + 1 AS INT), 40)) AS chunks FROM documents) " +
+        "SELECT doc_id, regexp_replace(array_to_string(chunks, chr(10)), '^[ \\n]+', '') AS extracted_text, " +
+        "'pdf-lenient-text' AS payload_kind, true AS ok FROM c ORDER BY doc_id"),
     "q_token_count" ->
       "SELECT doc_id, CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, CASE WHEN length(trim(text))=0 THEN 0 ELSE CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> CAST(ceil(length(w)/4.0) AS INT)), 'sum') AS INT) END AS bpe_tokens, length(text) AS n_chars_obs FROM documents ORDER BY doc_id",
     "q_quality_counts" ->

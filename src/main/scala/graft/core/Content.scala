@@ -105,20 +105,39 @@ case object IBeginText extends GInstr
 case object IEndText extends GInstr
 final case class IDo(name: String) extends GInstr
 
+// Lenient-TEXT extension instructions (reference unknown-op path,
+// content.rs:624-628; reachable only with the lenientText flag):
+final case class ITw(n: Num) extends GInstr
+final case class ITz(n: Num) extends GInstr
+final case class ITL(n: Num) extends GInstr
+final case class ITs(n: Num) extends GInstr
+/** `'` — move to next line (T* semantics) and show byte-as-char like Tj. */
+final class IQuoteOp(val bytes: Array[Byte]) extends GInstr {
+  override def toString: String = s"IQuoteOp(${bytes.mkString(",")})"
+}
+/** `"` — aw ac string: set word/char spacing, then behave like `'`. */
+final class IDblQuoteOp(val aw: Num, val ac: Num, val bytes: Array[Byte]) extends GInstr {
+  override def toString: String = s"IDblQuoteOp($aw,$ac,${bytes.mkString(",")})"
+}
+
 /** Text state — content.rs:638-665. Tw/Tz/TL/Ts are NOT implemented by the reference
-  * (they hit the unknown-operator path), so tw stays 0 forever.
+  * (they hit the unknown-operator path), so in strict mode tw stays 0 forever;
+  * the lenientText decoder extension writes them (trise is its Ts register —
+  * tracked state only, no output effect in text extraction).
   */
 final class TextState {
   var tc: Num = NInt(0)
   var tw: Num = NInt(0)
   var th: Num = NReal(1.0f)
   var tl: Num = NInt(0)
+  var trise: Num = NInt(0)
   var tf: Option[String] = None
   var tfs: Option[Num] = None
   var tmode: Num = NInt(0)
   def copyOf: TextState = {
     val t = new TextState
-    t.tc = tc; t.tw = tw; t.th = th; t.tl = tl; t.tf = tf; t.tfs = tfs; t.tmode = tmode
+    t.tc = tc; t.tw = tw; t.th = th; t.tl = tl; t.trise = trise
+    t.tf = tf; t.tfs = tfs; t.tmode = tmode
     t
   }
 }
@@ -149,7 +168,7 @@ final class GraphicsState {
   *  - comments inside content panic (content.rs:630) — the raw tokenizer (not the
   *    Lemmatizer) feeds this decoder, so Token::Comment reaches the catch-all.
   */
-final class ContentDecoder(bytes: Array[Byte]) {
+final class ContentDecoder(bytes: Array[Byte], lenientText: Boolean = false) {
   val tok = new PdfTokenizer(bytes, 0)
   var graphicState: GraphicsState = new GraphicsState
   val stack: ArrayBuffer[GraphicsState] = ArrayBuffer.empty
@@ -296,6 +315,38 @@ final class ContentDecoder(bytes: Array[Byte]) {
             case "BDC" => return IBDC
             case "BMC" => return IBMC
             case "EMC" => return IEMC
+            // ---- lenient-TEXT extension (flag-gated; strict falls through to
+            // the reference's unknown-op path below). `'`/`"` reuse the
+            // engine's existing T* convention (processTd(0, tl)) — the ty
+            // SIGN follows T*'s replicated quirk, which is output-identical
+            // because newline inference keys on ty inequality, not direction.
+            case "Tw" if lenientText =>
+              val w = num(0, "Tw"); graphicState.textState.tw = w; return ITw(w)
+            case "Tz" if lenientText =>
+              val z = num(0, "Tz")
+              graphicState.textState.th = NReal(z.toF / 100.0f)
+              return ITz(z)
+            case "TL" if lenientText =>
+              val l = num(0, "TL"); graphicState.textState.tl = l; return ITL(l)
+            case "Ts" if lenientText =>
+              val r = num(0, "Ts"); graphicState.textState.trise = r; return ITs(r)
+            case "'" if lenientText =>
+              val b = buf(0) match {
+                case l: TLit => l.bytes
+                case x       => Err.fail(s"Operand $x is not allowed with operator '")
+              }
+              processTd(NInt(0), graphicState.textState.tl)
+              return new IQuoteOp(b)
+            case "\"" if lenientText =>
+              val (aw, ac) = (num(0, "\""), num(1, "\""))
+              val b = buf(2) match {
+                case l: TLit => l.bytes
+                case x       => Err.fail(s"Operand $x is not allowed with operator \"")
+              }
+              graphicState.textState.tw = aw
+              graphicState.textState.tc = ac
+              processTd(NInt(0), graphicState.textState.tl)
+              return new IDblQuoteOp(aw, ac, b)
             case _ =>
               // unknown operator: diagnostic only, operand buffer retained —
               // content.rs:624-628
@@ -317,8 +368,9 @@ final class ContentDecoder(bytes: Array[Byte]) {
   */
 object TextAssembly {
 
-  def getText(contentBytes: Array[Byte], resources: PdfResources, displayChar: Boolean): ExtractResult = {
-    val content = new ContentDecoder(contentBytes)
+  def getText(contentBytes: Array[Byte], resources: PdfResources, displayChar: Boolean,
+              lenientText: Boolean = false): ExtractResult = {
+    val content = new ContentDecoder(contentBytes, lenientText)
     val out = new StringBuilder
     val spans = Vector.newBuilder[Span]
     var tmPrev = content.tm
@@ -356,22 +408,31 @@ object TextAssembly {
       content.tm = Mat(1.0f, 0.0f, 0.0f, 1.0f, tx, 0.0f) * content.tm
     }
 
+    // Tj-style show: byte-as-char, CMap IGNORED — content.rs:752-765. Shared by
+    // Tj and the lenient-text `'`/`"` shows (whose line move already happened
+    // inside the decoder, so the ty-change newline check below fires for them).
+    def showRaw(bytes: Array[Byte], opName: String): Unit = {
+      val font = lookupFont()
+      if (content.tm.ty != tmPrev.ty) out.append('\n')
+      tmPrev = content.tm
+      val spanStart = out.length
+      var i = 0
+      while (i < bytes.length) {
+        val c = (bytes(i) & 0xff).toChar
+        if (displayChar) out.append(charsFormat(c, font))
+        else out.append(c)
+        i += 1
+      }
+      if (!displayChar) spans += Span(opName, spanStart, out.length)
+    }
+
     var instr = content.next()
     while (instr != null) {
       instr match {
-        case tj: ITjOp =>
-          val font = lookupFont()
-          if (content.tm.ty != tmPrev.ty) out.append('\n')
-          tmPrev = content.tm
-          val spanStart = out.length
-          var i = 0
-          while (i < tj.bytes.length) {
-            val c = (tj.bytes(i) & 0xff).toChar // byte-as-char, CMap IGNORED — content.rs:752-765
-            if (displayChar) out.append(charsFormat(c, font))
-            else out.append(c)
-            i += 1
-          }
-          if (!displayChar) spans += Span("Tj", spanStart, out.length)
+        case tj: ITjOp => showRaw(tj.bytes, "Tj")
+
+        case q: IQuoteOp     => showRaw(q.bytes, "'")
+        case dq: IDblQuoteOp => showRaw(dq.bytes, "\"")
 
         case ITJOp(items) =>
           val font = lookupFont()

@@ -335,7 +335,8 @@ final class PageTreeNode(
 
 final class PdfPage(
     val resources: Option[PdfResources],
-    val contents: Option[BodyStream]
+    val contents: Option[BodyStream],
+    val lenientText: Boolean = false
 ) extends PageTreeKid {
   var parent: PageTreeNode = null
 
@@ -374,7 +375,7 @@ final class PdfPage(
       case None         => Err.fail("Contents should not be empty")
     }
     val contentBytes = contentString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    TextAssembly.getText(contentBytes, getResources, displayChar)
+    TextAssembly.getText(contentBytes, getResources, displayChar, lenientText)
   }
 
   /** body.rs:529-535. */
@@ -465,7 +466,7 @@ object PageTree {
         case None => None
         case _    => Err.fail("Contents should be an indirect object")
       }
-      new PdfPage(resources, contents)
+      new PdfPage(resources, contents, ctx.lenientText)
     case _ => Err.fail("Trailer should be a dictionary")
   }
 }

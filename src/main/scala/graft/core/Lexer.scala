@@ -429,7 +429,8 @@ final class Lemmatizer(val tok: PdfTokenizer, val ctx: Ctx) {
   * (ASCIIHex/LZW — core/Filters.scala); strict contexts keep the reference's
   * FlateDecode-only panic.
   */
-final class Ctx(val bytes: Array[Byte], val xref: XRef, val lenient: Boolean = false)
+final class Ctx(val bytes: Array[Byte], val xref: XRef, val lenient: Boolean = false,
+                val lenientText: Boolean = false)
 
 object Lemmatizer {
   def apply(bytes: Array[Byte], at: Int, ctx: Ctx): Lemmatizer =

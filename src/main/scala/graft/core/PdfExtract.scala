@@ -12,9 +12,16 @@ package graft.core
   * members materialized into an augmented buffer. Object interpretation,
   * fonts, content lexing and text assembly are the same reference-faithful
   * code in both modes.
+  *
+  * `lenientText = true` (its OWN flag, also default OFF) additionally enables
+  * the Tw/Tz/TL/Ts/'/" text operators in the content decoder — the reference
+  * routes these through its unknown-operator path (content.rs:624-628), which
+  * forks text assembly (a `'` move-show changes the output bytes), so the
+  * extension sits behind a separate flag with its own parity gates.
   */
-final class Pdf(val raw: Array[Byte], lenient: Boolean) {
-  def this(raw: Array[Byte]) = this(raw, false)
+final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean) {
+  def this(raw: Array[Byte]) = this(raw, false, false)
+  def this(raw: Array[Byte], lenient: Boolean) = this(raw, lenient, false)
 
   private val trimmed: Array[Byte] = Pdf.trimAscii(raw)
   if (trimmed.length < 5 || !Pdf.endsWith(trimmed, "%%EOF"))
@@ -33,7 +40,7 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean) {
   /** Text + spans (engine addition; spans populated for Text mode only). */
   def extractResult(mode: ExtractMode): ExtractResult = {
     val catalogOffset = xref.getCatalogOffset.getOrElse(Err.fail("catalog offset not found"))
-    val ctx = new Ctx(body, xref, lenient)
+    val ctx = new Ctx(body, xref, lenient, lenientText)
     val catalog = PdfCatalog.parseAt(ctx, catalogOffset)
     catalog.extract(mode)
   }
@@ -51,6 +58,11 @@ object Pdf {
 
   /** Engine extension: lenient xref resolution (see class scaladoc). */
   def lenient(bytes: Array[Byte]): Pdf = new Pdf(bytes, lenient = true)
+
+  /** Engine extension: lenient xref AND the Tw/Tz/TL/Ts/'/" text operators
+    * (see class scaladoc) — the widest lenient surface.
+    */
+  def lenientText(bytes: Array[Byte]): Pdf = new Pdf(bytes, lenient = true, lenientText = true)
 
   /** `pdf_version(s)` — lib.rs:44-53 (dead code in the reference: never called
     * by main.rs or Pdf::from; exposed for API completeness). Reads the LAST 3

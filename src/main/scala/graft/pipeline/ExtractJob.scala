@@ -38,6 +38,12 @@ object ExtractJob {
           // strict "pdf-b64" stays the byte-exact default
           val bytes = java.util.Base64.getDecoder.decode(t.text)
           (Pdf.lenient(bytes).extractResult(ExtractText), "pdf-lenient")
+        case "pdf-b64-lenient-text" =>
+          // widest lenient surface: lenient xref + the Tw/Tz/TL/Ts/'/" text
+          // operators (its own flag — forks text assembly, so it never rides
+          // the plain lenient route silently)
+          val bytes = java.util.Base64.getDecoder.decode(t.text)
+          (Pdf.lenientText(bytes).extractResult(ExtractText), "pdf-lenient-text")
         case "html" =>
           (HtmlBoilerplate.extract(t.text), "html")
         case "auto" =>
@@ -237,11 +243,26 @@ object ExtractJob {
             coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"))
           .collect()
           .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      io.appendManifests(spark, outDir, wave.map { k =>
+      // per-shard wall_ms = the wave's wall split PROPORTIONALLY by bytes (the
+      // extraction-cost driver), falling back to rows, then to an equal split
+      // for all-empty waves. Cumulative allocation makes each wave's shard
+      // sum EXACTLY the wave wall, so per-shard rates are honest at any
+      // waveSize (a 4-shard wave no longer reports 4x the wall) and wave-level
+      // wall is reconstructable as sum(wall_ms) group by wave_id.
+      val weights: Seq[Long] = {
+        val bytes = wave.map(k => stats.getOrElse(k, (0L, 0L))._2)
+        if (bytes.sum > 0) bytes
+        else {
+          val rows = wave.map(k => stats.getOrElse(k, (0L, 0L))._1)
+          if (rows.sum > 0) rows else wave.map(_ => 1L)
+        }
+      }
+      val totW = weights.sum
+      val cumW = weights.scanLeft(0L)(_ + _)
+      io.appendManifests(spark, outDir, wave.zipWithIndex.map { case (k, i) =>
         val (rows, bytes) = stats.getOrElse(k, (0L, 0L))
-        // wall_ms is the WAVE's wall (shards commit together); wave_id lets
-        // aggregations count each wave once instead of once per shard
-        PartManifest(k, SALT, rows, bytes, wallMs, waveId, "done")
+        val share = wallMs * cumW(i + 1) / totW - wallMs * cumW(i) / totW
+        PartManifest(k, SALT, rows, bytes, share, waveId, "done")
       })
       committed += wave.size
     }

@@ -261,6 +261,53 @@ object MiniPdf {
   def synthesizeFilteredBase64(text: String, filterName: String): String =
     java.util.Base64.getEncoder.encodeToString(synthesizeFiltered(text, filterName))
 
+  /** Variant whose content stream uses the LENIENT-TEXT operators: the text is
+    * split into `chunk`-char lines shown with `'` (move-show) and `"`
+    * (spacing + move-show) after a TL leading set, plus Tw/Tz/Ts state ops —
+    * all operators the reference routes through its unknown-op path
+    * (content.rs:624-628). Only `Pdf.lenientText` / the pdf-b64-lenient-text
+    * route extracts these (each `'`/`"` moves ty, so every line gets a
+    * newline); STRICT mode panics reference-faithfully (the retained Tw/TL
+    * operands corrupt the first Tj's operand buffer). Expected lenient-text
+    * extraction: the chunks joined with "\n" (page leading-trim applies).
+    */
+  def synthesizeTextOps(text: String, chunk: Int): Array[Byte] = {
+    val chunks = text.grouped(chunk).toSeq
+    val shows = chunks.zipWithIndex.map { case (c, i) =>
+      if (i == 0) s"(${escapeLiteral(c)}) Tj\n"
+      else if (i % 2 == 1) s"(${escapeLiteral(c)}) '\n"
+      else s"0.7 0.1 (${escapeLiteral(c)}) \"\n"
+    }.mkString
+    val content = s"BT\n70 700 TD\n/F1 12 Tf\n14 TL\n0.5 Tw\n110 Tz\n3 Ts\n${shows}ET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
+    )
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n")
+    sb.append(s"0 ${objects.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
+    sb.append("trailer\n")
+    sb.append(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  def synthesizeTextOpsBase64(text: String, chunk: Int): String =
+    java.util.Base64.getEncoder.encodeToString(synthesizeTextOps(text, chunk))
+
   /** Variant with a FlateDecode-compressed content stream — exercises the filter
     * path (body.rs:103-109 + filters.rs semantics) end-to-end. Deterministic:
     * JDK Deflater with a fixed level on fixed input.

@@ -38,11 +38,11 @@ final case class Golden(
     gate: String // "exact" | "smoke"
 )
 
-/** Per-partition checkpoint manifest (SURVEY §1.2 / P8). `wall_ms` is the wall
-  * time of the WAVE that committed this shard (waves write several shards in
-  * one pass, so per-shard wall time does not exist); `wave_id` groups the
-  * shards of one wave so aggregations can count each wave's wall once instead
-  * of multiplying it by the wave width.
+/** Per-partition checkpoint manifest (SURVEY §1.2 / P8). `wall_ms` is this
+  * shard's byte-proportional share of its wave's wall time (waves write
+  * several shards in one pass, so exact per-shard wall does not exist; the
+  * shares of one wave sum EXACTLY to the wave wall). `wave_id` groups the
+  * shards of one wave, so the wave wall is sum(wall_ms) group by wave_id.
   */
 final case class PartManifest(
     part_id: Int,

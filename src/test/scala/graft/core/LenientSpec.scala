@@ -228,6 +228,58 @@ class LenientSpec extends AnyFunSuite {
     assert(e2.getMessage == "Filter name DCTDecode is currently not supported")
   }
 
+  // --- lenient-TEXT operators (Tw/Tz/TL/Ts/'/" — own flag) ------------------------
+
+  test("lenient-text: '/\" move-shows emit one line each; strict panics reference-faithfully") {
+    val text = "first chunk here then more text spilling over several lines for the quote operators"
+    val pdf = graft.pipeline.MiniPdf.synthesizeTextOps(text, 20)
+    val expected = text.grouped(20).mkString("\n")
+    assert(Pdf.lenientText(pdf).extract(ExtractText) == expected)
+    // strict: TL/Tw/Tz/Ts are unknown ops whose RETAINED operands corrupt the
+    // first Tj's operand buffer — the reference's exact failure mode
+    val e = intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+    assert(e.getMessage.contains("not allowed with operator Tj"))
+    // the xref-only lenient flag must NOT change text assembly
+    val e2 = intercept[PdfParseException](Pdf.lenient(pdf).extract(ExtractText))
+    assert(e2.getMessage.contains("not allowed with operator Tj"))
+  }
+
+  test("lenient-text: span sidecar carries the quote ops at the right offsets") {
+    val pdf = graft.pipeline.MiniPdf.synthesizeTextOps("aaaaabbbbbcccccddddd", 5)
+    val r = Pdf.lenientText(pdf).extractResult(ExtractText)
+    assert(r.text == "aaaaa\nbbbbb\nccccc\nddddd")
+    assert(r.spans.map(_.op) == Vector("Tj", "'", "\"", "'"))
+    assert(r.spans.map(s => r.text.substring(s.start, s.end)) ==
+      Vector("aaaaa", "bbbbb", "ccccc", "ddddd"))
+  }
+
+  test("lenient-text parity fuzz: op-free documents extract byte-identically under every flag") {
+    val rnd = new scala.util.Random(7)
+    (0 until 40).foreach { _ =>
+      // random printable ASCII (no leading-space/newline trim interference);
+      // parens/backslashes go through escapeLiteral like any payload
+      val text = (0 until (1 + rnd.nextInt(120))).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+      val pdf = graft.pipeline.MiniPdf.synthesize(text)
+      val strict = Pdf(pdf).extract(ExtractText)
+      assert(strict == text)
+      assert(Pdf.lenientText(pdf).extract(ExtractText) == strict,
+        "lenientText must not change op-free documents")
+      assert(Pdf.lenient(pdf).extract(ExtractText) == strict)
+    }
+  }
+
+  test("lenient-text flows through the pipeline's pdf-b64-lenient-text route") {
+    val text = "pipeline route for quote operators spanning lines"
+    val turn = graft.pipeline.Turn("c", 0, "user",
+      graft.pipeline.MiniPdf.synthesizeTextOpsBase64(text, 16), "pdf-b64-lenient-text", null)
+    val e = graft.pipeline.ExtractJob.extractTurn(turn)
+    assert(e.error == null && e.payload_kind == "pdf-lenient-text")
+    assert(e.extracted_text == text.grouped(16).mkString("\n"))
+    // the same payload on the STRICT route lands the panic in the error column
+    val strict = graft.pipeline.ExtractJob.extractTurn(turn.copy(tool = "pdf-b64"))
+    assert(strict.error != null && strict.error.contains("not allowed with operator Tj"))
+  }
+
   test("lenient filters flow through the pipeline's pdf-b64-lenient route") {
     for (f <- Seq("ASCIIHexDecode", "LZWDecode")) {
       val turn = graft.pipeline.Turn("c", 0, "user",

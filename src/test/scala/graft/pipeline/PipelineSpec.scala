@@ -206,6 +206,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractJob.manifests(spark, dir).count() == 16)
   }
 
+  test("manifests: wide-wave wall_ms shares sum exactly to the wave wall (no overstated rates)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wave-wall").toString
+    val gen = SynthGen.generate(spark, 30, 4, 1, 200, includeFixturePdfs = false)
+    val turns = SynthGen.turns(gen)
+    val t0 = System.nanoTime()
+    // one 8-shard wave: pre-fix every shard reported the FULL wave wall (8x
+    // overstated total); the fix splits it byte-proportionally
+    ExtractJob.runWithManifests(spark, turns, dir, shards = 8, partitions = 4, waveSize = 8)
+    val jobMs = (System.nanoTime() - t0) / 1000000L
+    val ms = ExtractJob.manifests(spark, dir).collect()
+    assert(ms.length == 8 && ms.map(_.wave_id).distinct.length == 1, "one wave expected")
+    val sumMs = ms.map(_.wall_ms).sum
+    // the per-wave sum is the wave wall — bounded by the whole job's wall; the
+    // old behavior (8x the wave wall) cannot satisfy this
+    assert(sumMs <= jobMs, s"shard wall shares ($sumMs ms) exceed the job wall ($jobMs ms)")
+    assert(sumMs > 0, "wave wall must be recorded")
+    // proportionality: the byte-heaviest shard carries the largest share
+    val byBytes = ms.sortBy(-_.bytes)
+    assert(byBytes.head.wall_ms == ms.map(_.wall_ms).max,
+      "largest shard must carry the largest wall share")
+  }
+
   test("checkpoint manifests: resume after injected failure completes identically") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
