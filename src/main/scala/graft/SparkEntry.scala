@@ -139,6 +139,22 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
+    // LENIENT decryption end to end: every doc becomes an RC4-ENCRYPTED PDF
+    // (standard security handler, empty user password; R2/40-bit on even ids,
+    // R3/128-bit on odd) whose deflated content stream is ciphertext the
+    // reference — and strict mode — cannot inflate; the lenient route derives
+    // and VERIFIES the key (Algorithms 2-5) and must round-trip the text.
+    "q_pdf_encrypted_lenient" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val r = if (id % 2 == 0) 2 else 3
+          val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",
+            MiniPdf.synthesizeEncryptedBase64(text, r), "pdf-b64-lenient", null))
+          (id, e.extracted_text, e.payload_kind, e.error == null)
+        })
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+    }),
     // LENIENT-TEXT operators end to end: every doc becomes a PDF whose content
     // stream shows 40-char lines via `'` / `"` move-shows after TL/Tw/Tz/Ts —
     // operators the reference (and strict mode) cannot execute; the
@@ -750,6 +766,8 @@ object SparkEntry {
     "q_pdf_lenient_roundtrip" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     "q_pdf_filters_lenient" ->
+      "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
+    "q_pdf_encrypted_lenient" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     // 40-char slices, one `'`/`"` move-show per slice -> newline-joined; the
     // page trim eats any leading ' '/'\n' run of the whole output

@@ -98,8 +98,28 @@ object BodyStream {
     case PStream(header, bytes) => BodyStream(StreamDict.from(header, ctx.lenient), bytes)
     case _                      => Err.fail("Stream should be a dictionary")
   }
+
+  /** Variant that knows the stream's OBJECT IDENTITY so lenient decryption can
+    * derive the per-object RC4 key (encryption wraps the stream OUTSIDE its
+    * filters: decrypt first, then inflate/decode). Strict contexts carry no
+    * decryptor, so this is `parseAt` exactly.
+    */
+  def parseAt(ctx: Ctx, at: Int, obj: Int, gen: Int): BodyStream =
+    ObjParser.parseAt(ctx, at) match {
+      case PStream(header, bytes0) =>
+        val bytes = ctx.decrypt.map(_.decrypt(obj, gen, bytes0)).getOrElse(bytes0)
+        BodyStream(StreamDict.from(header, ctx.lenient), bytes)
+      case _ => Err.fail("Stream should be a dictionary")
+    }
+
   def from(s: PStream, lenient: Boolean = false): BodyStream =
     BodyStream(StreamDict.from(s.header, lenient), s.bytes)
+
+  /** `from` with object identity for lenient decryption (see parseAt above). */
+  def of(s: PStream, ctx: Ctx, obj: Int, gen: Int): BodyStream = {
+    val bytes = ctx.decrypt.map(_.decrypt(obj, gen, s.bytes)).getOrElse(s.bytes)
+    BodyStream(StreamDict.from(s.header, ctx.lenient), bytes)
+  }
 }
 
 /** Font record — body.rs:150-299. */
@@ -240,7 +260,7 @@ object PdfFont {
             case Some(address) =>
               ObjParser.parseAt(ctx, address) match {
                 case s: PStream =>
-                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.from(s, ctx.lenient).getDataForLexing)))
+                  Some(ToUnicodeCMap.parse(Utf8.lossy(BodyStream.of(s, ctx, obj, gen).getDataForLexing)))
                 case o => Err.fail(s"ToUnicode should be a stream object, found $o")
               }
             case None => Err.fail("ToUnicode stream object not found in xref table")
@@ -460,7 +480,7 @@ object PageTree {
       val contents = dict.get("Contents") match {
         case Some(PRef(obj, gen, rctx)) =>
           rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
-            case Some(address) => Some(BodyStream.parseAt(rctx, address))
+            case Some(address) => Some(BodyStream.parseAt(rctx, address, obj, gen))
             case None          => Err.fail("Resource dictionnary address not found in xref keys")
           }
         case None => None

@@ -45,6 +45,8 @@ object Lenient {
     val seen = mutable.HashSet[Int]()             // object numbers already decided
     var root: Option[(Int, Int)] = None
     var info: Option[(Int, Int)] = None
+    var encrypt: Option[(Int, Int)] = None
+    var id0: Option[Array[Byte]] = None
     var size = 0
     var offset = XRef.startxref(raw)
     var depth = 0
@@ -73,6 +75,8 @@ object Lenient {
       }
       if (root.isEmpty) root = section.root
       if (info.isEmpty) info = section.info
+      if (encrypt.isEmpty) encrypt = section.encrypt
+      if (id0.isEmpty) id0 = section.id0
       if (size == 0) size = section.size
       offset = section.prev.getOrElse(-1)
       depth += 1
@@ -108,9 +112,9 @@ object Lenient {
           table = table.updated((obj, 0), (at, true))
         }
       }
-      (out.toByteArray, XrefTable(NInt(size), None, root, None, info, table))
+      (out.toByteArray, XrefTable(NInt(size), None, root, encrypt, info, table, id0))
     } else {
-      (raw, XrefTable(NInt(size), None, root, None, info, table))
+      (raw, XrefTable(NInt(size), None, root, encrypt, info, table, id0))
     }
   }
 
@@ -127,7 +131,9 @@ object Lenient {
       info: Option[(Int, Int)],
       prev: Option[Int],
       size: Int,
-      xrefStm: Option[Int] = None) // hybrid-reference file: /XRefStm in a classic trailer
+      xrefStm: Option[Int] = None, // hybrid-reference file: /XRefStm in a classic trailer
+      encrypt: Option[(Int, Int)] = None,
+      id0: Option[Array[Byte]] = None) // first /ID element (decryption key salt)
 
   private def parseSection(raw: Array[Byte], offset: Int): Section = {
     new PdfTokenizer(raw, offset).next() match {
@@ -179,7 +185,9 @@ object Lenient {
       info = refOf(trailer, "Info"),
       prev = intOf(trailer, "Prev"),
       size = intOf(trailer, "Size").getOrElse(0),
-      xrefStm = intOf(trailer, "XRefStm"))
+      xrefStm = intOf(trailer, "XRefStm"),
+      encrypt = refOf(trailer, "Encrypt"),
+      id0 = idOf(trailer))
   }
 
   /** Xref STREAM section: W-packed rows over (possibly predictor-encoded)
@@ -250,7 +258,9 @@ object Lenient {
       root = refOf(s.header, "Root"),
       info = refOf(s.header, "Info"),
       prev = intOf(s.header, "Prev"),
-      size = size)
+      size = size,
+      encrypt = refOf(s.header, "Encrypt"),
+      id0 = idOf(s.header))
   }
 
   // ---- object streams ---------------------------------------------------------
@@ -387,6 +397,15 @@ object Lenient {
   private def intOf(d: Map[String, PdfObj], key: String): Option[Int] = d.get(key) match {
     case Some(PNum(NInt(n))) => Some(n)
     case _                   => None
+  }
+
+  /** First /ID element bytes (hex strings in practice; literal tolerated). */
+  private def idOf(d: Map[String, PdfObj]): Option[Array[Byte]] = d.get("ID") match {
+    case Some(PArr(items)) => items.headOption.collect {
+      case PHexStr(b) => b
+      case PStr(s)    => s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    case _ => None
   }
 
   private def asInt(o: PdfObj): Int = o match {

@@ -430,7 +430,8 @@ final class Lemmatizer(val tok: PdfTokenizer, val ctx: Ctx) {
   * FlateDecode-only panic.
   */
 final class Ctx(val bytes: Array[Byte], val xref: XRef, val lenient: Boolean = false,
-                val lenientText: Boolean = false)
+                val lenientText: Boolean = false,
+                val decrypt: Option[Crypt.Decryptor] = None)
 
 object Lemmatizer {
   def apply(bytes: Array[Byte], at: Int, ctx: Ctx): Lemmatizer =

@@ -34,13 +34,34 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean) {
   private def body: Array[Byte] = prepared._1
   val xref: XRef = prepared._2
 
+  /** LENIENT-only: a verified standard-security-handler decryptor when the
+    * trailer carries /Encrypt (RC4 R2/R3, empty user password — Crypt.scala).
+    * Strict mode never looks at /Encrypt, exactly like the reference
+    * (xref.rs:136-146 parses-and-drops the key).
+    */
+  private val decryptor: Option[Crypt.Decryptor] =
+    if (!lenient) None
+    else xref match {
+      case t: XrefTable => t.encrypt.map { key =>
+        val off = xref.getAndFix(key, body)
+          .getOrElse(Err.fail("Encrypt object not found in xref"))
+        val enc = ObjParser.parseAt(new Ctx(body, xref, lenient), off) match {
+          case PDict(m) => m
+          case o        => Err.fail(s"Encrypt should be a dictionary, found $o")
+        }
+        val id0 = t.id0.getOrElse(Err.fail("encrypted document has no /ID in trailer"))
+        Crypt.standardDecryptor(enc, id0)
+      }
+      case _ => None
+    }
+
   /** `Pdf::extract` — lib.rs:75-80. */
   def extract(mode: ExtractMode): String = extractResult(mode).text
 
   /** Text + spans (engine addition; spans populated for Text mode only). */
   def extractResult(mode: ExtractMode): ExtractResult = {
     val catalogOffset = xref.getCatalogOffset.getOrElse(Err.fail("catalog offset not found"))
-    val ctx = new Ctx(body, xref, lenient, lenientText)
+    val ctx = new Ctx(body, xref, lenient, lenientText, decryptor)
     val catalog = PdfCatalog.parseAt(ctx, catalogOffset)
     catalog.extract(mode)
   }

@@ -76,7 +76,11 @@ final case class XrefTable(
     root: Option[(Int, Int)],
     encrypt: Option[(Int, Int)],
     info: Option[(Int, Int)],
-    table: HashMap[(Int, Int), (Int, Boolean)]
+    table: HashMap[(Int, Int), (Int, Boolean)],
+    // first trailer /ID element, captured by the LENIENT resolver only (the
+    // reference ignores /ID, so the strict parser leaves None — it is needed
+    // solely for the lenient decryption key derivation)
+    id0: Option[Array[Byte]] = None
 ) extends XRef {
 
   def len: Int = table.size

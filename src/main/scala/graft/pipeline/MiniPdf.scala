@@ -308,6 +308,91 @@ object MiniPdf {
   def synthesizeTextOpsBase64(text: String, chunk: Int): String =
     java.util.Base64.getEncoder.encodeToString(synthesizeTextOps(text, chunk))
 
+  /** RC4-ENCRYPTED variant (standard security handler, empty user password,
+    * r=2 -> V1/RC4-40 or r=3 -> V2/RC4-128): the content stream is deflated
+    * then RC4'd with the per-object key (encryption wraps OUTSIDE the
+    * filters), /O and /U computed with the real Algorithms 2-5
+    * (core/Crypt.scala), deterministic /ID = MD5(text). The reference ignores
+    * /Encrypt entirely (xref.rs:136-146) and inflates ciphertext — strict
+    * mode fails identically; only `Pdf.lenient` derives+verifies the key and
+    * extracts. Scope note: Info strings are left PLAINTEXT (string decryption
+    * is out of the lenient scope and documented so in Crypt.scala).
+    */
+  def synthesizeEncrypted(text: String, r: Int = 2, useFlate: Boolean = true): Array[Byte] = {
+    import graft.core.Crypt
+    require(r == 2 || r == 3, "standard handler revisions 2 and 3 only")
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
+      .getBytes(ISO_8859_1)
+    val filtered = if (useFlate) {
+      val deflater = new java.util.zip.Deflater(6)
+      deflater.setInput(content); deflater.finish()
+      val buf = new Array[Byte](content.length + 64)
+      val m = deflater.deflate(buf); deflater.end()
+      java.util.Arrays.copyOf(buf, m)
+    } else content
+    val n = if (r == 2) 5 else 16
+    val o = Crypt.ownerEntry(n, r)
+    val p = -1
+    // the tokenizer's nextN skips LEADING WHITESPACE (replicated reference
+    // quirk, tokenizer.rs:173-185), so raw stream bytes must not start with a
+    // whitespace-class byte — RC4 ciphertext is pseudorandom (~2.3% chance),
+    // so salt-search the deterministic /ID until the first cipher byte is
+    // safe (same workaround the raw xref-stream fixtures use)
+    def isWs(b: Byte): Boolean =
+      b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
+    var salt = 0
+    var id0: Array[Byte] = null
+    var key: Array[Byte] = null
+    var encBytes: Array[Byte] = null
+    while (encBytes == null || (encBytes.nonEmpty && isWs(encBytes(0)))) {
+      id0 = Crypt.md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        Array(salt.toByte, (salt >> 8).toByte))
+      key = Crypt.fileKey(o, p, id0, n, r)
+      encBytes = Crypt.rc4(Crypt.objectKey(key, 4, 0), filtered)
+      salt += 1
+    }
+    val u = Crypt.userEntry(key, id0, r)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      null, // encrypted stream assembled below (binary body)
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>",
+      s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
+        (if (r == 3) "/Length 128 " else "") +
+        s"/O <${hx(o)}> /U <${hx(u)}> /P $p >>"
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      if (body == null) {
+        w(s"<< /Length ${encBytes.length}${if (useFlate) " /Filter /FlateDecode" else ""} >>\nstream\n")
+        out.write(encBytes)
+        w("\nendstream")
+      } else w(body)
+      w("\nendobj\n")
+    }
+    val xrefOff = out.size()
+    w("xref\n")
+    w(s"0 ${objects.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w("trailer\n")
+    w(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R " +
+      s"/ID [<${hx(id0)}> <${hx(id0)}>] >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
+  def synthesizeEncryptedBase64(text: String, r: Int = 2): String =
+    java.util.Base64.getEncoder.encodeToString(synthesizeEncrypted(text, r))
+
   /** Variant with a FlateDecode-compressed content stream — exercises the filter
     * path (body.rs:103-109 + filters.rs semantics) end-to-end. Deterministic:
     * JDK Deflater with a fixed level on fixed input.

@@ -228,6 +228,54 @@ class LenientSpec extends AnyFunSuite {
     assert(e2.getMessage == "Filter name DCTDecode is currently not supported")
   }
 
+  // --- standard-security-handler decryption (lenient-only) ------------------------
+
+  test("crypt primitives: RC4 known vector, symmetry") {
+    // canonical public RC4 vector: key "Key", plaintext "Plaintext"
+    val c = Crypt.rc4("Key".getBytes, "Plaintext".getBytes)
+    assert(c.map(b => f"${b & 0xff}%02X").mkString == "BBF316E8D940AF0AD3")
+    assert(Crypt.rc4("Key".getBytes, c).toSeq == "Plaintext".getBytes.toSeq)
+  }
+
+  test("lenient: RC4-encrypted documents (R2-40 / R3-128, flate and raw) extract; strict fails like the reference") {
+    for (r <- Seq(2, 3); flate <- Seq(true, false)) {
+      val text = s"Encrypted r$r flate=$flate content line"
+      val pdf = graft.pipeline.MiniPdf.synthesizeEncrypted(text, r, flate)
+      assert(Pdf.lenient(pdf).extract(ExtractText) == text, s"r=$r flate=$flate")
+    }
+    // strict ignores /Encrypt (reference xref.rs:136-146) and inflates RC4
+    // ciphertext — deterministic failure on the flate variant
+    val pdf = graft.pipeline.MiniPdf.synthesizeEncrypted("strict sees ciphertext", 2, useFlate = true)
+    intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+    // and through the pipeline: lenient route extracts, strict route lands the
+    // error in the error column
+    val turn = graft.pipeline.Turn("c", 0, "user",
+      graft.pipeline.MiniPdf.synthesizeEncryptedBase64("routed encrypted doc", 3),
+      "pdf-b64-lenient", null)
+    val e = graft.pipeline.ExtractJob.extractTurn(turn)
+    assert(e.error == null && e.extracted_text == "routed encrypted doc")
+    val strict = graft.pipeline.ExtractJob.extractTurn(turn.copy(tool = "pdf-b64"))
+    assert(strict.error != null)
+  }
+
+  test("crypt: non-empty-password and unsupported-scheme documents fail loudly, never garble") {
+    val o = Crypt.ownerEntry(5, 2)
+    val id0 = Array.fill(16)(1.toByte)
+    val base: Map[String, PdfObj] = Map(
+      "Filter" -> PName("Standard"), "V" -> PNum(NInt(1)), "R" -> PNum(NInt(2)),
+      "O" -> PHexStr(o), "U" -> PHexStr(new Array[Byte](32)), "P" -> PNum(NInt(-1)))
+    // /U does not match the empty user password -> explicit rejection
+    val e = intercept[PdfParseException](Crypt.standardDecryptor(base, id0))
+    assert(e.getMessage.contains("empty user password"))
+    // AES / crypt-filter revisions are out of scope and say so
+    val e2 = intercept[PdfParseException](Crypt.standardDecryptor(
+      base + ("V" -> PNum(NInt(4))) + ("R" -> PNum(NInt(4))), id0))
+    assert(e2.getMessage.contains("not supported"))
+    val e3 = intercept[PdfParseException](Crypt.standardDecryptor(
+      base + ("Filter" -> PName("MySecretHandler")), id0))
+    assert(e3.getMessage.contains("handler not supported"))
+  }
+
   // --- lenient-TEXT operators (Tw/Tz/TL/Ts/'/" — own flag) ------------------------
 
   test("lenient-text: '/\" move-shows emit one line each; strict panics reference-faithfully") {
