@@ -19,8 +19,17 @@ object Crypt {
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  // MessageDigest.getInstance takes a SYNCHRONIZED provider-registry lookup —
+  // under a 32-thread executor the per-call lookups (50+ per R3 document)
+  // serialize on that lock. One digest per thread, reset per use.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
+    d.reset()
     parts.foreach(d.update)
     d.digest()
   }
@@ -66,6 +75,15 @@ object Crypt {
 
   private def xorKey(key: Array[Byte], i: Int): Array[Byte] =
     key.map(b => (b ^ i).toByte)
+
+  /** `ownerEntry` memo — the entry is a pure function of (n, r) and fixture
+    * synthesis calls it once per document.
+    */
+  private val ownerCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Byte]]()
+
+  def ownerEntryCached(n: Int, r: Int): Array[Byte] =
+    ownerCache.computeIfAbsent((n, r), k => ownerEntry(k._1, k._2))
 
   /** Algorithm 3: the /O entry for empty owner AND user passwords. */
   def ownerEntry(n: Int, r: Int): Array[Byte] = {

@@ -331,7 +331,7 @@ object MiniPdf {
       java.util.Arrays.copyOf(buf, m)
     } else content
     val n = if (r == 2) 5 else 16
-    val o = Crypt.ownerEntry(n, r)
+    val o = Crypt.ownerEntryCached(n, r)
     val p = -1
     // the tokenizer's nextN skips LEADING WHITESPACE (replicated reference
     // quirk, tokenizer.rs:173-185), so raw stream bytes must not start with a
