@@ -20,9 +20,15 @@ object Bench {
       // core (default 128MB packs this corpus into ~12 splits -> caps local[32])
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
     // shuffle on tmpfs when available: removes disk-cache noise from scaling
-    // measurements (models a cluster's NVMe-local shuffle dirs)
-    if (new java.io.File("/dev/shm").isDirectory)
-      b.config("spark.local.dir", "/dev/shm/graft-spark")
+    // measurements (models a cluster's NVMe-local shuffle dirs); overridable
+    // (SPARK_GRAFT_LOCAL_DIR) to A/B the shuffle medium when the host's
+    // memory pressure turns tmpfs writes into the bottleneck
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some(dir) => b.config("spark.local.dir", dir)
+      case None =>
+        if (new java.io.File("/dev/shm").isDirectory)
+          b.config("spark.local.dir", "/dev/shm/graft-spark")
+    }
     // local-mode "shuffle" is a same-box memcpy, so compression is pure CPU
     // overhead here — off by default for the bench session (a real cluster's
     // network shuffle keeps Spark's default on); override with env if needed
