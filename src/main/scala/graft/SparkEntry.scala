@@ -343,6 +343,52 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    // Codegen'd vector math (zip_with/aggregate column exprs, no UDF): cosine
+    // and L2 distance of every embedding against the all-ones vector,
+    // micro-quantized for cross-engine comparison (raw doubles are
+    // hash-unstable; 1e-6 quanta absorb engine summation differences while
+    // still pinning 6 decimal digits of the fold), plus exact integer
+    // component counts.
+    "q_vector_ops" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ones = transform(col("embedding"), _ => lit(1.0f))
+      emb.select(col("vec_id"),
+        floor(graft.functions.VectorFunctions.cosineSim(col("embedding"), ones) * 1000000)
+          .cast("long").as("cos_micro"),
+        floor(graft.functions.VectorFunctions.l2Dist(col("embedding"), ones) * 1000000)
+          .cast("long").as("dist_micro"),
+        graft.functions.VectorFunctions.nAbove(col("embedding"), 0.0).as("n_pos"),
+        size(col("embedding")).as("n_dims"))
+        .orderBy("vec_id")
+    }),
+
+    // Streaming EXACT DEDUP: the documents table plus planted duplicates as a
+    // turn stream; dropDuplicatesWithinWatermark keeps one row per content
+    // hash with watermark-bounded state; the deterministic output is the
+    // distinct hash set.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
+      // ts must sit ABOVE the initial watermark of epoch 0 — rows at/below it
+      // are late-dropped (same quirk the sessionize spec documents)
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) => Seq(
+          Turn(id.toString, 0, "user", text, "plain", new java.sql.Timestamp(86400000L)),
+          Turn((id + 10000).toString, 0, "user", text, "plain", new java.sql.Timestamp(86400000L))) }
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
+        .parquet(tmp).as[Turn]
+      val name = s"dedup_out_${System.nanoTime()}"
+      val q = graft.streaming.StreamingExtract.dedupStream(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("text_hash")
+    }),
+
     // ---- multimodal plumbing ----------------------------------------------------------
     // Real header decode, value-checked end to end: docs are wrapped into
     // structurally valid PNG / JPEG / WAV / MP4 envelopes (dims and audio
@@ -899,6 +945,17 @@ object SparkEntry {
         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_s"),
     "q_stream_extract" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY text_hash",
+    "q_vector_ops" ->
+      ("SELECT vec_id, " +
+        "CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> 1.0)) * 1000000) AS BIGINT) AS cos_micro, " +
+        "CAST(floor(list_distance(CAST(embedding AS DOUBLE[]), " +
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> 1.0)) * 1000000) AS BIGINT) AS dist_micro, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, " +
+        "CAST(len(embedding) AS INT) AS n_dims " +
+        "FROM embeddings ORDER BY vec_id"),
     "q_extract_metrics" ->
       "SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_errors, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents",
     // Tumbling 1-minute windows of the events table; DuckDB time_bucket floors

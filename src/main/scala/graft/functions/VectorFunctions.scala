@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `Array[Float]` embedding columns as PURE COLUMN
+  * EXPRESSIONS (`zip_with` / `aggregate` / `transform` higher-order
+  * functions) — whole-stage-codegen'd, no UDF, no serialization round-trip.
+  * This is the scoring-pipeline hot path at 100TB: a cosine against a fixed
+  * centroid or a norm filter runs inside the scan's codegen stage, fuses with
+  * pushed filters, and never leaves Tungsten rows. The Scala-side twins
+  * (`operators/Similarity.cosine`) remain for driver-side/per-partition
+  * algorithmic code (k-means, heaps); spec-gated agreement keeps them in
+  * lockstep.
+  */
+object VectorFunctions {
+
+  /** Dot product — left-fold in DOUBLE over the zipped pair (float operands
+    * are upcast per element, so precision matches the Scala twin's loop).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with the zero-vector guard of the Scala twin. */
+  def cosineSim(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Euclidean (L2) distance. */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Unit-normalize (zero vectors pass through unchanged). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Component count above a threshold — an INTEGER metric (exactly
+    * reproducible in any engine, per the repo's oracle discipline).
+    */
+  def nAbove(a: Column, threshold: Double): Column =
+    size(filter(a, x => x > threshold))
+}

@@ -111,6 +111,26 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming EXACT DEDUP — the streaming face of `Dedup.exact`: one output
+    * row per distinct content hash, first occurrence wins, duplicates dropped
+    * across batches through the dedup state store. Emitted SHAPE is the key
+    * set itself (`text_hash` only): `dropDuplicates` keeps the first
+    * PROCESSED row per key and arrival order across partitions is
+    * nondeterministic, so the key set is the deterministic, oracle-able
+    * output while full-row recovery stays a keyed join away. State is
+    * bounded: `dropDuplicatesWithinWatermark` evicts keys once the event-time
+    * watermark passes them, so state size is rate x watermark horizon — not
+    * corpus size (the unbounded-state trap of plain streaming dropDuplicates
+    * at 100TB).
+    */
+  def dedupStream(turns: Dataset[Turn], watermark: String = "1 hour"): DataFrame =
+    turns.toDF()
+      .filter(col("ts").isNotNull) // null event time cannot be watermarked; mirror batch row-tolerance
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(col("text_hash"))
+
   /** File-based continuous ingest: watch `inDir` for new transcript parquet,
     * write extracted parquet to `outDir` with checkpointed exactly-once progress.
     */

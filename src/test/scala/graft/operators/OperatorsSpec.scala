@@ -278,6 +278,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotChain.length == 65 && gotChain.forall(_._2 == 0L))
   }
 
+  test("vector column functions agree with the Scala twins (codegen'd zip_with/aggregate)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // column-side cosine/l2/norm against the all-ones vector vs the Scala loop
+    val ones = org.apache.spark.sql.functions.transform($"embedding",
+      _ => org.apache.spark.sql.functions.lit(1.0f))
+    val got = emb.select($"vec_id", cosineSim($"embedding", ones).as("c"),
+      l2Dist($"embedding", ones).as("d"), norm($"embedding").as("n"),
+      nAbove($"embedding", 0.0).as("np"))
+      .as[(Long, Double, Double, Double, Int)].collect().map(r => r._1 -> r).toMap
+    pairs.foreach { case (id, v) =>
+      val onesV = Array.fill(v.length)(1.0f)
+      val (_, c, d, n, np) = got(id)
+      assert(math.abs(c - Similarity.cosine(v, onesV)) < 1e-12, s"cosine vec $id")
+      assert(math.abs(n - Similarity.norm(v)) < 1e-12, s"norm vec $id")
+      val l2 = math.sqrt(v.zip(onesV).map { case (a, b) => val x = a.toDouble - b; x * x }.sum)
+      assert(math.abs(d - l2) < 1e-12, s"l2 vec $id")
+      assert(np == v.count(_ > 0), s"nAbove vec $id")
+    }
+    // l2Normalize yields unit vectors (and leaves the zero vector untouched)
+    val normed = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(norm(l2Normalize($"embedding")).as("n")).as[Double].collect()
+    assert(math.abs(normed(0) - 1.0) < 1e-6 && normed(1) == 0.0)
+    // and the plan is codegen'd column math, no (de)serialized UDF
+    val plan = emb.select(cosineSim($"embedding", ones)).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"vector ops must stay in Catalyst expressions:\n${plan.take(800)}")
+  }
+
   test("langId is deterministic and picks the profile language") {
     assert(TextFunctions.langId("the cat is on the mat and it is happy") == "en")
     assert(TextFunctions.langId("der hund ist nicht in der schule und das ist gut") == "de")

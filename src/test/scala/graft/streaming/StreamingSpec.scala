@@ -83,6 +83,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.length == 1 && closed(0).n_turns == 2, closed.mkString(", "))
   }
 
+  test("streaming dedup: cross-batch duplicates collapse through the state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.dedupStream(input.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two distinct texts, one in-batch duplicate
+    input.addData(turn("c1", 0, "alpha text", "plain", 100),
+      turn("c2", 0, "beta text", "plain", 110),
+      turn("c3", 0, "alpha text", "plain", 120))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch duplicate (must hit the state store, not in-batch
+    // dedup) plus one new text; null-ts rows drop like the batch job's
+    input.addData(turn("c4", 0, "alpha text", "plain", 200),
+      turn("c5", 0, "gamma text", "plain", 210),
+      Turn("c6", 0, "user", "delta with null ts", "plain", null))
+    q.processAllAvailable()
+    q.stop()
+    val hashes = spark.table("dedup_out").as[String].collect().toSeq
+    assert(hashes.length == 3, s"expected 3 distinct hashes, got $hashes")
+    assert(hashes.distinct.length == 3)
+    val expected = Seq("alpha text", "beta text", "gamma text")
+      .map(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes).map(b => f"$b%02x").mkString).toSet
+    assert(hashes.toSet == expected)
+  }
+
   test("windowed metrics aggregate per payload kind with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
