@@ -323,6 +323,26 @@ object SparkEntry {
       Dedup.clusters(pairs).orderBy("id")
     }),
 
+    // Deterministic stratified sampling over events: per-event-type fractions,
+    // decision = a pure hash-threshold column expr — identical on any engine,
+    // layout, or rerun (the oracle replays the same arithmetic in SQL).
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(t(s, dir, "events"), "event_id", "event_type",
+        Map("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05), default = 0.1)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")
+    }),
+
+    // Test-set decontamination: docs 0-4 ARE the "benchmark", so they (and any
+    // doc sharing an 8-word shingle with them) must report contamination; the
+    // big side is a broadcast-probe narrow map — no shuffle (spec-gated).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 5).select(col("text"))
+      Dedup.decontaminate(docs, "text", "doc_id", bench, "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----------------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
@@ -780,6 +800,26 @@ object SparkEntry {
         s"UNION ALL SELECT doc_id, ${fnvSql("nt")} AS rm FROM d WHERE length(nt) < 8) " +
         s"SELECT f.doc_id, ${toSigned64("f.h")} AS fnv64, ${toSigned64("r.rm")} AS rolling_min " +
         "FROM fnv f JOIN rolling r USING (doc_id) ORDER BY f.doc_id"),
+    // same Knuth-multiplicative threshold arithmetic as Sampling.idHash; the
+    // thresholds are round(fraction * 2^32)
+    "q_sample_stratified" ->
+      ("SELECT event_id, event_type, user_id FROM events " +
+        "WHERE (event_id * 2654435761) % 4294967296 < " +
+        "CASE event_type WHEN 'purchase' THEN 4294967296 WHEN 'click' THEN 1073741824 " +
+        "WHEN 'view' THEN 214748365 ELSE 429496730 END " +
+        "ORDER BY event_id"),
+    // word-8-shingles (docs under 8 words collapse to one whole-text shingle,
+    // mirroring Dedup.shingles); hits counted over DISTINCT shingles per doc
+    "q_decontaminate" ->
+      (s"WITH n AS (SELECT doc_id, ${normSql.format("text")} AS t FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(string_split(t, ' ')) < 8 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 6), " +
+        "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) END AS sh FROM n), " +
+        "b AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id < 5)), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+        "h AS (SELECT e.doc_id, count(*) AS hits FROM e JOIN b USING (g) GROUP BY e.doc_id) " +
+        "SELECT n.doc_id, CAST(coalesce(h.hits, 0) AS INT) AS n_contaminated " +
+        "FROM n LEFT JOIN h USING (doc_id) ORDER BY n.doc_id"),
     "q_cosine_near_dup" ->
       ("WITH u AS (SELECT vec_id AS id, embedding AS e FROM embeddings " +
         "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings) " +

@@ -253,6 +253,59 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  // --- test-set decontamination -------------------------------------------------
+
+  /** Benchmark/test-set DECONTAMINATION: per document, count its distinct
+    * word-`k`-shingles that also occur in `benchmark` (an eval corpus).
+    * Callers drop or flag `n_contaminated > 0` rows before training.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval sets are
+    * thousands of rows, not billions) — its distinct shingle hashes collect
+    * to the driver ONCE, ship as a broadcast sorted primitive array, and the
+    * 100TB document side stays a NARROW map (shingle + binary-search probe):
+    * no shuffle, no join, fuses with scan pushdown. The collect is
+    * bounded-by-contract (guarded): callers with a huge "benchmark" are using
+    * the wrong operator — that is a near-dup join, not decontamination.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      k: Int = 8,
+      maxBenchShingles: Int = 50000000
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchShingles: Array[Long] = benchmark
+      .select(col(benchTextCol).as("t")).as[String]
+      .flatMap(t => shingles(t, k))
+      .distinct()
+      .limit(maxBenchShingles + 1)
+      .collect()
+    require(benchShingles.length <= maxBenchShingles,
+      s"benchmark exceeds $maxBenchShingles distinct shingles — use a near-dup join for corpus-vs-corpus overlap")
+    java.util.Arrays.sort(benchShingles)
+    val bc = spark.sparkContext.broadcast(benchShingles)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val sorted = bc.value
+        it.map { case (id, t) =>
+          val sh = shingles(t, k) // sorted distinct by construction
+          var hits = 0
+          var i = 0
+          while (i < sh.length) {
+            if (java.util.Arrays.binarySearch(sorted, sh(i)) >= 0) hits += 1
+            i += 1
+          }
+          (id, hits)
+        }
+      }
+      .toDF("doc_id", "n_contaminated")
+  }
+
   // --- character n-gram Jaccard (bottom-k sketch LSH) --------------------------
 
   /** Character k-gram shingles of the normalized text, hashed to 64-bit, distinct.

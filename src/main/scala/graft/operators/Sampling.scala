@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. `sample()`'s built-in
+  * Bernoulli draw is seed-and-partitioning dependent — rerunning after a
+  * repartition or resume samples a DIFFERENT subset, which breaks
+  * reproducible curation. These samplers hash the ROW IDENTITY instead: the
+  * decision is a pure column expression evaluated inside the scan stage's
+  * codegen (rows drop before any shuffle or wide transform; arithmetic
+  * predicates don't reach parquet row-group stats, so the scan still reads
+  * its input — same as any engine's hash sampling), identical on any engine,
+  * cluster layout, or rerun, and composable with resume (a re-extracted
+  * shard re-samples the same rows).
+  *
+  * Hash: Knuth multiplicative `(id * 2654435761) mod 2^32` — wraps nowhere
+  * (ids below ~3.4e9 keep the product under 2^63; larger id domains should
+  * pre-fold), equidistributes sequential ids (for sampling this is a
+  * FEATURE: realized fractions track the target almost exactly), and is
+  * expressible in plain SQL for cross-engine oracles. Not a cryptographic
+  * hash — adversarial id layouts should pre-mix.
+  */
+object Sampling {
+
+  private val Knuth = 2654435761L
+  private val Space = 4294967296L // 2^32
+
+  /** The sampling hash of a BIGINT id column, in [0, 2^32). */
+  def idHash(id: Column): Column = pmod(id.cast("long") * lit(Knuth), lit(Space))
+
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    math.round(fraction * Space)
+  }
+
+  /** Deterministic Bernoulli(fraction) keyed on `idCol`. */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(idHash(col(idCol)) < lit(threshold(fraction)))
+
+  /** Stratified sampling: a per-stratum fraction (strata not listed take
+    * `default`). One codegen'd CASE — no per-stratum scans, no shuffle.
+    */
+  def stratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0
+  ): DataFrame = {
+    val thresh = fractions.foldLeft(lit(threshold(default))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(threshold(f))).otherwise(acc)
+    }
+    df.where(idHash(col(idCol)) < thresh)
+  }
+}

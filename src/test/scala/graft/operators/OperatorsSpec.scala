@@ -264,6 +264,65 @@ class OperatorsSpec extends AnyFunSuite {
       "idBound range sample must equal the fallback sample on a dense-offset domain")
   }
 
+  test("sampling: deterministic across layouts/reruns, near-exact fractions, stratified CASE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val n = events.count().toDouble
+    val s25 = Sampling.bernoulli(events, "event_id", 0.25)
+    val ids = s25.select($"event_id").as[Long].collect().toSet
+    // same subset regardless of partitioning (the built-in sample() breaks here)
+    val idsRepart = Sampling.bernoulli(events.repartition(7), "event_id", 0.25)
+      .select($"event_id").as[Long].collect().toSet
+    assert(ids == idsRepart, "hash sampling must be layout-independent")
+    // multiplicative hash on sequential ids: realized fraction tracks target tightly
+    assert(math.abs(ids.size / n - 0.25) < 0.02, s"realized ${ids.size / n}")
+    // edge fractions
+    assert(Sampling.bernoulli(events, "event_id", 1.0).count() == n.toLong)
+    assert(Sampling.bernoulli(events, "event_id", 0.0).count() == 0L)
+    // stratified == per-stratum bernoulli applied manually
+    val strat = Sampling.stratified(events, "event_id", "event_type",
+      Map("purchase" -> 1.0, "view" -> 0.1), default = 0.5)
+    val manual = events.where(
+      (col("event_type") === "purchase" && Sampling.idHash(col("event_id")) < math.round(1.0 * 4294967296L)) ||
+      (col("event_type") === "view" && Sampling.idHash(col("event_id")) < math.round(0.1 * 4294967296.0)) ||
+      (!col("event_type").isin("purchase", "view") && Sampling.idHash(col("event_id")) < math.round(0.5 * 4294967296.0)))
+    assert(strat.select($"event_id").as[Long].collect().toSet ==
+      manual.select($"event_id").as[Long].collect().toSet)
+  }
+
+  test("decontaminate: planted benchmark overlap counted exactly, big side stays shuffle-free") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i") // 30 distinct words
+    val benchText = w.take(12).mkString(" ")       // shingles w1..w5, ..., w5..w12
+    val docRows = Seq(
+      (1L, benchText),                              // the benchmark itself: all 5 shingles hit
+      (2L, w.slice(2, 10).mkString(" ")),           // w3..w10 = exactly one 8-shingle, contained
+      (3L, w.slice(11, 19).mkString(" ")),          // w12..w19: no benchmark 8-shingle
+      (4L, "short doc"),                            // < 8 words: whole-text shingle, no hit
+      (5L, benchText + " " + w.slice(20, 25).mkString(" ")) // superset: 5 hits + clean tail
+    ).toDF("doc_id", "text")
+    val bench = Seq(benchText).toDF("text")
+    val got = Dedup.decontaminate(docRows, "text", "doc_id", bench, "text", k = 8)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 5, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 5), s"got $got")
+    // the short benchmark-free doc and its twin: whole-text shingle matches only itself
+    val shortBench = Seq("short doc").toDF("text")
+    val gotShort = Dedup.decontaminate(docRows, "text", "doc_id", shortBench, "text", k = 8)
+      .as[(Long, Int)].collect().toMap
+    assert(gotShort(4L) == 1 && gotShort(3L) == 0)
+    // scale shape: the document side is a narrow map — NO exchange in the plan
+    val plan = Dedup.decontaminate(docRows, "text", "doc_id", bench, "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decontaminate must not shuffle the corpus:\n${plan.take(1200)}")
+    // oversized "benchmark" fails loudly instead of collecting the world
+    val e = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(docRows, "text", "doc_id", docRows.select("text"), "text",
+        k = 8, maxBenchShingles = 3)
+    }
+    assert(e.getMessage.contains("near-dup join"))
+  }
+
   test("clusters: path graphs collapse transitively, components stay separate") {
     import spark.implicits._
     // a-b-c is a PATH (no a-c edge): transitivity must still merge all three;
