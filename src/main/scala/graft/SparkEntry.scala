@@ -273,6 +273,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The round-4 composed curation pass, ONE plan end to end: minhash pairs ->
+    // connected-component clustering -> keeper = cluster minimum -> test-set
+    // decontamination (broadcast probe) -> deterministic hash sample -> token
+    // counts. This is the keeper-graph + decontaminate + reproducible-sample
+    // shape a production curation rerun needs (a resumed run re-derives the
+    // SAME final corpus).
+    "q_curation_v2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      val pairs = Dedup.minhashNearDups(dupes, "text", "doc_id",
+        threshold = 0.999, maxBucket = 30000)
+      val cl = Dedup.clusters(pairs)
+      // every doc has a planted twin, so every id appears in a cluster;
+      // keeper = the member that IS the cluster minimum
+      val keepers = dupes.join(cl, dupes("doc_id") === cl("id"))
+        .where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") < 5).select(col("text"))
+      val flags = Dedup.decontaminate(keepers, "text", "doc_id", bench, "text", k = 8)
+      val clean = keepers.join(flags, "doc_id").where(col("n_contaminated") === 0)
+      graft.operators.Sampling.bernoulli(clean, "doc_id", 0.5)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deduplication -------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -749,6 +774,33 @@ object SparkEntry {
         "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 1), " +
         "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) END AS s FROM u) " +
         "SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.s = b.s AND a.id < b.id ORDER BY id_a, id_b"),
+    // keeper = min id of each word-3-shingle-set equality class (every doc has
+    // a planted twin, so clusters() sees every id); then drop keepers sharing
+    // any 8-shingle with docs 0-4; then the Knuth hash-threshold sample; then
+    // whitespace token counts — each stage re-derived from its own oracle twin
+    "q_curation_v2" ->
+      (s"WITH u AS (SELECT doc_id AS id, ${normSql.format("text")} AS t, text AS raw FROM documents " +
+        s"UNION ALL SELECT doc_id + 10000, ${normSql.format("text")}, text FROM documents), " +
+        "sets3 AS (SELECT id, raw, CASE WHEN len(string_split(t, ' ')) < 3 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 1), " +
+        "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) END AS s3 FROM u), " +
+        "keep AS (SELECT id, raw FROM (SELECT id, raw, min(id) OVER (PARTITION BY s3) AS m FROM sets3) WHERE id = m), " +
+        s"kn AS (SELECT id, raw, ${normSql.format("raw")} AS t FROM keep), " +
+        "sets8 AS (SELECT id, raw, CASE WHEN len(string_split(t, ' ')) < 8 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 6), " +
+        "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) END AS sh FROM kn), " +
+        s"bn AS (SELECT ${normSql.format("text")} AS t FROM documents WHERE doc_id < 5), " +
+        "bsets AS (SELECT CASE WHEN len(string_split(t, ' ')) < 8 THEN [t] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(string_split(t, ' ')) - 6), " +
+        "i -> array_to_string(list_slice(string_split(t, ' '), CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) END AS sh FROM bn), " +
+        "b AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM bsets)), " +
+        "e AS (SELECT id, unnest(sh) AS g FROM sets8), " +
+        "dirty AS (SELECT DISTINCT e.id FROM e JOIN b USING (g)), " +
+        "clean AS (SELECT id, raw FROM sets8 WHERE id NOT IN (SELECT id FROM dirty)), " +
+        "sampled AS (SELECT id, raw FROM clean WHERE (id * 2654435761) % 4294967296 < 2147483648) " +
+        "SELECT id AS doc_id, CASE WHEN length(trim(raw)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(raw), '\\s+')) END AS n_tokens " +
+        "FROM sampled ORDER BY doc_id"),
     // Connected components of the shingle-set-equality pair graph == the
     // equality classes themselves (set equality is transitive); singletons
     // (no pair) are not emitted. cluster_id = min id of the class.
