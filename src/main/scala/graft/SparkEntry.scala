@@ -139,16 +139,17 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
-    // LENIENT decryption end to end: every doc becomes an RC4-ENCRYPTED PDF
-    // (standard security handler, empty user password; R2/40-bit on even ids,
-    // R3/128-bit on odd) whose deflated content stream is ciphertext the
-    // reference — and strict mode — cannot inflate; the lenient route derives
-    // and VERIFIES the key (Algorithms 2-5) and must round-trip the text.
+    // LENIENT decryption end to end: every doc becomes an ENCRYPTED PDF
+    // (standard security handler, empty user password; doc_id mod 3 picks
+    // R2/RC4-40, R3/RC4-128, or V4/AESV2 = AES-128-CBC) whose deflated
+    // content stream is ciphertext the reference — and strict mode — cannot
+    // inflate; the lenient route derives and VERIFIES the key (Algorithms
+    // 2-5) and must round-trip the text.
     "q_pdf_encrypted_lenient" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val r = if (id % 2 == 0) 2 else 3
+          val r = 2 + (id % 3).toInt
           val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",
             MiniPdf.synthesizeEncryptedBase64(text, r), "pdf-b64-lenient", null))
           (id, e.extracted_text, e.payload_kind, e.error == null)

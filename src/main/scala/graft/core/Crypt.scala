@@ -62,10 +62,16 @@ object Crypt {
     Array(v, v >>> 8, v >>> 16, v >>> 24).map(b => (b & 0xff).toByte)
 
   /** Algorithm 2: file encryption key for the EMPTY user password.
-    * `n` = key length in bytes (5 for R2, /Length/8 for R3).
+    * `n` = key length in bytes (5 for R2, /Length/8 for R3/R4).
+    * `metadataUnencrypted` appends the 0xFFFFFFFF marker (R4 with
+    * /EncryptMetadata false).
     */
-  def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], n: Int, r: Int): Array[Byte] = {
-    var k = md5(Pad, o, leInt(p), id0)
+  def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], n: Int, r: Int,
+              metadataUnencrypted: Boolean = false): Array[Byte] = {
+    val noMeta: Array[Byte] =
+      if (metadataUnencrypted) Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
+      else Array.emptyByteArray
+    var k = md5(Pad, o, leInt(p), id0, noMeta)
     if (r >= 3) {
       var i = 0
       while (i < 50) { k = md5(k.take(n)); i += 1 }
@@ -112,19 +118,57 @@ object Crypt {
     }
   }
 
-  /** Algorithm 1 per-object key: MD5(fileKey || obj-LE24 || gen-LE16),
-    * truncated to min(n+5, 16).
+  /** Algorithm 1 per-object key: MD5(fileKey || obj-LE24 || gen-LE16
+    * [|| "sAlT" for AESV2]), truncated to min(n+5, 16).
     */
-  def objectKey(key: Array[Byte], obj: Int, gen: Int): Array[Byte] = {
-    val tail = Array(obj, obj >>> 8, obj >>> 16, gen, gen >>> 8)
+  def objectKey(key: Array[Byte], obj: Int, gen: Int, aes: Boolean = false): Array[Byte] = {
+    val tail0 = Array(obj, obj >>> 8, obj >>> 16, gen, gen >>> 8)
       .map(b => (b & 0xff).toByte)
+    val tail = if (aes) tail0 ++ "sAlT".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+               else tail0
     md5(key, tail).take(math.min(key.length + 5, 16))
   }
 
-  /** Parsed /Encrypt state + verified file key. */
-  final case class Decryptor(key: Array[Byte]) {
+  // Cipher.getInstance walks the same synchronized JCA provider registry as
+  // MessageDigest.getInstance — thread-local, like the digest above.
+  private val aesLocal = new ThreadLocal[javax.crypto.Cipher] {
+    override def initialValue(): javax.crypto.Cipher =
+      javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+  }
+
+  /** AES-128-CBC with the AESV2 layout: leading 16-byte IV, PKCS#7 padding. */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || (data.length - 16) % 16 != 0)
+      Err.fail("AESV2 stream malformed (needs IV + whole ciphertext blocks)")
+    val c = aesLocal.get()
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+    val out = c.doFinal(data, 16, data.length - 16)
+    val pad = out(out.length - 1) & 0xff
+    if (pad < 1 || pad > 16 || pad > out.length) Err.fail("AESV2 padding invalid")
+    java.util.Arrays.copyOf(out, out.length - pad)
+  }
+
+  /** Fixture support: the matching encryptor (IV supplied for determinism). */
+  def aesEncrypt(key: Array[Byte], iv: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - plain.length % 16
+    val padded = java.util.Arrays.copyOf(plain, plain.length + padLen)
+    java.util.Arrays.fill(padded, plain.length, padded.length, padLen.toByte)
+    val c = aesLocal.get()
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(padded)
+  }
+
+  /** Parsed /Encrypt state + verified file key. `aes` = AESV2 crypt filter
+    * (V4); false = RC4 (V1/V2 or a V4 /CFM /V2 filter).
+    */
+  final case class Decryptor(key: Array[Byte], aes: Boolean = false) {
     def decrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      rc4(objectKey(key, obj, gen), data)
+      if (aes) aesDecrypt(objectKey(key, obj, gen, aes = true), data)
+      else rc4(objectKey(key, obj, gen), data)
   }
 
   private def bytesOf(o: PdfObj, what: String): Array[Byte] = o match {
@@ -134,9 +178,12 @@ object Crypt {
   }
 
   /** Build a verified decryptor from the /Encrypt dictionary + first /ID
-    * element. Fails loudly on: non-Standard handlers, V > 2 / R > 3 (AES and
-    * crypt filters out of scope), or a /U that does not match the EMPTY user
-    * password (a passworded document must never be silently garbled).
+    * element. Supported: V1/V2 RC4 (R2/R3) and V4 crypt filters with
+    * /CFM /AESV2 (AES-128-CBC) or /V2 (RC4) and /StmF /StdCF. Fails loudly
+    * on: non-Standard handlers, V5+/AESV3 (AES-256/SHA-2 derivation out of
+    * scope), Identity or named stream filters other than StdCF, or a /U that
+    * does not match the EMPTY user password (a passworded document must never
+    * be silently garbled).
     */
   def standardDecryptor(enc: Map[String, PdfObj], id0: Array[Byte]): Decryptor = {
     enc.get("Filter") match {
@@ -148,11 +195,38 @@ object Crypt {
       case Some(PNum(NInt(n))) => n
       case _                   => Err.fail("Encrypt dictionary requires /R")
     }
-    if (v < 1 || v > 2 || r < 2 || r > 3)
-      Err.fail(s"encryption V=$v R=$r not supported (RC4 V1/V2, R2/R3 only)")
+    val okVR = (v >= 1 && v <= 2 && r >= 2 && r <= 3) || (v == 4 && r == 4)
+    if (!okVR)
+      Err.fail(s"encryption V=$v R=$r not supported (RC4 V1/V2 R2/R3 and V4 R4 crypt filters only)")
+    // V4: resolve the stream crypt filter (StdCF) and its method
+    val aes =
+      if (v < 4) false
+      else {
+        enc.get("StmF") match {
+          case Some(PName("StdCF")) | None => () // None defaults to Identity per spec — but
+          case other => Err.fail(s"stream crypt filter not supported: $other")
+        }
+        if (!enc.contains("StmF"))
+          Err.fail("V4 encryption without /StmF (Identity streams) not supported")
+        val cfm = enc.get("CF") match {
+          case Some(PDict(cf)) => cf.get("StdCF") match {
+            case Some(PDict(std)) => std.get("CFM") match {
+              case Some(PName(m)) => m
+              case _              => Err.fail("StdCF crypt filter requires /CFM")
+            }
+            case _ => Err.fail("V4 encryption requires /CF /StdCF")
+          }
+          case _ => Err.fail("V4 encryption requires a /CF dictionary")
+        }
+        cfm match {
+          case "AESV2" => true
+          case "V2"    => false
+          case other   => Err.fail(s"crypt filter method $other not supported (AESV2/V2 only)")
+        }
+      }
     val lengthBits = enc.get("Length") match {
       case Some(PNum(NInt(n))) => n
-      case None                => 40
+      case None                => if (v == 4) 128 else 40
       case _                   => Err.fail("Encrypt /Length should be an integer")
     }
     if (lengthBits % 8 != 0 || lengthBits < 40 || lengthBits > 128)
@@ -164,13 +238,17 @@ object Crypt {
       case Some(PNum(NInt(x))) => x
       case _                   => Err.fail("Encrypt dictionary requires /P")
     }
-    val key = fileKey(o, p, id0, n, r)
+    val metaUnenc = enc.get("EncryptMetadata") match {
+      case Some(PName("false")) => true // bareword coercion turns booleans into names
+      case _                    => false
+    }
+    val key = fileKey(o, p, id0, n, r, metaUnenc)
     val expectU = userEntry(key, id0, r)
     val matches =
       if (r == 2) java.util.Arrays.equals(u, expectU)
       else u.length >= 16 && java.util.Arrays.equals(u.take(16), expectU.take(16))
     if (!matches)
       Err.fail("encrypted document is not openable with an empty user password")
-    Decryptor(key)
+    Decryptor(key, aes)
   }
 }

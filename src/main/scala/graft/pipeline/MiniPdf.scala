@@ -308,10 +308,11 @@ object MiniPdf {
   def synthesizeTextOpsBase64(text: String, chunk: Int): String =
     java.util.Base64.getEncoder.encodeToString(synthesizeTextOps(text, chunk))
 
-  /** RC4-ENCRYPTED variant (standard security handler, empty user password,
-    * r=2 -> V1/RC4-40 or r=3 -> V2/RC4-128): the content stream is deflated
-    * then RC4'd with the per-object key (encryption wraps OUTSIDE the
-    * filters), /O and /U computed with the real Algorithms 2-5
+  /** ENCRYPTED variant (standard security handler, empty user password,
+    * r=2 -> V1/RC4-40, r=3 -> V2/RC4-128, r=4 -> V4 crypt filter /AESV2 =
+    * AES-128-CBC): the content stream is deflated then encrypted with the
+    * per-object key (encryption wraps OUTSIDE the filters; AES prepends its
+    * 16-byte IV), /O and /U computed with the real Algorithms 2-5
     * (core/Crypt.scala), deterministic /ID = MD5(text). The reference ignores
     * /Encrypt entirely (xref.rs:136-146) and inflates ciphertext — strict
     * mode fails identically; only `Pdf.lenient` derives+verifies the key and
@@ -320,7 +321,7 @@ object MiniPdf {
     */
   def synthesizeEncrypted(text: String, r: Int = 2, useFlate: Boolean = true): Array[Byte] = {
     import graft.core.Crypt
-    require(r == 2 || r == 3, "standard handler revisions 2 and 3 only")
+    require(r >= 2 && r <= 4, "standard handler revisions 2-4 only")
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
       .getBytes(ISO_8859_1)
     val filtered = if (useFlate) {
@@ -335,9 +336,9 @@ object MiniPdf {
     val p = -1
     // the tokenizer's nextN skips LEADING WHITESPACE (replicated reference
     // quirk, tokenizer.rs:173-185), so raw stream bytes must not start with a
-    // whitespace-class byte — RC4 ciphertext is pseudorandom (~2.3% chance),
-    // so salt-search the deterministic /ID until the first cipher byte is
-    // safe (same workaround the raw xref-stream fixtures use)
+    // whitespace-class byte — RC4 ciphertext / the AES IV are pseudorandom
+    // (~2.3% chance), so salt-search the deterministic /ID until the first
+    // stream byte is safe (same workaround the raw xref-stream fixtures use)
     def isWs(b: Byte): Boolean =
       b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
     var salt = 0
@@ -348,11 +349,23 @@ object MiniPdf {
       id0 = Crypt.md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         Array(salt.toByte, (salt >> 8).toByte))
       key = Crypt.fileKey(o, p, id0, n, r)
-      encBytes = Crypt.rc4(Crypt.objectKey(key, 4, 0), filtered)
+      encBytes =
+        if (r == 4) Crypt.aesEncrypt(Crypt.objectKey(key, 4, 0, aes = true),
+          Crypt.md5(id0, "iv".getBytes).take(16), filtered)
+        else Crypt.rc4(Crypt.objectKey(key, 4, 0), filtered)
       salt += 1
     }
     val u = Crypt.userEntry(key, id0, r)
     def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val encDict =
+      if (r == 4)
+        "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /O <${hx(o)}> /U <${hx(u)}> /P $p >>"
+      else
+        s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
+          (if (r == 3) "/Length 128 " else "") +
+          s"/O <${hx(o)}> /U <${hx(u)}> /P $p >>"
     val objects = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -360,9 +373,7 @@ object MiniPdf {
       null, // encrypted stream assembled below (binary body)
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
       s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>",
-      s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
-        (if (r == 3) "/Length 128 " else "") +
-        s"/O <${hx(o)}> /U <${hx(u)}> /P $p >>"
+      encDict
     )
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))

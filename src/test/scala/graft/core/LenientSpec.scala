@@ -204,8 +204,12 @@ class LenientSpec extends AnyFunSuite {
     rt(("the quick brown fox " * 400).getBytes(ISO_8859_1))
     // table-full clear: enough distinct-pair pressure to pass 4095 entries
     rt(Array.tabulate(40000)(i => ((i * 31) ^ (i >> 3)).toByte))
-    // hand-checked vector: CLEAR 'A' 'B' EOD at 9 bits
-    // 256=100000000, 65=001000001, 66=001000010, 257=100000001 -> packed MSB-first
+    // HAND-DERIVED bit-layout vector (independent of our encoder): the code
+    // stream CLEAR 'A' 258 'A' EOD — 9-bit codes 256,65,258,65,257 packed
+    // MSB-first = 80 10 60 44 18 08 — decodes through the KwKwK rule
+    // (258 == nextCode) to "A"+"AA"+"A" = "AAAA"
+    val handVec = Array(0x80, 0x10, 0x60, 0x44, 0x18, 0x08).map(_.toByte)
+    assert(LenientFilters.lzwDecode(handVec).toSeq == "AAAA".getBytes(ISO_8859_1).toSeq)
     val enc = LenientFilters.lzwEncode("AB".getBytes(ISO_8859_1))
     assert(LenientFilters.lzwDecode(enc).toSeq == "AB".getBytes(ISO_8859_1).toSeq)
     // truncated stream (EOD missing) returns the decoded prefix, never throws
@@ -237,8 +241,8 @@ class LenientSpec extends AnyFunSuite {
     assert(Crypt.rc4("Key".getBytes, c).toSeq == "Plaintext".getBytes.toSeq)
   }
 
-  test("lenient: RC4-encrypted documents (R2-40 / R3-128, flate and raw) extract; strict fails like the reference") {
-    for (r <- Seq(2, 3); flate <- Seq(true, false)) {
+  test("lenient: encrypted documents (RC4 R2/R3, AES-128 V4/AESV2; flate and raw) extract; strict fails like the reference") {
+    for (r <- Seq(2, 3, 4); flate <- Seq(true, false)) {
       val text = s"Encrypted r$r flate=$flate content line"
       val pdf = graft.pipeline.MiniPdf.synthesizeEncrypted(text, r, flate)
       assert(Pdf.lenient(pdf).extract(ExtractText) == text, s"r=$r flate=$flate")
@@ -267,13 +271,35 @@ class LenientSpec extends AnyFunSuite {
     // /U does not match the empty user password -> explicit rejection
     val e = intercept[PdfParseException](Crypt.standardDecryptor(base, id0))
     assert(e.getMessage.contains("empty user password"))
-    // AES / crypt-filter revisions are out of scope and say so
+    // V5/AES-256 is out of scope and says so
     val e2 = intercept[PdfParseException](Crypt.standardDecryptor(
-      base + ("V" -> PNum(NInt(4))) + ("R" -> PNum(NInt(4))), id0))
+      base + ("V" -> PNum(NInt(5))) + ("R" -> PNum(NInt(6))), id0))
     assert(e2.getMessage.contains("not supported"))
     val e3 = intercept[PdfParseException](Crypt.standardDecryptor(
       base + ("Filter" -> PName("MySecretHandler")), id0))
     assert(e3.getMessage.contains("handler not supported"))
+    // V4 with Identity streams (no /StmF) or an unknown crypt method: loud
+    val v4base = base + ("V" -> PNum(NInt(4))) + ("R" -> PNum(NInt(4))) +
+      ("CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV2"))))))
+    val e4 = intercept[PdfParseException](Crypt.standardDecryptor(v4base, id0))
+    assert(e4.getMessage.contains("StmF"), e4.getMessage)
+    val e5 = intercept[PdfParseException](Crypt.standardDecryptor(
+      v4base + ("StmF" -> PName("StdCF")) +
+        ("CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV3")))))), id0))
+    assert(e5.getMessage.contains("AESV2/V2 only"), e5.getMessage)
+  }
+
+  test("crypt: AES-128 primitives round-trip and reject malformed padding") {
+    val key = Crypt.md5("k".getBytes).take(16)
+    val iv = Crypt.md5("iv".getBytes).take(16)
+    for (len <- Seq(0, 1, 15, 16, 17, 100)) {
+      val plain = Array.tabulate(len)(i => (i * 7).toByte)
+      val enc = Crypt.aesEncrypt(key, iv, plain)
+      assert((enc.length - 16) % 16 == 0 && enc.length >= plain.length + 16)
+      assert(Crypt.aesDecrypt(key, enc).toSeq == plain.toSeq, s"len $len")
+    }
+    // truncated / non-block ciphertext fails loudly
+    intercept[PdfParseException](Crypt.aesDecrypt(key, new Array[Byte](20)))
   }
 
   // --- lenient-TEXT operators (Tw/Tz/TL/Ts/'/" — own flag) ------------------------

@@ -123,6 +123,38 @@ class PoisonSpec extends AnyFunSuite {
       s"huge /N must hit the member cap: ${poisoned.error}")
   }
 
+  test("lenient-route poison: corrupt filters/ciphertext land in the error column, never fail") {
+    def lenientTurn(bytes: Array[Byte]): Turn =
+      Turn("poison", 0, "user",
+        java.util.Base64.getEncoder.encodeToString(bytes), "pdf-b64-lenient",
+        new java.sql.Timestamp(0))
+    // invalid ASCIIHex character inside the content stream
+    val hexDoc = MiniPdf.synthesizeFiltered("clean text", "ASCIIHexDecode")
+    val hexStr = new String(hexDoc, ISO_8859_1)
+    val corruptHex = hexStr.replaceFirst("stream\n..", "stream\nZZ").getBytes(ISO_8859_1)
+    val e1 = ExtractJob.extractTurn(lenientTurn(corruptHex))
+    assert(e1.error != null && e1.error.contains("ASCIIHexDecode"), s"got ${e1.error}")
+    // tampered /U entry: the empty-password verification must reject explicitly
+    val encDoc = new String(MiniPdf.synthesizeEncrypted("secret", 2), ISO_8859_1)
+    val uIdx = encDoc.indexOf("/U <") + 4
+    val tampered = (encDoc.substring(0, uIdx) +
+      (if (encDoc.charAt(uIdx) == '0') "1" else "0") + encDoc.substring(uIdx + 1))
+      .getBytes(ISO_8859_1)
+    val e2 = ExtractJob.extractTurn(lenientTurn(tampered))
+    assert(e2.error != null && e2.error.contains("empty user password"), s"got ${e2.error}")
+    // LZW code out of range (a 12-bit all-ones code before any table growth)
+    val lzwDoc = new String(MiniPdf.synthesizeFiltered("clean text", "LZWDecode"), ISO_8859_1)
+    val sIdx = lzwDoc.indexOf("stream\n") + 7
+    val junk = lzwDoc.substring(0, sIdx) + "ÿÿÿÿ" + lzwDoc.substring(sIdx + 4)
+    val e3 = ExtractJob.extractTurn(lenientTurn(junk.getBytes(ISO_8859_1)))
+    assert(e3.error != null, "corrupt LZW must error, not crash")
+    // the lenient-text route errors (not crashes) on a quote op with no string
+    val badQuote = Turn("poison", 0, "user",
+      MiniPdf.synthesizeBase64("x").replaceFirst("..$", ""), "pdf-b64-lenient-text",
+      new java.sql.Timestamp(0))
+    assert(ExtractJob.extractTurn(badQuote) != null) // never throws
+  }
+
   test("a poison row inside a job lands in the error column; healthy rows unaffected") {
     val spark = SparkTestSession.spark
     import spark.implicits._
