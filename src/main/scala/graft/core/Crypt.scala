@@ -6,10 +6,14 @@ package graft.core
   * (xref.rs:136-146 parses-and-drops it), so it inflates RC4 ciphertext and
   * panics/garbles; strict mode replicates that exactly. Only `Pdf.lenient`
   * derives the file key, VERIFIES the /U entry against the empty user
-  * password (anything else fails loudly — no silent garbage), and RC4-decrypts
-  * STREAM bytes with per-object keys. Scope, documented: string decryption is
-  * not wired (strings parse deep inside the object parser without object-id
-  * context); it affects Info metadata only, never extracted text.
+  * password (anything else fails loudly — no silent garbage), and decrypts
+  * STREAM bytes with per-object keys — content streams, ToUnicode streams,
+  * and object-stream CONTAINERS (Lenient.prepare builds its own decryptor
+  * before materializing ObjStm members, so the modern encrypted 1.5+ layout
+  * with the catalog inside an object stream opens too). Scope, documented:
+  * string decryption is not wired (strings parse deep inside the object
+  * parser without object-id context); it affects Info metadata only, never
+  * extracted text.
   */
 object Crypt {
 
@@ -203,11 +207,11 @@ object Crypt {
       if (v < 4) false
       else {
         enc.get("StmF") match {
-          case Some(PName("StdCF")) | None => () // None defaults to Identity per spec — but
+          case Some(PName("StdCF")) => ()
+          case None => // /StmF defaults to Identity (unencrypted streams) per spec
+            Err.fail("V4 encryption without /StmF (Identity streams) not supported")
           case other => Err.fail(s"stream crypt filter not supported: $other")
         }
-        if (!enc.contains("StmF"))
-          Err.fail("V4 encryption without /StmF (Identity streams) not supported")
         val cfm = enc.get("CF") match {
           case Some(PDict(cf)) => cf.get("StdCF") match {
             case Some(PDict(std)) => std.get("CFM") match {

@@ -171,7 +171,16 @@ object LenientFilters {
       }
       i += 1
     }
-    if (cur >= 0) write(cur)
+    if (cur >= 0) {
+      write(cur)
+      // EOD-tail sync: the decoder registers ONE more table entry for this
+      // final code (its lag on the encoder closes at the flush, because the
+      // flush emit adds no encoder entry). If that registration lands the
+      // decoder's nextCode exactly on (1<<width)-1, the decoder widens BEFORE
+      // reading the next code — so EOD must be written at the wider width or
+      // it is misread as a data code (silent garbage or a spurious failure).
+      if (width < 12 && nextCode == (1 << width) - 1) width += 1
+    }
     write(Eod)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt) // zero-pad
     out.toByteArray

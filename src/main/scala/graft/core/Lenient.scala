@@ -85,6 +85,26 @@ object Lenient {
     var table = HashMap.empty[(Int, Int), (Int, Boolean)]
     typ1.foreach { case (key, off) => table = table.updated(key, (off, true)) }
 
+    // encrypted documents: build the decryptor BEFORE materializing object
+    // streams — their container bytes are ciphertext (encryption wraps
+    // OUTSIDE the filters), and a modern encrypted PDF keeps its catalog and
+    // fonts exactly there. The /Encrypt dictionary itself must be a direct
+    // cross-referenced object (never inside an ObjStm — it is needed to
+    // decrypt them), and xref streams are never encrypted, so the dictionary
+    // is readable at this point.
+    val decryptor: Option[Crypt.Decryptor] = encrypt.map { encRef =>
+      val encOff = typ1.get(encRef) match {
+        case Some(off) => off
+        case None      => Err.fail("Encrypt dictionary must be a direct object (not in an object stream)")
+      }
+      val encDict = ObjParser.parseAt(new Ctx(raw, XRef.default, lenient = true), encOff) match {
+        case PDict(m) => m
+        case o        => Err.fail(s"Encrypt should be a dictionary, found $o")
+      }
+      val docId = id0.getOrElse(Err.fail("encrypted document has no /ID in trailer"))
+      Crypt.standardDecryptor(encDict, docId)
+    }
+
     // materialize object-stream members, grouped so each container is
     // decompressed and header-parsed exactly once
     if (typ2.nonEmpty) {
@@ -97,7 +117,7 @@ object Lenient {
           case Some((off, true)) => off
           case _ => Err.fail(s"object stream $container not found in xref")
         }
-        val slices = objStmSlices(baseCtx, containerOff)
+        val slices = objStmSlices(baseCtx, containerOff, container, decryptor)
         members.foreach { case (obj, (_, idx)) =>
           if (idx < 0 || idx >= slices.length)
             Err.fail(s"object $obj index $idx out of range in object stream $container")
@@ -266,9 +286,12 @@ object Lenient {
   // ---- object streams ---------------------------------------------------------
 
   /** Decode a /Type /ObjStm container into its member slices, ordered by the
-    * header's pair index: Seq of (objNum, bodyBytes).
+    * header's pair index: Seq of (objNum, bodyBytes). `decryptor` (encrypted
+    * documents) peels the per-object encryption BEFORE the filters — the
+    * container's stream bytes are ciphertext of the compressed data.
     */
-  private def objStmSlices(ctx: Ctx, containerOff: Int): Array[(Int, Array[Byte])] = {
+  private def objStmSlices(ctx: Ctx, containerOff: Int, containerObj: Int,
+                           decryptor: Option[Crypt.Decryptor]): Array[(Int, Array[Byte])] = {
     val stm = ObjParser.parseAt(ctx, containerOff) match {
       case ps: PStream => ps
       case o           => Err.fail(s"object stream expected, found $o")
@@ -286,11 +309,12 @@ object Lenient {
       case _                   => Err.fail("object stream requires /First")
     }
     if (n < 0 || n > MaxMaterialized) Err.fail(s"object stream /N $n out of range")
+    val bytes = decryptor.map(_.decrypt(containerObj, 0, stm.bytes)).getOrElse(stm.bytes)
     val data = stm.header.get("Filter") match {
-      case Some(PName("FlateDecode"))    => Flate.flateDecodeExact(stm.bytes)
-      case Some(PName("ASCIIHexDecode")) => LenientFilters.asciiHexDecode(stm.bytes)
-      case Some(PName("LZWDecode"))      => LenientFilters.lzwDecode(stm.bytes)
-      case None                          => stm.bytes
+      case Some(PName("FlateDecode"))    => Flate.flateDecodeExact(bytes)
+      case Some(PName("ASCIIHexDecode")) => LenientFilters.asciiHexDecode(bytes)
+      case Some(PName("LZWDecode"))      => LenientFilters.lzwDecode(bytes)
+      case None                          => bytes
       case Some(o)                       => Err.fail(s"object stream filter not supported: $o")
     }
     val tok = new PdfTokenizer(data, 0)

@@ -14,20 +14,25 @@ import org.apache.spark.sql.functions._
   * cluster layout, or rerun, and composable with resume (a re-extracted
   * shard re-samples the same rows).
   *
-  * Hash: Knuth multiplicative `(id * 2654435761) mod 2^32` — wraps nowhere
-  * (ids below ~3.4e9 keep the product under 2^63; larger id domains should
-  * pre-fold), equidistributes sequential ids (for sampling this is a
-  * FEATURE: realized fractions track the target almost exactly), and is
-  * expressible in plain SQL for cross-engine oracles. Not a cryptographic
-  * hash — adversarial id layouts should pre-mix.
+  * Hash: Knuth multiplicative `((id mod 2^31) * 2654435761) mod 2^32` — the
+  * 31-bit pre-fold keeps the product under 2^63 for EVERY BIGINT id, so the
+  * multiply can never overflow (Spark 4's default ANSI mode turns a silent
+  * wraparound into a job-killing ArithmeticException — a snowflake-style
+  * 10-digit id would otherwise fail the whole sampling pass). It
+  * equidistributes sequential ids (for sampling this is a FEATURE: realized
+  * fractions track the target almost exactly) and is expressible in plain
+  * SQL for cross-engine oracles. Not a cryptographic hash — adversarial id
+  * layouts should pre-mix.
   */
 object Sampling {
 
   private val Knuth = 2654435761L
   private val Space = 4294967296L // 2^32
+  private val Fold = 2147483648L // 2^31: (Fold-1) * Knuth < 2^63 — overflow-free
 
   /** The sampling hash of a BIGINT id column, in [0, 2^32). */
-  def idHash(id: Column): Column = pmod(id.cast("long") * lit(Knuth), lit(Space))
+  def idHash(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(Fold)) * lit(Knuth), lit(Space))
 
   private def threshold(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")

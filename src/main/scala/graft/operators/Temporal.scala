@@ -43,8 +43,12 @@ object Temporal {
     *
     * Ties are inclusive (a right row at exactly ts_left matches, like DuckDB's
     * `a.ts >= b.ts`: right rows sort before left rows at equal timestamps).
-    * Right rows with a NULL timestamp can never match and are dropped; left
-    * rows with a NULL timestamp are kept with null values (LEFT semantics).
+    * NULL handling matches SQL ASOF exactly: right rows with a NULL timestamp
+    * or NULL key can never match and are dropped; left rows with a NULL
+    * timestamp OR NULL KEY are kept with null values (LEFT semantics — a
+    * NULL key equals nothing, so such rows bypass the join machinery
+    * entirely instead of being grouped together the way a raw window
+    * partition would).
     *
     * `right` must carry `key`, `tsCol`, and `valueCols`; the attached columns
     * are named `$prefix<valueCol>`. Multiple right rows at the same (key, ts)
@@ -69,10 +73,16 @@ object Temporal {
     // exist (null-ts right rows are dropped below)
     def bucketOf(ts: Column) =
       coalesce(floor(epochSec(left.schema(tsCol).dataType, ts) / sliceSec), lit(Long.MinValue))
-    val lAligned = left.select(
+    // NULL-key left rows match nothing (SQL equality) and would be DROPPED by
+    // the inner seed join below — route them around the machinery with null
+    // values attached
+    val nullKeyLeft = left.where(col(key).isNull).select(
+      leftCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+    val lAligned = left.where(col(key).isNotNull).select(
       leftCols.map(col) ++
         Seq(lit(null).cast(rvType).as("__rv"), lit(1).as("__side")): _*)
-    val rAligned = right.where(col(tsCol).isNotNull).select(
+    val rAligned = right.where(col(tsCol).isNotNull && col(key).isNotNull).select(
       leftCols.map { c =>
         if (c == key) col(key)
         else if (c == tsCol) col(tsCol)
@@ -105,6 +115,7 @@ object Temporal {
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("__rvc").getField(c).as(s"$prefix$c")): _*)
+      .unionByName(nullKeyLeft)
   }
 
   /** RANGE (interval-containment) join: pair each event row with every interval

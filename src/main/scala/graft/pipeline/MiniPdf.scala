@@ -359,9 +359,13 @@ object MiniPdf {
     def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
     val encDict =
       if (r == 4)
+        // /StrF /Identity: the fixture's Info strings ARE plaintext, so the
+        // declaration must say so — a conforming external reader then reads
+        // this document correctly too (declaring StdCF for strings while
+        // writing them plaintext would make the fixture self-inconsistent)
         "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
           "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
-          s"/StmF /StdCF /StrF /StdCF /O <${hx(o)}> /U <${hx(u)}> /P $p >>"
+          s"/StmF /StdCF /StrF /Identity /O <${hx(o)}> /U <${hx(u)}> /P $p >>"
       else
         s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
           (if (r == 3) "/Length 128 " else "") +

@@ -204,6 +204,14 @@ class LenientSpec extends AnyFunSuite {
     rt(("the quick brown fox " * 400).getBytes(ISO_8859_1))
     // table-full clear: enough distinct-pair pressure to pass 4095 entries
     rt(Array.tabulate(40000)(i => ((i * 31) ^ (i >> 3)).toByte))
+    // EOD-tail width-boundary sweep: random-byte inputs put the final table
+    // registration ON the (1<<width)-1 boundary for lengths near 253/769
+    // (9->10 and 10->11 crossings) — the round-4 code-review reproduced
+    // silent 2-byte corruption at 769/775 before the encoder's EOD-width fix
+    val rnd2 = new scala.util.Random(7)
+    (240 to 270).foreach(len => rt(Array.fill(len)(rnd2.nextInt(256).toByte)))
+    (755 to 790).foreach(len => rt(Array.fill(len)(rnd2.nextInt(256).toByte)))
+    (1790 to 1810).foreach(len => rt(Array.fill(len)(rnd2.nextInt(256).toByte)))
     // HAND-DERIVED bit-layout vector (independent of our encoder): the code
     // stream CLEAR 'A' 258 'A' EOD — 9-bit codes 256,65,258,65,257 packed
     // MSB-first = 80 10 60 44 18 08 — decodes through the KwKwK rule
@@ -260,6 +268,97 @@ class LenientSpec extends AnyFunSuite {
     assert(e.error == null && e.extracted_text == "routed encrypted doc")
     val strict = graft.pipeline.ExtractJob.extractTurn(turn.copy(tool = "pdf-b64"))
     assert(strict.error != null)
+  }
+
+  /** The dominant wild layout for encrypted 1.5+ PDFs: catalog/pages/page/
+    * font/info live in an ObjStm whose container bytes are deflated THEN
+    * RC4-encrypted (encryption is outermost — readers decrypt before
+    * filters); the content stream is a classic encrypted object; the
+    * cross-reference is an UNENCRYPTED xref STREAM (per spec) carrying
+    * /Encrypt + /ID.
+    */
+  private def synthesizeEncryptedModern(text: String): Array[Byte] = {
+    import graft.core.Crypt
+    val o = Crypt.ownerEntryCached(5, 2)
+    val p = -1
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length + 64)
+      val m = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    // ObjStm members (objects 1,2,3,5,6); contents = classic object 4
+    val members = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      6 -> "<< /Title (t) /Author (graft) /Creator (minipdf) >>")
+    val bodies = members.map(_._2.getBytes(ISO_8859_1))
+    val rel = bodies.scanLeft(0)(_ + _.length + 1).init // +1: newline between bodies
+    val header = members.zip(rel).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val objStmData = header.getBytes(ISO_8859_1) ++
+      bodies.flatMap(b => b :+ '\n'.toByte)
+    val first = header.length
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${graft.pipeline.MiniPdf.escapeLiteral(text)}) Tj\nET\n"
+      .getBytes(ISO_8859_1)
+    def isWs(b: Byte): Boolean =
+      b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
+    var salt = 0
+    var id0: Array[Byte] = null
+    var encContent: Array[Byte] = null
+    var encObjStm: Array[Byte] = null
+    while (encContent == null || isWs(encContent(0)) || isWs(encObjStm(0))) {
+      id0 = Crypt.md5(text.getBytes, Array(salt.toByte))
+      val key = Crypt.fileKey(o, p, id0, 5, 2)
+      encContent = Crypt.rc4(Crypt.objectKey(key, 4, 0), deflate(content))
+      encObjStm = Crypt.rc4(Crypt.objectKey(key, 7, 0), deflate(objStmData))
+      salt += 1
+    }
+    val key = Crypt.fileKey(o, p, id0, 5, 2)
+    val u = Crypt.userEntry(key, id0, 2)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${encContent.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(encContent); w("\nendstream\nendobj\n")
+    val off7 = out.size()
+    w(s"7 0 obj\n<< /Type /ObjStm /N ${members.length} /First $first " +
+      s"/Length ${encObjStm.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(encObjStm); w("\nendstream\nendobj\n")
+    val off8 = out.size()
+    w(s"8 0 obj\n<< /Filter /Standard /V 1 /R 2 /O <${hx(o)}> /U <${hx(u)}> /P $p >>\nendobj\n")
+    val off9 = out.size()
+    // xref stream rows for objects 1..9, W [1 3 1]; type-2 rows point into
+    // ObjStm 7; raw stream (leading byte = type 2 — never whitespace)
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, mid: Int, lo: Int): Unit = {
+      rows.write(t); rows.write((mid >> 16) & 0xff); rows.write((mid >> 8) & 0xff)
+      rows.write(mid & 0xff); rows.write(lo)
+    }
+    row(2, 7, 0); row(2, 7, 1); row(2, 7, 2) // 1 2 3
+    row(1, off4, 0) // 4
+    row(2, 7, 3); row(2, 7, 4) // 5 6
+    row(1, off7, 0); row(1, off8, 0); row(1, off9, 0) // 7 8 9
+    val rb = rows.toByteArray
+    w(s"9 0 obj\n<< /Type /XRef /Size 10 /Index [1 9] /W [1 3 1] /Root 1 0 R /Info 6 0 R " +
+      s"/Encrypt 8 0 R /ID [<${hx(id0)}> <${hx(id0)}>] /Length ${rb.length} >>\nstream\n")
+    out.write(rb); w("\nendstream\nendobj\n")
+    w(s"startxref\n$off9\n%%EOF")
+    out.toByteArray
+  }
+
+  test("lenient: MODERN encrypted layout (xref stream + encrypted ObjStm catalog) extracts") {
+    val text = "Modern encrypted document with its catalog inside an object stream"
+    val pdf = synthesizeEncryptedModern(text)
+    assert(Pdf.lenient(pdf).extract(ExtractText) == text)
+    // Info lives in the (decrypted) ObjStm; its strings are plaintext by scope
+    assert(Pdf.lenient(pdf).readInfo.flatMap(_.author).contains("graft"))
+    // strict mode cannot even resolve the catalog (xref-stream stub) — fails
+    intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
   }
 
   test("crypt: non-empty-password and unsupported-scheme documents fail loudly, never garble") {

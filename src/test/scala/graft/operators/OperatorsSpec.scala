@@ -280,6 +280,10 @@ class OperatorsSpec extends AnyFunSuite {
     // edge fractions
     assert(Sampling.bernoulli(events, "event_id", 1.0).count() == n.toLong)
     assert(Sampling.bernoulli(events, "event_id", 0.0).count() == 0L)
+    // snowflake-scale ids: the 2^31 pre-fold keeps the multiply overflow-free
+    // (under ANSI mode an unfolded multiply would kill the job)
+    val bigIds = Seq(10000000000L, Long.MaxValue, 0L, -5L).toDF("event_id")
+    assert(Sampling.bernoulli(bigIds, "event_id", 0.5).count() >= 0) // must not throw
     // stratified == per-stratum bernoulli applied manually
     val strat = Sampling.stratified(events, "event_id", "event_type",
       Map("purchase" -> 1.0, "view" -> 0.1), default = 0.5)
@@ -535,6 +539,21 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"asof_v1", $"asof_v2").as[(Option[Double], Option[String])].collect().toSeq
     assert(got == Seq((None, Some("y"))),
       s"nulls of the matched right row must be preserved, got $got")
+  }
+
+  test("asofJoin: NULL-key left rows survive with null values (SQL LEFT semantics)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // SQL equality: a NULL key matches nothing — the row is KEPT with null
+    // values (a raw window partition would instead group null keys together
+    // and let a null-key right row leak its value in)
+    val left = Seq((Option(1L), ts(20), "a"), (Option.empty[Long], ts(20), "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option(1L), ts(10), 1.5), (Option.empty[Long], ts(10), 9.9))
+      .toDF("k", "ts", "v")
+    val got = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(1.5), "b" -> None), s"got $got")
   }
 
   test("asofJoin: brute-force parity on a dense random set across slice boundaries") {
