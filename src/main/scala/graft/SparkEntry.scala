@@ -798,7 +798,7 @@ object SparkEntry {
         "e AS (SELECT id, unnest(sh) AS g FROM sets8), " +
         "dirty AS (SELECT DISTINCT e.id FROM e JOIN b USING (g)), " +
         "clean AS (SELECT id, raw FROM sets8 WHERE id NOT IN (SELECT id FROM dirty)), " +
-        "sampled AS (SELECT id, raw FROM clean WHERE ((id % 2147483648) * 2654435761) % 4294967296 < 2147483648) " +
+        "sampled AS (SELECT id, raw FROM clean WHERE ((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 2147483648) " +
         "SELECT id AS doc_id, CASE WHEN length(trim(raw)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(raw), '\\s+')) END AS n_tokens " +
         "FROM sampled ORDER BY doc_id"),
@@ -854,10 +854,12 @@ object SparkEntry {
         s"SELECT f.doc_id, ${toSigned64("f.h")} AS fnv64, ${toSigned64("r.rm")} AS rolling_min " +
         "FROM fnv f JOIN rolling r USING (doc_id) ORDER BY f.doc_id"),
     // same Knuth-multiplicative threshold arithmetic as Sampling.idHash (incl.
-    // the 2^31 overflow-proof pre-fold); thresholds are round(fraction * 2^32)
+    // the 2^31 overflow-proof pre-fold); Spark's pmod is re-expressed as
+    // ((x % m) + m) % m so NEGATIVE ids hash identically in both engines;
+    // thresholds are round(fraction * 2^32)
     "q_sample_stratified" ->
       ("SELECT event_id, event_type, user_id FROM events " +
-        "WHERE ((event_id % 2147483648) * 2654435761) % 4294967296 < " +
+        "WHERE ((((event_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < " +
         "CASE event_type WHEN 'purchase' THEN 4294967296 WHEN 'click' THEN 1073741824 " +
         "WHEN 'view' THEN 214748365 ELSE 429496730 END " +
         "ORDER BY event_id"),

@@ -85,33 +85,33 @@ object Lenient {
     var table = HashMap.empty[(Int, Int), (Int, Boolean)]
     typ1.foreach { case (key, off) => table = table.updated(key, (off, true)) }
 
-    // encrypted documents: build the decryptor BEFORE materializing object
-    // streams — their container bytes are ciphertext (encryption wraps
-    // OUTSIDE the filters), and a modern encrypted PDF keeps its catalog and
-    // fonts exactly there. The /Encrypt dictionary itself must be a direct
-    // cross-referenced object (never inside an ObjStm — it is needed to
-    // decrypt them), and xref streams are never encrypted, so the dictionary
-    // is readable at this point.
-    val decryptor: Option[Crypt.Decryptor] = encrypt.map { encRef =>
-      val encOff = typ1.get(encRef) match {
-        case Some(off) => off
-        case None      => Err.fail("Encrypt dictionary must be a direct object (not in an object stream)")
-      }
-      val encDict = ObjParser.parseAt(new Ctx(raw, XRef.default, lenient = true), encOff) match {
-        case PDict(m) => m
-        case o        => Err.fail(s"Encrypt should be a dictionary, found $o")
-      }
-      val docId = id0.getOrElse(Err.fail("encrypted document has no /ID in trailer"))
-      Crypt.standardDecryptor(encDict, docId)
-    }
-
     // materialize object-stream members, grouped so each container is
     // decompressed and header-parsed exactly once
     if (typ2.nonEmpty) {
       if (typ2.size > MaxMaterialized) Err.fail(s"more than $MaxMaterialized object-stream members")
       val out = new java.io.ByteArrayOutputStream(raw.length + 1024)
       out.write(raw, 0, raw.length)
-      val baseCtx = new Ctx(raw, XrefTable(NInt(size), None, root, None, info, table), lenient = true)
+      val facade = XrefTable(NInt(size), None, root, None, info, table)
+      val baseCtx = new Ctx(raw, facade, lenient = true)
+      // encrypted documents: container bytes are ciphertext (encryption wraps
+      // OUTSIDE the filters), and a modern encrypted PDF keeps its catalog
+      // and fonts exactly here — so the decryptor must exist BEFORE
+      // materialization. Built only on this path (stream decryption elsewhere
+      // uses PdfExtract's decryptor), resolved through getAndFix so a stale
+      // /Encrypt offset self-heals like every other lookup (xref.rs:245-268).
+      // The /Encrypt dictionary itself is always a direct object (never
+      // inside an ObjStm — it is needed to decrypt them) and xref streams are
+      // never encrypted, so it is readable at this point.
+      val decryptor: Option[Crypt.Decryptor] = encrypt.map { encRef =>
+        val encOff = facade.getAndFix(encRef, raw)
+          .getOrElse(Err.fail("Encrypt object not found in xref"))
+        val encDict = ObjParser.parseAt(baseCtx, encOff) match {
+          case PDict(m) => m
+          case o        => Err.fail(s"Encrypt should be a dictionary, found $o")
+        }
+        val docId = id0.getOrElse(Err.fail("encrypted document has no /ID in trailer"))
+        Crypt.standardDecryptor(encDict, docId)
+      }
       typ2.groupBy(_._2._1).foreach { case (container, members) =>
         val containerOff = table.get((container, 0)) match {
           case Some((off, true)) => off

@@ -278,16 +278,17 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val benchDistinct = benchmark
+    // the limit BOUNDS the driver materialization (at most max+1 longs reach
+    // the driver however oversized the input), and its length is the guard —
+    // one job, loud failure instead of a driver OOM
+    val benchShingles: Array[Long] = benchmark
       .select(col(benchTextCol).as("t")).as[String]
       .flatMap(t => shingles(t, k))
       .distinct()
-    // guard BEFORE the collect (a count, not a materialization): an oversized
-    // "benchmark" must fail with this message, not OOM the driver first
-    val benchCount = benchDistinct.limit(maxBenchShingles + 1).count()
-    require(benchCount <= maxBenchShingles,
+      .limit(maxBenchShingles + 1)
+      .collect()
+    require(benchShingles.length <= maxBenchShingles,
       s"benchmark exceeds $maxBenchShingles distinct shingles — use a near-dup join for corpus-vs-corpus overlap")
-    val benchShingles: Array[Long] = benchDistinct.collect()
     java.util.Arrays.sort(benchShingles)
     val bc = spark.sparkContext.broadcast(benchShingles)
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * 10-digit id would otherwise fail the whole sampling pass). It
   * equidistributes sequential ids (for sampling this is a FEATURE: realized
   * fractions track the target almost exactly) and is expressible in plain
-  * SQL for cross-engine oracles. Not a cryptographic hash — adversarial id
-  * layouts should pre-mix.
+  * SQL for cross-engine oracles — NOTE: Spark's pmod is nonnegative while
+  * SQL `%` is signed, so the SQL twin must spell the fold as
+  * `((x % m) + m) % m` or negative ids diverge. Not a cryptographic hash —
+  * adversarial id layouts should pre-mix.
   */
 object Sampling {
 
