@@ -530,6 +530,18 @@ object SparkEntry {
         .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")
     }),
+    // AS-OF with a staleness bound: like q_asof_join but matches older than 2
+    // hours are discarded whole-row (the production feature-lookup guard);
+    // DuckDB's ASOF join + a second-truncated CASE is the oracle.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(ev, purchases, "user_id", "ts", Seq("value"),
+        toleranceSec = Some(7200L))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
     // RANGE join: events falling inside [purchase, purchase + 30min] windows of
     // the same user, counted per purchase. Bucketed equi-join under the hood
     // (no per-key nested loop); plain inclusive BETWEEN join is the oracle.
@@ -1011,6 +1023,14 @@ object SparkEntry {
       "SELECT o_custkey, rk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk",
     "q_asof_join" ->
       ("SELECT a.event_id, b.value AS asof_value FROM events a " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
+        "ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id"),
+    // the tolerance compare is SECOND-truncated on the Spark side (epoch
+    // seconds ride in the carried struct), so the oracle truncates identically
+    // via epoch_ms // 1000
+    "q_asof_tolerance" ->
+      ("SELECT a.event_id, CASE WHEN epoch_ms(b.ts) // 1000 >= epoch_ms(a.ts) // 1000 - 7200 " +
+        "THEN b.value END AS asof_value FROM events a " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
         "ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id"),
     "q_range_join" ->

@@ -55,6 +55,14 @@ object Temporal {
     * are ambiguous by definition (same as SQL ASOF) — callers dedup first.
     * `sliceSec` trades the number of (key, bucket) groups against per-group
     * size; correctness is independent of its value.
+    *
+    * `toleranceSec` (optional) bounds the lookback: a match older than
+    * `ts_left - toleranceSec` is DISCARDED (the row keeps LEFT semantics with
+    * null values) — the staleness guard every production point-in-time
+    * feature lookup needs (Polars/pandas `tolerance`). Implemented as a
+    * post-filter on the matched row's own timestamp (which rides inside the
+    * carried struct), so the whole-row semantics are preserved: values are
+    * nulled together, never mixed across rows.
     */
   def asofJoin(
       left: DataFrame,
@@ -63,12 +71,18 @@ object Temporal {
       tsCol: String,
       valueCols: Seq[String],
       prefix: String = "asof_",
-      sliceSec: Long = 21600L
+      sliceSec: Long = 21600L,
+      toleranceSec: Option[Long] = None
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     require(sliceSec > 0, "sliceSec must be positive")
+    toleranceSec.foreach(t => require(t >= 0, "toleranceSec must be nonnegative"))
     val leftCols = left.columns.toSeq
-    val rvType = StructType(valueCols.map(c => right.schema(c)))
+    // the matched row's own epoch-second timestamp rides as the struct's
+    // first field so the tolerance filter can see WHICH row was attached
+    val rvType = StructType(
+      org.apache.spark.sql.types.StructField("__rts", org.apache.spark.sql.types.LongType) +:
+        valueCols.map(c => right.schema(c)))
     // null ts rows park in a sentinel first bucket where no right row can
     // exist (null-ts right rows are dropped below)
     def bucketOf(ts: Column) =
@@ -87,7 +101,10 @@ object Temporal {
         if (c == key) col(key)
         else if (c == tsCol) col(tsCol)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ Seq(struct(valueCols.map(col): _*).as("__rv"), lit(0).as("__side")): _*)
+      } ++ Seq(
+        struct(epochSec(right.schema(tsCol).dataType, col(tsCol)).as("__rts") +:
+          valueCols.map(col): _*).as("__rv"),
+        lit(0).as("__side")): _*)
     val unioned = lAligned.union(rAligned)
       .withColumn("__bucket", bucketOf(col(tsCol)))
     // boundary table: last right struct per occupied (key, bucket) — ONE row
@@ -109,9 +126,20 @@ object Temporal {
     val wB = Window.partitionBy(col(key), col("__bucket"))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rvMatched =
+      coalesce(last(col("__rv"), ignoreNulls = true).over(wB), col("__seed"))
+    // tolerance: discard matches older than ts_left - toleranceSec — nulling
+    // the WHOLE struct (when() without otherwise), never mixing rows
+    val rvFinal = toleranceSec match {
+      case Some(tol) => when(
+        col("__rvc").getField("__rts") >=
+          epochSec(left.schema(tsCol).dataType, col(tsCol)) - tol,
+        col("__rvc"))
+      case None => col("__rvc")
+    }
     unioned.join(seeds, Seq(key, "__bucket"))
-      .withColumn("__rvc",
-        coalesce(last(col("__rv"), ignoreNulls = true).over(wB), col("__seed")))
+      .withColumn("__rvc", rvMatched)
+      .withColumn("__rvc", rvFinal)
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("__rvc").getField(c).as(s"$prefix$c")): _*)

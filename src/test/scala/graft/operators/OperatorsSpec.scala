@@ -541,6 +541,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"nulls of the matched right row must be preserved, got $got")
   }
 
+  test("asofJoin: toleranceSec discards stale matches whole-row (Polars/pandas semantics)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), "fresh"), (1L, ts(5000), "stale"), (1L, ts(3600 + 50), "edge"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(50), 1.5, "x")).toDF("k", "ts", "v1", "v2")
+    val got = Temporal.asofJoin(left, right, "k", "ts", Seq("v1", "v2"),
+      toleranceSec = Some(3600L))
+      .select($"tag", $"asof_v1", $"asof_v2")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // "fresh" matches (50 >= 100-3600); "edge" sits exactly at the bound
+    // (50 >= 3650-3600 inclusive); "stale" is beyond it — BOTH values null
+    // together (the whole matched row is discarded, never mixed)
+    assert(got == Map(
+      "fresh" -> ((Some(1.5), Some("x"))),
+      "edge" -> ((Some(1.5), Some("x"))),
+      "stale" -> ((None, None))), s"got $got")
+    // brute-force parity with tolerance on a random dense set
+    val rnd = new scala.util.Random(13)
+    val ls = (0 until 300).map(i => (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(5000))))
+    val rs = (0 until 40).map(i => (rnd.nextInt(3).toLong, ts(rnd.nextInt(5000)), i.toDouble))
+    val tol = 600L
+    val gotD = Temporal.asofJoin(ls.toDF("k", "eid", "ts"), rs.toDF("k", "ts", "v"),
+      "k", "ts", Seq("v"), sliceSec = 500L, toleranceSec = Some(tol))
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    val expected = ls.map { case (k, eid, t) =>
+      val prior = rs.filter(r => r._1 == k && !r._2.after(t) &&
+        r._2.getTime / 1000 >= t.getTime / 1000 - tol)
+      eid -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(gotD == expected)
+  }
+
   test("asofJoin: NULL-key left rows survive with null values (SQL LEFT semantics)") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
