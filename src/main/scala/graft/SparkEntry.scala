@@ -557,6 +557,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events_in_window"))
         .orderBy("purchase_id")
     }),
+    // Trailing-window feature engineering (RANGE frame, not ROWS): per event,
+    // the count and exact DECIMAL sum of the same user's events in the
+    // preceding hour — the rolling-aggregate shape behind rate limits,
+    // engagement features, and fraud scores. RANGE frames include ALL peer
+    // rows at equal order values, which both engines define identically.
+    "q_rolling_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_events_1h"),
+          sum(col("value").cast("decimal(18,4)")).over(w)
+            .cast("decimal(28,4)").cast("double").as("sum_value_1h"))
+        .orderBy("event_id")
+    }),
     "q_sort_topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -1043,6 +1059,13 @@ object SparkEntry {
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->
       "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM lineitem ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber LIMIT 25",
+    // RANGE frame over epoch seconds (epoch_ms // 1000 == unix_timestamp's
+    // floor); DECIMAL sums are order-independent, so the window is hash-exact
+    "q_rolling_features" ->
+      ("SELECT event_id, user_id, count(*) OVER w AS n_events_1h, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(28,4)) AS DOUBLE) AS sum_value_1h " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000 " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
     // Batch twin of the streaming sessionizer: same 1800s gap rule at the same
     // MILLISECOND precision (epoch_ms truncates microseconds exactly like
     // java.sql.Timestamp.getTime, and epoch_ms//1000 == unix_timestamp's
