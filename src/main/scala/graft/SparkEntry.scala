@@ -557,6 +557,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events_in_window"))
         .orderBy("purchase_id")
     }),
+    // Cross-tab via pivot with EXPLICIT values (no values-discovery scan —
+    // the scale-correct form): per user, event counts by type; missing
+    // combinations fill 0 like the oracle's FILTER counts.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("click", "view", "purchase"))
+        .orderBy("user_id")
+    }),
     // Trailing-window feature engineering (RANGE frame, not ROWS): per event,
     // the count and exact DECIMAL sum of the same user's events in the
     // preceding hour — the rolling-aggregate shape behind rate limits,
@@ -1059,6 +1069,11 @@ object SparkEntry {
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->
       "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM lineitem ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber LIMIT 25",
+    "q_pivot" ->
+      ("SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     // RANGE frame over epoch seconds (epoch_ms // 1000 == unix_timestamp's
     // floor); DECIMAL sums are order-independent, so the window is hash-exact
     "q_rolling_features" ->
