@@ -542,6 +542,18 @@ object SparkEntry {
         .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")
     }),
+    // FORWARD as-of: every event picks up the user's NEXT purchase at/after
+    // its timestamp (the attribution / conversion-window lookup); DuckDB's
+    // ASOF join with the inequality flipped is the oracle.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(ev, purchases, "user_id", "ts", Seq("value"),
+        forward = true)
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
     // RANGE join: events falling inside [purchase, purchase + 30min] windows of
     // the same user, counted per purchase. Bucketed equi-join under the hood
     // (no per-key nested loop); plain inclusive BETWEEN join is the oracle.
@@ -1051,6 +1063,10 @@ object SparkEntry {
       ("SELECT a.event_id, b.value AS asof_value FROM events a " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
         "ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id"),
+    "q_asof_forward" ->
+      ("SELECT a.event_id, b.value AS asof_value FROM events a " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
+        "ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id"),
     // the tolerance compare is SECOND-truncated on the Spark side (epoch
     // seconds ride in the carried struct), so the oracle truncates identically
     // via epoch_ms // 1000

@@ -56,13 +56,20 @@ object Temporal {
     * `sliceSec` trades the number of (key, bucket) groups against per-group
     * size; correctness is independent of its value.
     *
-    * `toleranceSec` (optional) bounds the lookback: a match older than
-    * `ts_left - toleranceSec` is DISCARDED (the row keeps LEFT semantics with
-    * null values) — the staleness guard every production point-in-time
-    * feature lookup needs (Polars/pandas `tolerance`). Implemented as a
-    * post-filter on the matched row's own timestamp (which rides inside the
-    * carried struct), so the whole-row semantics are preserved: values are
-    * nulled together, never mixed across rows.
+    * `toleranceSec` (optional) bounds the lookback (lookahead when forward):
+    * a match further than toleranceSec from ts_left is DISCARDED (the row
+    * keeps LEFT semantics with null values) — the staleness guard every
+    * production point-in-time feature lookup needs (Polars/pandas
+    * `tolerance`; second-truncated). Implemented as a post-filter on the
+    * matched row's own timestamp (which rides inside the carried struct), so
+    * the whole-row semantics are preserved: values are nulled together,
+    * never mixed across rows.
+    *
+    * `forward = true` flips the direction: attach the EARLIEST right row with
+    * `ts_right >= ts_left` (the next-event-after / attribution-window
+    * lookup). Same plan — the time axis is mirrored (negated second buckets,
+    * descending within-bucket order, min_by boundaries), so every scale
+    * property carries over unchanged.
     */
   def asofJoin(
       left: DataFrame,
@@ -72,7 +79,8 @@ object Temporal {
       valueCols: Seq[String],
       prefix: String = "asof_",
       sliceSec: Long = 21600L,
-      toleranceSec: Option[Long] = None
+      toleranceSec: Option[Long] = None,
+      forward: Boolean = false
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     require(sliceSec > 0, "sliceSec must be positive")
@@ -84,9 +92,13 @@ object Temporal {
       org.apache.spark.sql.types.StructField("__rts", org.apache.spark.sql.types.LongType) +:
         valueCols.map(c => right.schema(c)))
     // null ts rows park in a sentinel first bucket where no right row can
-    // exist (null-ts right rows are dropped below)
-    def bucketOf(ts: Column) =
-      coalesce(floor(epochSec(left.schema(tsCol).dataType, ts) / sliceSec), lit(Long.MinValue))
+    // exist (null-ts right rows are dropped below); forward mode mirrors the
+    // time axis by negating the epoch seconds
+    def bucketOf(ts: Column) = {
+      val sec = epochSec(left.schema(tsCol).dataType, ts)
+      val dirSec = if (forward) -sec else sec
+      coalesce(floor(dirSec / sliceSec), lit(Long.MinValue))
+    }
     // NULL-key left rows match nothing (SQL equality) and would be DROPPED by
     // the inner seed join below — route them around the machinery with null
     // values attached
@@ -107,12 +119,14 @@ object Temporal {
         lit(0).as("__side")): _*)
     val unioned = lAligned.union(rAligned)
       .withColumn("__bucket", bucketOf(col(tsCol)))
-    // boundary table: last right struct per occupied (key, bucket) — ONE row
-    // per group regardless of how many events the bucket holds
+    // boundary table: the DIRECTION-latest right struct per occupied
+    // (key, bucket) — ONE row per group regardless of how many events the
+    // bucket holds
     val lastPerBucket = rAligned
       .withColumn("__bucket", bucketOf(col(tsCol)))
       .groupBy(col(key), col("__bucket"))
-      .agg(max_by(col("__rv"), col(tsCol)).as("__blast"))
+      .agg((if (forward) min_by(col("__rv"), col(tsCol))
+            else max_by(col("__rv"), col(tsCol))).as("__blast"))
     val allBuckets = unioned.select(col(key), col("__bucket")).distinct()
     // per-key prefix scan over BUCKETS (bounded by time-range/sliceSec, not by
     // row count): seed = last right row of any strictly earlier bucket
@@ -122,19 +136,22 @@ object Temporal {
       .join(lastPerBucket, Seq(key, "__bucket"), "left")
       .select(col(key), col("__bucket"),
         last(col("__blast"), ignoreNulls = true).over(wSeed).as("__seed"))
-    // within-bucket linear carry: right rows first at equal ts (inclusive match)
+    // within-bucket linear carry: right rows first at equal ts (inclusive
+    // match); forward mode scans time descending
     val wB = Window.partitionBy(col(key), col("__bucket"))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rvMatched =
       coalesce(last(col("__rv"), ignoreNulls = true).over(wB), col("__seed"))
-    // tolerance: discard matches older than ts_left - toleranceSec — nulling
-    // the WHOLE struct (when() without otherwise), never mixing rows
+    // tolerance: discard matches further than toleranceSec from ts_left —
+    // nulling the WHOLE struct (when() without otherwise), never mixing rows
     val rvFinal = toleranceSec match {
-      case Some(tol) => when(
-        col("__rvc").getField("__rts") >=
-          epochSec(left.schema(tsCol).dataType, col(tsCol)) - tol,
-        col("__rvc"))
+      case Some(tol) =>
+        val sec = epochSec(left.schema(tsCol).dataType, col(tsCol))
+        val inBound =
+          if (forward) col("__rvc").getField("__rts") <= sec + tol
+          else col("__rvc").getField("__rts") >= sec - tol
+        when(inBound, col("__rvc"))
       case None => col("__rvc")
     }
     unioned.join(seeds, Seq(key, "__bucket"))

@@ -575,6 +575,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotD == expected)
   }
 
+  test("asofJoin forward: earliest right row at/after each left ts; tolerance bounds lookahead") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), "a"), (1L, ts(250), "b"), (2L, ts(100), "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(100), 1.0), (1L, ts(200), 2.0), (2L, ts(50), 9.0))
+      .toDF("k", "ts", "v")
+    // inclusive at equal ts; "b" has no following right row; key 2's only
+    // right row is in the past
+    val got = Temporal.asofJoin(left, right, "k", "ts", Seq("v"), forward = true)
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(1.0), "b" -> None, "c" -> None), s"got $got")
+    // brute-force parity across slice boundaries, with lookahead tolerance
+    val rnd = new scala.util.Random(17)
+    val ls = (0 until 300).map(i => (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(5000))))
+    val rs = (0 until 40).map(i => (rnd.nextInt(3).toLong, ts(rnd.nextInt(5000)), i.toDouble))
+    for (tol <- Seq(None, Some(400L))) {
+      val gotD = Temporal.asofJoin(ls.toDF("k", "eid", "ts"), rs.toDF("k", "ts", "v"),
+        "k", "ts", Seq("v"), sliceSec = 300L, toleranceSec = tol, forward = true)
+        .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+      val expected = ls.map { case (k, eid, t) =>
+        val next = rs.filter(r => r._1 == k && !r._2.before(t) &&
+          tol.forall(x => r._2.getTime / 1000 <= t.getTime / 1000 + x))
+        eid -> (if (next.isEmpty) None else Some(next.minBy(_._2.getTime)._3))
+      }.toMap
+      assert(gotD == expected, s"tolerance $tol")
+    }
+  }
+
   test("asofJoin: NULL-key left rows survive with null values (SQL LEFT semantics)") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
