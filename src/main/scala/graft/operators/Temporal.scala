@@ -84,13 +84,19 @@ object Temporal {
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     require(sliceSec > 0, "sliceSec must be positive")
+    require(!valueCols.contains("__rts"), "__rts is reserved for the tolerance carry field")
     toleranceSec.foreach(t => require(t >= 0, "toleranceSec must be nonnegative"))
     val leftCols = left.columns.toSeq
-    // the matched row's own epoch-second timestamp rides as the struct's
-    // first field so the tolerance filter can see WHICH row was attached
+    // ONLY with a tolerance bound, the matched row's own epoch-second
+    // timestamp rides as the struct's first field so the post-filter can see
+    // WHICH row was attached; without one, the struct (and the whole plan)
+    // stays byte-identical to the tolerance-free shape — no 8-byte tax on the
+    // shuffle/window hot path
+    val carryTs = toleranceSec.isDefined
     val rvType = StructType(
-      org.apache.spark.sql.types.StructField("__rts", org.apache.spark.sql.types.LongType) +:
-        valueCols.map(c => right.schema(c)))
+      (if (carryTs)
+        Seq(org.apache.spark.sql.types.StructField("__rts", org.apache.spark.sql.types.LongType))
+      else Nil) ++ valueCols.map(c => right.schema(c)))
     // null ts rows park in a sentinel first bucket where no right row can
     // exist (null-ts right rows are dropped below); forward mode mirrors the
     // time axis by negating the epoch seconds
@@ -114,8 +120,9 @@ object Temporal {
         else if (c == tsCol) col(tsCol)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++ Seq(
-        struct(epochSec(right.schema(tsCol).dataType, col(tsCol)).as("__rts") +:
-          valueCols.map(col): _*).as("__rv"),
+        struct((if (carryTs)
+          Seq(epochSec(right.schema(tsCol).dataType, col(tsCol)).as("__rts"))
+        else Nil) ++ valueCols.map(col): _*).as("__rv"),
         lit(0).as("__side")): _*)
     val unioned = lAligned.union(rAligned)
       .withColumn("__bucket", bucketOf(col(tsCol)))
@@ -143,20 +150,21 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rvMatched =
       coalesce(last(col("__rv"), ignoreNulls = true).over(wB), col("__seed"))
+    val withCarry = unioned.join(seeds, Seq(key, "__bucket"))
+      .withColumn("__rvc", rvMatched)
     // tolerance: discard matches further than toleranceSec from ts_left —
-    // nulling the WHOLE struct (when() without otherwise), never mixing rows
-    val rvFinal = toleranceSec match {
+    // nulling the WHOLE struct (when() without otherwise), never mixing rows;
+    // without a tolerance the plan gets no extra projection at all
+    val bounded = toleranceSec match {
       case Some(tol) =>
         val sec = epochSec(left.schema(tsCol).dataType, col(tsCol))
         val inBound =
           if (forward) col("__rvc").getField("__rts") <= sec + tol
           else col("__rvc").getField("__rts") >= sec - tol
-        when(inBound, col("__rvc"))
-      case None => col("__rvc")
+        withCarry.withColumn("__rvc", when(inBound, col("__rvc")))
+      case None => withCarry
     }
-    unioned.join(seeds, Seq(key, "__bucket"))
-      .withColumn("__rvc", rvMatched)
-      .withColumn("__rvc", rvFinal)
+    bounded
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("__rvc").getField(c).as(s"$prefix$c")): _*)
