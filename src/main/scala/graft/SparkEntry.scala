@@ -140,16 +140,17 @@ object SparkEntry {
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
     // LENIENT decryption end to end: every doc becomes an ENCRYPTED PDF
-    // (standard security handler, empty user password; doc_id mod 3 picks
-    // R2/RC4-40, R3/RC4-128, or V4/AESV2 = AES-128-CBC) whose deflated
-    // content stream is ciphertext the reference — and strict mode — cannot
-    // inflate; the lenient route derives and VERIFIES the key (Algorithms
-    // 2-5) and must round-trip the text.
+    // (standard security handler, empty user password; doc_id mod 4 picks
+    // R2/RC4-40, R3/RC4-128, V4/AESV2 = AES-128-CBC, or V5/R6 = AES-256 with
+    // SHA-2 key derivation) whose deflated content stream is ciphertext the
+    // reference — and strict mode — cannot inflate; the lenient route derives
+    // and VERIFIES the key (Algorithms 2-5 / 2.B) and must round-trip the
+    // text.
     "q_pdf_encrypted_lenient" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val r = 2 + (id % 3).toInt
+          val r = (id % 4) match { case 0 => 2; case 1 => 3; case 2 => 4; case _ => 6 }
           val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",
             MiniPdf.synthesizeEncryptedBase64(text, r), "pdf-b64-lenient", null))
           (id, e.extracted_text, e.payload_kind, e.error == null)

@@ -140,6 +140,64 @@ object Crypt {
       javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
   }
 
+  private def shaLocal(alg: String) = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance(alg)
+  }
+  private val sha256Local = shaLocal("SHA-256")
+  private val sha384Local = shaLocal("SHA-384")
+  private val sha512Local = shaLocal("SHA-512")
+
+  private def sha(local: ThreadLocal[java.security.MessageDigest],
+                  parts: Array[Byte]*): Array[Byte] = {
+    val d = local.get(); d.reset()
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Raw AES-CBC, no padding, exact-multiple-of-16 data (the 2.B inner cipher
+    * and the /UE unwrap).
+    */
+  def aesCbcRaw(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+                encrypt: Boolean): Array[Byte] = {
+    if (data.length % 16 != 0) Err.fail("AES-CBC raw data must be whole blocks")
+    val c = aesLocal.get()
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (revision 6): the iterated SHA-2 password hash.
+    * `udata` is the 48-byte /U entry when hashing the OWNER password, empty
+    * for the user password. Empty-password inputs keep every block length a
+    * multiple of 16, which the inner AES-128-CBC requires.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = sha(sha256Local, password, salt, udata)
+    var i = 0
+    var done = false
+    var e: Array[Byte] = null
+    while (!done) {
+      val unit = password ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(unit, 0, k1, j * unit.length, unit.length); j += 1 }
+      e = aesCbcRaw(k.take(16), k.slice(16, 32), k1, encrypt = true)
+      var sum = 0
+      var b = 0
+      while (b < 16) { sum += e(b) & 0xff; b += 1 }
+      k = (sum % 3) match {
+        case 0 => sha(sha256Local, e)
+        case 1 => sha(sha384Local, e)
+        case _ => sha(sha512Local, e)
+      }
+      i += 1
+      done = i >= 64 && (e(e.length - 1) & 0xff) <= i - 32
+    }
+    k.take(32)
+  }
+
   /** AES-128-CBC with the AESV2 layout: leading 16-byte IV, PKCS#7 padding. */
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     if (data.length < 32 || (data.length - 16) % 16 != 0)
@@ -167,12 +225,35 @@ object Crypt {
   }
 
   /** Parsed /Encrypt state + verified file key. `aes` = AESV2 crypt filter
-    * (V4); false = RC4 (V1/V2 or a V4 /CFM /V2 filter).
+    * (V4); false = RC4 (V1/V2 or a V4 /CFM /V2 filter). `directKey` (V5 /
+    * AESV3) uses the 256-bit file key for every object — revision 6 has no
+    * per-object key derivation.
     */
-  final case class Decryptor(key: Array[Byte], aes: Boolean = false) {
+  final case class Decryptor(key: Array[Byte], aes: Boolean = false,
+                             directKey: Boolean = false) {
     def decrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      if (aes) aesDecrypt(objectKey(key, obj, gen, aes = true), data)
+      if (directKey) aesDecrypt(key, data)
+      else if (aes) aesDecrypt(objectKey(key, obj, gen, aes = true), data)
       else rc4(objectKey(key, obj, gen), data)
+  }
+
+  /** Fixture support (V5/R6, empty passwords): build /U + /UE from the file
+    * key and the two 8-byte salts; and /O + /OE over a given /U.
+    */
+  def v5UserEntries(fileKey: Array[Byte], valSalt: Array[Byte],
+                    keySalt: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val u = hash2B(Array.emptyByteArray, valSalt, Array.emptyByteArray) ++ valSalt ++ keySalt
+    val ikey = hash2B(Array.emptyByteArray, keySalt, Array.emptyByteArray)
+    val ue = aesCbcRaw(ikey, new Array[Byte](16), fileKey, encrypt = true)
+    (u, ue)
+  }
+
+  def v5OwnerEntries(fileKey: Array[Byte], u48: Array[Byte], valSalt: Array[Byte],
+                     keySalt: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val o = hash2B(Array.emptyByteArray, valSalt, u48) ++ valSalt ++ keySalt
+    val okey = hash2B(Array.emptyByteArray, keySalt, u48)
+    val oe = aesCbcRaw(okey, new Array[Byte](16), fileKey, encrypt = true)
+    (o, oe)
   }
 
   private def bytesOf(o: PdfObj, what: String): Array[Byte] = o match {
@@ -199,34 +280,55 @@ object Crypt {
       case Some(PNum(NInt(n))) => n
       case _                   => Err.fail("Encrypt dictionary requires /R")
     }
+    // resolve the stream crypt filter method for the crypt-filter versions
+    def streamCfm(): String = {
+      enc.get("StmF") match {
+        case Some(PName("StdCF")) => ()
+        case None => // /StmF defaults to Identity (unencrypted streams) per spec
+          Err.fail(s"V$v encryption without /StmF (Identity streams) not supported")
+        case other => Err.fail(s"stream crypt filter not supported: $other")
+      }
+      enc.get("CF") match {
+        case Some(PDict(cf)) => cf.get("StdCF") match {
+          case Some(PDict(std)) => std.get("CFM") match {
+            case Some(PName(m)) => m
+            case _              => Err.fail("StdCF crypt filter requires /CFM")
+          }
+          case _ => Err.fail(s"V$v encryption requires /CF /StdCF")
+        }
+        case _ => Err.fail(s"V$v encryption requires a /CF dictionary")
+      }
+    }
+    // V5/R6 (PDF 2.0, AES-256): /U carries hash+salts, /UE the wrapped file
+    // key; SHA-2 derivation (Algorithm 2.B), no /ID or per-object keys.
+    if (v == 5) {
+      if (r != 6) Err.fail(s"encryption V=5 R=$r not supported (revision 6 only)")
+      streamCfm() match {
+        case "AESV3" => ()
+        case other   => Err.fail(s"V5 crypt filter method $other not supported (AESV3 only)")
+      }
+      val u = bytesOf(enc.getOrElse("U", Err.fail("Encrypt dictionary requires /U")), "/U")
+      if (u.length < 48) Err.fail("V5 /U entry must be 48 bytes")
+      val ue = bytesOf(enc.getOrElse("UE", Err.fail("V5 encryption requires /UE")), "/UE")
+      if (ue.length != 32) Err.fail("V5 /UE entry must be 32 bytes")
+      val none = Array.emptyByteArray
+      val expected = hash2B(none, u.slice(32, 40), none)
+      if (!java.util.Arrays.equals(expected, u.take(32)))
+        Err.fail("encrypted document is not openable with an empty user password")
+      val ikey = hash2B(none, u.slice(40, 48), none)
+      val key = aesCbcRaw(ikey, new Array[Byte](16), ue, encrypt = false)
+      return Decryptor(key, aes = true, directKey = true)
+    }
     val okVR = (v >= 1 && v <= 2 && r >= 2 && r <= 3) || (v == 4 && r == 4)
     if (!okVR)
-      Err.fail(s"encryption V=$v R=$r not supported (RC4 V1/V2 R2/R3 and V4 R4 crypt filters only)")
+      Err.fail(s"encryption V=$v R=$r not supported (RC4 V1/V2 R2/R3, V4 R4, V5 R6 only)")
     // V4: resolve the stream crypt filter (StdCF) and its method
     val aes =
       if (v < 4) false
-      else {
-        enc.get("StmF") match {
-          case Some(PName("StdCF")) => ()
-          case None => // /StmF defaults to Identity (unencrypted streams) per spec
-            Err.fail("V4 encryption without /StmF (Identity streams) not supported")
-          case other => Err.fail(s"stream crypt filter not supported: $other")
-        }
-        val cfm = enc.get("CF") match {
-          case Some(PDict(cf)) => cf.get("StdCF") match {
-            case Some(PDict(std)) => std.get("CFM") match {
-              case Some(PName(m)) => m
-              case _              => Err.fail("StdCF crypt filter requires /CFM")
-            }
-            case _ => Err.fail("V4 encryption requires /CF /StdCF")
-          }
-          case _ => Err.fail("V4 encryption requires a /CF dictionary")
-        }
-        cfm match {
-          case "AESV2" => true
-          case "V2"    => false
-          case other   => Err.fail(s"crypt filter method $other not supported (AESV2/V2 only)")
-        }
+      else streamCfm() match {
+        case "AESV2" => true
+        case "V2"    => false
+        case other   => Err.fail(s"crypt filter method $other not supported (AESV2/V2 only)")
       }
     val lengthBits = enc.get("Length") match {
       case Some(PNum(NInt(n))) => n

@@ -321,7 +321,8 @@ object MiniPdf {
     */
   def synthesizeEncrypted(text: String, r: Int = 2, useFlate: Boolean = true): Array[Byte] = {
     import graft.core.Crypt
-    require(r >= 2 && r <= 4, "standard handler revisions 2-4 only")
+    require((r >= 2 && r <= 4) || r == 6, "standard handler revisions 2-4 and 6 only")
+    if (r == 6) return synthesizeEncryptedV5(text, useFlate)
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
       .getBytes(ISO_8859_1)
     val filtered = if (useFlate) {
@@ -382,6 +383,79 @@ object MiniPdf {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      if (body == null) {
+        w(s"<< /Length ${encBytes.length}${if (useFlate) " /Filter /FlateDecode" else ""} >>\nstream\n")
+        out.write(encBytes)
+        w("\nendstream")
+      } else w(body)
+      w("\nendobj\n")
+    }
+    val xrefOff = out.size()
+    w("xref\n")
+    w(s"0 ${objects.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w("trailer\n")
+    w(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R " +
+      s"/ID [<${hx(id0)}> <${hx(id0)}>] >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
+  /** V5/R6 (PDF 2.0, AES-256/AESV3) variant: SHA-2-derived /U verification
+    * entries (Algorithm 2.B), the 256-bit file key wrapped in /UE, streams
+    * AES-256-CBC with IV prefix and NO per-object key derivation. All key
+    * material derives deterministically from the text.
+    */
+  private def synthesizeEncryptedV5(text: String, useFlate: Boolean): Array[Byte] = {
+    import graft.core.Crypt
+    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
+      .getBytes(ISO_8859_1)
+    val filtered = if (useFlate) {
+      val deflater = new java.util.zip.Deflater(6)
+      deflater.setInput(content); deflater.finish()
+      val buf = new Array[Byte](content.length + 64)
+      val m = deflater.deflate(buf); deflater.end()
+      java.util.Arrays.copyOf(buf, m)
+    } else content
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val fileKey = Crypt.md5(tb, "fk1".getBytes) ++ Crypt.md5(tb, "fk2".getBytes) // 32 bytes
+    val valSalt = Crypt.md5(tb, "vs".getBytes).take(8)
+    val keySalt = Crypt.md5(tb, "ks".getBytes).take(8)
+    val (u, ue) = Crypt.v5UserEntries(fileKey, valSalt, keySalt)
+    val (o, oe) = Crypt.v5OwnerEntries(fileKey, u,
+      Crypt.md5(tb, "ovs".getBytes).take(8), Crypt.md5(tb, "oks".getBytes).take(8))
+    def isWs(b: Byte): Boolean =
+      b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
+    // ws-guard on the stream's first byte (= the IV's first byte)
+    var salt = 0
+    var encBytes: Array[Byte] = null
+    while (encBytes == null || isWs(encBytes(0))) {
+      val iv = Crypt.md5(tb, Array(salt.toByte, 'i'.toByte)).take(16)
+      encBytes = Crypt.aesEncrypt(fileKey, iv, filtered)
+      salt += 1
+    }
+    val id0 = Crypt.md5(tb, "id".getBytes)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      null,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>",
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        s"/StmF /StdCF /StrF /Identity /O <${hx(o)}> /U <${hx(u)}> " +
+        s"/OE <${hx(oe)}> /UE <${hx(ue)}> /P -1 >>"
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-2.0\n")
     val offsets = new Array[Int](objects.length)
     objects.zipWithIndex.foreach { case (body, i) =>
       offsets(i) = out.size()

@@ -249,8 +249,8 @@ class LenientSpec extends AnyFunSuite {
     assert(Crypt.rc4("Key".getBytes, c).toSeq == "Plaintext".getBytes.toSeq)
   }
 
-  test("lenient: encrypted documents (RC4 R2/R3, AES-128 V4/AESV2; flate and raw) extract; strict fails like the reference") {
-    for (r <- Seq(2, 3, 4); flate <- Seq(true, false)) {
+  test("lenient: encrypted documents (RC4 R2/R3, AES-128 V4, AES-256 V5/R6; flate and raw) extract; strict fails like the reference") {
+    for (r <- Seq(2, 3, 4, 6); flate <- Seq(true, false)) {
       val text = s"Encrypted r$r flate=$flate content line"
       val pdf = graft.pipeline.MiniPdf.synthesizeEncrypted(text, r, flate)
       assert(Pdf.lenient(pdf).extract(ExtractText) == text, s"r=$r flate=$flate")
@@ -399,6 +399,34 @@ class LenientSpec extends AnyFunSuite {
     }
     // truncated / non-block ciphertext fails loudly
     intercept[PdfParseException](Crypt.aesDecrypt(key, new Array[Byte](20)))
+    // AES-256 path (V5): 32-byte keys round-trip through the same primitives
+    val key256 = Crypt.md5("a".getBytes) ++ Crypt.md5("b".getBytes)
+    val plain = "thirty-two byte AES-256 payload!".getBytes
+    assert(Crypt.aesDecrypt(key256, Crypt.aesEncrypt(key256, iv, plain)).toSeq == plain.toSeq)
+  }
+
+  test("crypt: Algorithm 2.B is deterministic and V5 rejects non-empty-password /U entries") {
+    val salt = Array.tabulate(8)(_.toByte)
+    val h1 = Crypt.hash2B(Array.emptyByteArray, salt, Array.emptyByteArray)
+    val h2 = Crypt.hash2B(Array.emptyByteArray, salt, Array.emptyByteArray)
+    assert(h1.length == 32 && h1.toSeq == h2.toSeq)
+    // different salts diverge (the iterated SHA-2 mixing is salt-sensitive)
+    val h3 = Crypt.hash2B(Array.emptyByteArray, salt.map(b => (b + 1).toByte), Array.emptyByteArray)
+    assert(h1.toSeq != h3.toSeq)
+    // a V5 dictionary whose /U hash does not match the empty password: loud
+    val enc: Map[String, PdfObj] = Map(
+      "Filter" -> PName("Standard"), "V" -> PNum(NInt(5)), "R" -> PNum(NInt(6)),
+      "StmF" -> PName("StdCF"),
+      "CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV3"))))),
+      "U" -> PHexStr(new Array[Byte](48)), "UE" -> PHexStr(new Array[Byte](32)),
+      "O" -> PHexStr(new Array[Byte](48)), "P" -> PNum(NInt(-1)))
+    val e = intercept[PdfParseException](Crypt.standardDecryptor(enc, new Array[Byte](16)))
+    assert(e.getMessage.contains("empty user password"))
+    // V5 with a non-AESV3 method: loud
+    val e2 = intercept[PdfParseException](Crypt.standardDecryptor(
+      enc + ("CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV2")))))),
+      new Array[Byte](16)))
+    assert(e2.getMessage.contains("AESV3 only"))
   }
 
   // --- lenient-TEXT operators (Tw/Tz/TL/Ts/'/" — own flag) ------------------------
