@@ -148,7 +148,12 @@ object SparkEntry {
     // text.
     "q_pdf_encrypted_lenient" -> ((s, dir) => {
       import s.implicits._
+      // the documents table is one parquet split — repartition ahead of the
+      // crypto-heavy per-row work (V5's Algorithm 2.B costs ~6ms/doc) so it
+      // parallelizes instead of serializing into the single scan task; same
+      // principle as the pipeline's salted repartition before extraction
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map { case (id, text) =>
           val r = (id % 4) match { case 0 => 2; case 1 => 3; case 2 => 4; case _ => 6 }
           val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user",

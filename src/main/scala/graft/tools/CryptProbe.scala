@@ -30,3 +30,19 @@ object CryptProbe {
     time("extract xrefstream lenient")(lenientPlain.foreach(p => Pdf.lenient(p).extract(ExtractText)))
   }
 }
+
+object Hash2BProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 1000
+    val salt = Array.tabulate(8)(_.toByte)
+    // warm
+    (0 until 50).foreach(i => graft.core.Crypt.hash2B(Array.emptyByteArray, Array(i.toByte), Array.emptyByteArray))
+    val t0 = System.nanoTime()
+    (0 until n).foreach(i => graft.core.Crypt.hash2B(Array.emptyByteArray,
+      Array(i.toByte, (i >> 8).toByte, 0, 0, 0, 0, 0, 0), Array.emptyByteArray))
+    println(f"hash2B: ${(System.nanoTime() - t0) / 1e6 / n}%.3f ms each over $n")
+    val t1 = System.nanoTime()
+    (0 until n).foreach(i => graft.pipeline.MiniPdf.synthesizeEncrypted("text " + i, 6))
+    println(f"synthesizeV5: ${(System.nanoTime() - t1) / 1e6 / n}%.3f ms each over $n")
+  }
+}
