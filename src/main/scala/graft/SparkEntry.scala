@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.{ExtractText, Pdf}
 import graft.functions.TextFunctions
 import graft.html.HtmlBoilerplate
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
 import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -590,15 +590,17 @@ object SparkEntry {
     // preceding hour — the rolling-aggregate shape behind rate limits,
     // engagement features, and fraud scores. RANGE frames include ALL peer
     // rows at equal order values, which both engines define identically.
+    // Round 5: re-expressed through Temporal.rollingAgg — the time-sliced
+    // trailing-window operator — so one power-law user no longer serializes
+    // into a single window task (the plain partitionBy(user_id) window was the
+    // engine's last per-key serialization point).
     "q_rolling_features" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(unix_timestamp(col("ts")))
-        .rangeBetween(-3600L, 0L)
-      t(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          count(lit(1)).over(w).as("n_events_1h"),
-          sum(col("value").cast("decimal(18,4)")).over(w)
-            .cast("decimal(28,4)").cast("double").as("sum_value_1h"))
+      Temporal.rollingAgg(t(s, dir, "events"), "user_id", "ts",
+          Seq((count(lit(1)), "n_events_1h"),
+            (sum(col("value").cast("decimal(18,4)")), "sum_raw")),
+          windowSec = 3600L)
+        .select(col("event_id"), col("user_id"), col("n_events_1h"),
+          col("sum_raw").cast("decimal(28,4)").cast("double").as("sum_value_1h"))
         .orderBy("event_id")
     }),
     "q_sort_topk" -> ((s, dir) => {

@@ -171,6 +171,92 @@ object Temporal {
       .unionByName(nullKeyLeft)
   }
 
+  /** Trailing-window (RANGE-frame) aggregates, time-sliced: for every row,
+    * aggregate over the same key's rows with `ts` in `[ts - windowSec, ts]`
+    * (inclusive both ends — exactly a SQL
+    * `RANGE BETWEEN windowSec PRECEDING AND CURRENT ROW` frame, including all
+    * peers at the current timestamp). The plain
+    * `Window.partitionBy(key)` form is correct but serializes each key into
+    * ONE task — a power-law key (10^8 events at 10^12-row scale) becomes the
+    * job's straggler. This operator keeps the exact semantics with tasks
+    * bounded by TIME, not by key row count:
+    *
+    *  1. Every row lands in its own `bucketSec`-wide time slice as an
+    *     EMITTING copy, and in the following `ceil(windowSec/bucketSec)`
+    *     slices as non-emitting CONTRIBUTOR copies — the only rows a later
+    *     slice's trailing window can reach back to. At the default
+    *     `bucketSec = windowSec` that is one contributor copy per row (2x
+    *     amplification), and each (key, slice) task reads at most two
+    *     window-widths of the key's timeline.
+    *  2. The RANGE window runs over `(key, slice)`: each original row appears
+    *     exactly once per slice group (emit copies cover the group's own
+    *     slice, contributor copies cover the earlier ones — disjoint time
+    *     ranges, so no double counting), and only emit copies survive to the
+    *     output.
+    *
+    * No join, no boundary-seed pass: the alternative design — carrying
+    * per-slice PARTIAL aggregates through a boundary table the way
+    * [[asofJoin]] carries its last-right-row seeds — cannot be exact, because
+    * a trailing window's lower edge cuts INSIDE the boundary slice (partials
+    * only compose for fully-covered slices), so the boundary slice's rows must
+    * travel anyway. Replicating them directly costs one union + one exchange
+    * on (key, slice) and nothing else.
+    *
+    * `aggs` are raw aggregate expressions paired with output names (e.g.
+    * `count(lit(1)) -> "n_1h"`, `sum(col("v")) -> "sum_1h"`); they are applied
+    * `.over(...)` the frame, so post-aggregation casts belong in a caller-side
+    * `select`, not inside the agg expression. Output = the input columns plus
+    * the named aggregates, one row per input row.
+    *
+    * NULL semantics follow the SQL window the operator replaces: NULL keys
+    * form their own partition (SQL window partitioning groups NULLs), and
+    * NULL-timestamp rows — unplaceable on the time axis — park in a sentinel
+    * slice where they are mutual peers, matching RANGE-frame NULL-peer
+    * semantics. Shrinking `bucketSec` below `windowSec` raises amplification
+    * as ceil(window/bucket)+1; the loud cap keeps a mis-sized call from
+    * silently exploding the shuffle.
+    */
+  def rollingAgg(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      aggs: Seq[(Column, String)],
+      windowSec: Long,
+      bucketSec: Long = 0L
+  ): DataFrame = {
+    require(aggs.nonEmpty, "rollingAgg needs at least one aggregate")
+    require(windowSec >= 0, "windowSec must be nonnegative")
+    val b = if (bucketSec <= 0) math.max(windowSec, 1L) else bucketSec
+    val m = ((windowSec + b - 1) / b).toInt
+    require(m + 1 <= 32,
+      s"bucketSec=$b gives ${m + 1}x row amplification for windowSec=$windowSec; " +
+        "raise bucketSec (default = windowSec, 2x)")
+    val inCols = df.columns.toSeq
+    require(!inCols.exists(Set("__rsec", "__rslice", "__remit")),
+      "__rsec/__rslice/__remit are reserved working columns")
+    require(aggs.map(_._2).distinct.size == aggs.size && !aggs.exists(a => inCols.contains(a._2)),
+      "aggregate output names must be unique and not collide with input columns")
+    val sec = epochSec(df.schema(tsCol).dataType, col(tsCol))
+    val base = df.withColumn("__rsec", sec)
+    val slice = floor(col("__rsec") / b)
+    val emit = base
+      .withColumn("__rslice", coalesce(slice, lit(Long.MinValue)))
+      .withColumn("__remit", lit(1))
+    val contrib = base
+      .where(col("__rsec").isNotNull)
+      .withColumn("__rslice", explode(sequence(slice + 1, slice + m)))
+      .withColumn("__remit", lit(0))
+    val w = Window.partitionBy(col(key), col("__rslice"))
+      .orderBy(col("__rsec"))
+      .rangeBetween(-windowSec, 0)
+    emit.unionByName(contrib)
+      .select(inCols.map(col) :+ col("__remit") :+ col("__rslice") :+ col("__rsec"): _*)
+      .select(inCols.map(col) ++ Seq(col("__remit")) ++
+        aggs.map { case (a, name) => a.over(w).as(name) }: _*)
+      .where(col("__remit") === 1)
+      .drop("__remit")
+  }
+
   /** RANGE (interval-containment) join: pair each event row with every interval
     * of the same key whose [startCol, endCol] contains the event's ts
     * (inclusive bounds). The naive conditional join degenerates to a per-key

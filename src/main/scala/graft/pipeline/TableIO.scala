@@ -73,7 +73,15 @@ object ParquetTableIO extends TableIO {
 
   def readManifests(spark: SparkSession, outDir: String): Dataset[PartManifest] = {
     import spark.implicits._
-    spark.read.parquet(s"$outDir/_manifests").as[PartManifest]
+    // Resume must survive manifests written by an OLDER engine version:
+    // pre-wave_id manifests (no wave grouping yet) read as wave -1 instead of
+    // failing analysis — shard completion (part_id/status) is what resume
+    // needs, and that never changed.
+    val raw = spark.read.parquet(s"$outDir/_manifests")
+    val withWave =
+      if (raw.columns.contains("wave_id")) raw
+      else raw.withColumn("wave_id", org.apache.spark.sql.functions.lit(-1))
+    withWave.as[PartManifest]
   }
 
   def manifestsExist(outDir: String): Boolean =

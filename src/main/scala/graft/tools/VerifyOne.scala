@@ -1,0 +1,33 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dev pre-check: dump ONLY the named SparkEntry queries (plus their oracle
+  * SQL) the way graft.Verify does for all of them — so a changed query can be
+  * DuckDB-compared locally in seconds instead of re-running the full suite.
+  * Usage: VerifyOne <sfDir> <outDir> <queryName>...
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val spark = graft.Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, dir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$n")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

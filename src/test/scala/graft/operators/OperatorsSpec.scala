@@ -674,6 +674,92 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("rollingAgg: parity with the plain RANGE-frame window across slice widths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rnd = new scala.util.Random(23)
+    // dense random set with deliberate ts TIES (peer rows) and values
+    val rows = (0 until 500).map(i =>
+      (rnd.nextInt(4).toLong, i.toLong, ts(rnd.nextInt(3000) / 7 * 7), rnd.nextInt(100).toDouble))
+    val df = rows.toDF("k", "eid", "ts", "v")
+    val wPlain = Window.partitionBy($"k").orderBy(unix_timestamp($"ts")).rangeBetween(-600L, 0L)
+    val expected = df.select($"eid",
+      count(lit(1)).over(wPlain).as("n"), sum($"v").over(wPlain).as("s"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // default bucket (=window, 2x) and a finer bucket (m=3, 4x) must both match
+    for (bucket <- Seq(0L, 200L)) {
+      val got = Temporal.rollingAgg(df, "k", "ts",
+        Seq((count(lit(1)), "n"), (sum($"v"), "s")), windowSec = 600L, bucketSec = bucket)
+        .select($"eid", $"n", $"s").as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"bucketSec=$bucket: " +
+        s"diff ${(got.toSet diff expected.toSet).take(3)} vs ${(expected.toSet diff got.toSet).take(3)}")
+    }
+    // amplification cap is loud, names the parameter
+    val boom = intercept[IllegalArgumentException] {
+      Temporal.rollingAgg(df, "k", "ts", Seq((count(lit(1)), "n")),
+        windowSec = 600L, bucketSec = 1L)
+    }
+    assert(boom.getMessage.contains("bucketSec"), boom.getMessage)
+  }
+
+  test("rollingAgg: hot key is time-sliced — window tasks bounded by (key, slice), not key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // one user with 20,000 events in 20,000s against a 600s trailing window:
+    // the plain per-key window serializes all 20k into ONE task; sliced, each
+    // (key, slice) group holds at most 2 window-widths of the timeline
+    val winSec = 600L
+    val hot = (0 until 20000).map(i => (1L, i.toLong, ts(i.toLong), 1.0))
+    val cold = (0 until 50).map(i => (100L + i, 90000L + i, ts(i * 37L), 2.0))
+    val rows = hot ++ cold
+    val df = Temporal.rollingAgg(rows.toDF("k", "eid", "ts", "v"), "k", "ts",
+      Seq((count(lit(1)), "n"), (sum($"v"), "s")), windowSec = winSec)
+    // plan evidence: the window partitions on the slice, not the bare key
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__rslice"), s"window must partition on the time slice:\n${plan.take(1500)}")
+    // data evidence: max (key, slice) group (emit + contributor copies) is
+    // ~2 window-widths, far below the hot key's row count
+    val maxGroup = {
+      val bySlice = rows.groupBy(r => (r._1, r._3.getTime / 1000 / winSec)).view.mapValues(_.size)
+      bySlice.map { case ((k, s), n) => n + bySlice.getOrElse((k, s - 1), 0) }.max
+    }
+    assert(maxGroup <= 2 * winSec + 2 && maxGroup < hot.size / 10,
+      s"hot key not sliced: max group $maxGroup of ${hot.size}")
+    // correctness unchanged by slicing
+    val got = df.select($"eid", $"n").as[(Long, Long)].collect().toMap
+    val expected = rows.map { case (k, eid, t, _) =>
+      eid -> rows.count(r => r._1 == k &&
+        r._3.getTime / 1000 >= t.getTime / 1000 - winSec && !r._3.after(t)).toLong
+    }.toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
+  }
+
+  test("rollingAgg: NULL keys and NULL timestamps follow SQL window semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // NULL keys partition together (SQL window partitioning); NULL-ts rows are
+    // mutual peers in the sentinel slice — both must match the plain window
+    val df = Seq(
+      (Option(1L), Option(ts(100)), 1.0), (Option(1L), Option(ts(150)), 2.0),
+      (Option.empty[Long], Option(ts(100)), 3.0), (Option.empty[Long], Option(ts(120)), 4.0),
+      (Option(1L), Option.empty[java.sql.Timestamp], 5.0),
+      (Option(1L), Option.empty[java.sql.Timestamp], 6.0)
+    ).toDF("k", "ts", "v")
+    val wPlain = Window.partitionBy($"k").orderBy(unix_timestamp($"ts")).rangeBetween(-600L, 0L)
+    val expected = df.select($"k", $"ts", $"v", count(lit(1)).over(wPlain).as("n"))
+      .select($"v", $"n").as[(Double, Long)].collect().toSet
+    val got = Temporal.rollingAgg(df, "k", "ts", Seq((count(lit(1)), "n")), windowSec = 600L)
+      .select($"v", $"n").as[(Double, Long)].collect().toSet
+    assert(got == expected, s"got $got vs $expected")
+  }
+
   test("rangeJoin: hostile interval is clamped with an observable truncation count, job survives") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -260,4 +260,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ms.map(_.rows).sum == turns.count())
     gen.unpersist(); turns.unpersist()
   }
+
+  test("manifests written by an older engine version (no wave_id) still resume") {
+    import spark.implicits._
+    // a live deployment upgrades mid-job: the _manifests dir holds rows from
+    // the pre-wave_id schema; resume must read them (wave -1) instead of
+    // failing analysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-oldmanifest").toString
+    Seq((0, 17, 100L, 1000L, 50L, "done"))
+      .toDF("part_id", "conv_salt", "rows", "bytes", "wall_ms", "status")
+      .write.parquet(s"$dir/_manifests")
+    val ms = ParquetTableIO.readManifests(spark, dir).collect()
+    assert(ms.toSeq == Seq(PartManifest(0, 17, 100L, 1000L, 50L, -1, "done")))
+    assert(ExtractJob.completedShards(spark, dir) == Set(0))
+  }
 }
