@@ -139,6 +139,32 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
+    // DCTDecode end to end (round 5): every doc becomes a PDF carrying a REAL
+    // JPEG image XObject (JDK ImageIO encode) whose dict dims come from a pure
+    // doc_id formula; the lenient image surface must re-derive the SAME dims
+    // twice — from the XObject dictionary and from an actual DCT pixel decode
+    // — while text extraction through the same document stays untouched.
+    // Strict mode keeps the reference's DCTDecode panic (parity spec in
+    // LenientSpec).
+    "q_pdf_dct_lenient" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { case (id, text) =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val jpeg = Multimodal.jpegGray(w, h,
+            (x, y) => (((id * 13 + y.toLong * w + x) * 11) % 256).toInt)
+          val pdf = Pdf.lenient(MiniPdf.synthesizeImagePdf(text, jpeg, w, h))
+          val imgs = pdf.listImages
+          val im = imgs.head
+          (id, imgs.length, im.width, im.height, im.pxWidth, im.pxHeight,
+            im.bitsPerComponent, im.colorSpace, pdf.extract(ExtractText))
+        })
+        .toDF("doc_id", "n_images", "img_width", "img_height", "px_width",
+          "px_height", "bits", "colorspace", "extracted_text")
+        .orderBy("doc_id")
+    }),
     // LENIENT decryption end to end: every doc becomes an ENCRYPTED PDF
     // (standard security handler, empty user password; doc_id mod 4 picks
     // R2/RC4-40, R3/RC4-128, V4/AESV2 = AES-128-CBC, or V5/R6 = AES-256 with
@@ -470,6 +496,27 @@ object SparkEntry {
       Multimodal.decodeAndFeaturize(
         s.read.parquet(MultimodalPayloadPath).as[Multimodal.MediaRow])
         .toDF().select("doc_id", "width", "height", "frames", "bytes")
+        .orderBy("doc_id")
+    }),
+    // REAL pixel decode (round 5): per doc, a fully-decodable grayscale PNG
+    // whose pixels are a pure function of (doc_id, x, y); javax.imageio
+    // decodes it per partition and the integer pixel statistics hash-match a
+    // SQL oracle that replays the SAME formula — so a wrong PNG encode, a
+    // wrong zlib framing, or a wrong decode would all surface as a mismatch.
+    // dims_match cross-checks the header parser against the pixel decoder.
+    "q_multimodal_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select($"doc_id").as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          Multimodal.MediaRow(id, Multimodal.pngGray(w, h,
+            (x, y) => (((id * 31 + y.toLong * w + x) * 7) % 256).toInt))
+        }
+      Multimodal.decodePixelStats(media).toDF()
+        .select(col("doc_id"), col("px_width"), col("px_height"), col("px_sum"),
+          col("px_min"), col("px_max"), col("px_gt127"), col("dims_match"))
         .orderBy("doc_id")
     }),
 
@@ -966,6 +1013,15 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     "q_pdf_filters_lenient" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
+    // dict dims AND pixel-decoded dims both replay the doc_id formula; a JPEG
+    // encode or DCT decode defect would break px_width/px_height equality
+    "q_pdf_dct_lenient" ->
+      ("SELECT doc_id, 1 AS n_images, CAST(8 + doc_id % 9 AS INT) AS img_width, " +
+        "CAST(8 + doc_id % 7 AS INT) AS img_height, " +
+        "CAST(8 + doc_id % 9 AS INT) AS px_width, " +
+        "CAST(8 + doc_id % 7 AS INT) AS px_height, 8 AS bits, " +
+        "'DeviceGray' AS colorspace, text AS extracted_text " +
+        "FROM documents ORDER BY doc_id"),
     "q_pdf_encrypted_lenient" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     // 40-char slices, one `'`/`"` move-show per slice -> newline-joined; the
@@ -1061,6 +1117,21 @@ object SparkEntry {
         "WHEN is_wav THEN ('0x' || substr(h, 87, 2) || substr(h, 85, 2) || substr(h, 83, 2) || substr(h, 81, 2))::BIGINT // (wav_ch * 2) " +
         "ELSE 1 + n // 100 END AS INT) AS frames, " +
         "CAST(n AS BIGINT) AS bytes FROM w ORDER BY doc_id"),
+    // Pixel-decode twin: the Spark side synthesizes a grayscale PNG whose
+    // pixel (x, y) = ((doc_id*31 + y*w + x)*7) % 256 and decodes it back with
+    // javax.imageio; the oracle replays the formula directly (pixel index
+    // i = y*w + x, so the stats are a GROUP BY over range(0, w*h)). Any
+    // encode/decode defect breaks the hash.
+    "q_multimodal_pixels" ->
+      ("WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w, " +
+        "CAST(3 + doc_id % 11 AS INT) AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, ((doc_id*31 + i)*7) % 256 AS v FROM " +
+        "(SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM d)) " +
+        "SELECT doc_id, any_value(w) AS px_width, any_value(h) AS px_height, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max, " +
+        "CAST(count(*) FILTER (WHERE v > 127) AS BIGINT) AS px_gt127, " +
+        "TRUE AS dims_match FROM px GROUP BY doc_id ORDER BY doc_id"),
     "q1_pricing_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_revenue" ->

@@ -7,16 +7,19 @@ case object FlateDecodeFilter extends BodyFilter
 /** Lenient-only (core/Filters.scala); strict mode panics like the reference. */
 case object AsciiHexFilter extends BodyFilter
 case object LzwFilter extends BodyFilter
+case object DctFilter extends BodyFilter
 
 object BodyFilter {
   /** body.rs:42-54 — only FlateDecode supported in strict mode; the lenient
-    * engine extension additionally admits ASCIIHexDecode and LZWDecode (any
-    * other name keeps the reference's exact panic in both modes).
+    * engine extension additionally admits ASCIIHexDecode, LZWDecode and
+    * DCTDecode (any other name keeps the reference's exact panic in both
+    * modes).
     */
   def from(name: String, lenient: Boolean = false): BodyFilter = name match {
     case "FlateDecode"                  => FlateDecodeFilter
     case "ASCIIHexDecode" if lenient    => AsciiHexFilter
     case "LZWDecode" if lenient         => LzwFilter
+    case "DCTDecode" if lenient         => DctFilter
     case other                          => Err.fail(s"Filter name $other is currently not supported")
   }
 }
@@ -58,6 +61,7 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
     case Some(FlateDecodeFilter) => Flate.flateDecode(content)
     case Some(AsciiHexFilter)    => LenientFilters.asciiHexDecode(content)
     case Some(LzwFilter)         => LenientFilters.lzwDecode(content)
+    case Some(DctFilter)         => LenientFilters.dctDecode(content)
     case None                    => content
   }
 
@@ -70,6 +74,7 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
     case Some(FlateDecodeFilter) => Flate.flateDecodeExact(content)
     case Some(AsciiHexFilter)    => LenientFilters.asciiHexDecode(content)
     case Some(LzwFilter)         => LenientFilters.lzwDecode(content)
+    case Some(DctFilter)         => LenientFilters.dctDecode(content)
     case None                    => content
   }
 
@@ -89,6 +94,7 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
       if (PdfTokenizer.padSensitiveAtEof(exact)) Flate.flateDecode(content) else exact
     case Some(AsciiHexFilter) => LenientFilters.asciiHexDecode(content)
     case Some(LzwFilter)      => LenientFilters.lzwDecode(content)
+    case Some(DctFilter)      => LenientFilters.dctDecode(content)
     case None                 => content
   }
 }

@@ -185,4 +185,49 @@ object LenientFilters {
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt) // zero-pad
     out.toByteArray
   }
+
+  // ---- DCTDecode ----------------------------------------------------------------
+
+  /** A DCT-decoded image: raster samples row-major, bands interleaved per
+    * pixel (for 8-bit grayscale: exactly the gray bytes).
+    */
+  final case class DctImage(width: Int, height: Int, bands: Int, samples: Array[Byte])
+
+  private lazy val imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** DCTDecode (PDF 32000-1 §7.4.8): decode the JPEG stream with the JDK's
+    * built-in `javax.imageio` reader — no external codec. The reference panics
+    * on the filter name (body.rs:42-54); strict mode keeps that panic, so this
+    * is reachable only through the lenient flag, like ASCIIHex/LZW above.
+    * Decode failures are loud (per-row error column semantics), never partial.
+    */
+  def dctDecodeImage(data: Array[Byte]): DctImage = {
+    imageioInit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case scala.util.control.NonFatal(e) =>
+        Err.fail(s"DCTDecode: JPEG decode failed: ${e.getMessage}") }
+    if (img == null) Err.fail("DCTDecode: no registered reader accepts the stream")
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight; val bands = raster.getNumBands
+    val out = new Array[Byte](w * h * bands)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { out(i) = raster.getSample(x, y, b).toByte; i += 1; b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    DctImage(w, h, bands, out)
+  }
+
+  /** Stream-filter form: the decoded data of a DCTDecode stream is its raster
+    * sample bytes (the form downstream image consumers want; a DCT stream is
+    * never lexed as content).
+    */
+  def dctDecode(data: Array[Byte]): Array[Byte] = dctDecodeImage(data).samples
 }

@@ -72,6 +72,18 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean) {
   def readInfo: Option[PdfInfo] = xref.infoKey.flatMap { key =>
     xref.getAndFix(key, body).map(off => PdfInfo.parseAt(new Ctx(body, xref, lenient), off))
   }
+
+  /** LENIENT-only: enumerate image XObjects with DCT pixel decode
+    * (core/Images.scala). The reference has no image surface at all — its
+    * only image-adjacent behavior is the DCTDecode panic (body.rs:42-54),
+    * which strict mode keeps — so this is gated like the other lenient
+    * extensions.
+    */
+  def listImages: Vector[PdfImages.ImageXObject] = {
+    if (!lenient) Err.fail("listImages is a lenient-mode extension (strict mirrors the reference, which has no image surface)")
+    val catalogOffset = xref.getCatalogOffset.getOrElse(Err.fail("catalog offset not found"))
+    PdfImages.list(new Ctx(body, xref, lenient, lenientText, decryptor), catalogOffset)
+  }
 }
 
 object Pdf {

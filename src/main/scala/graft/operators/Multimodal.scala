@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode / feature-extract / resize /
   * frame-sample stages as typed mapPartitions transforms.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this environment) by
-  * `decodeStub` — a deterministic fake that derives dimensions from the payload
-  * bytes — while everything Spark-side is real and tested: the binary column
-  * schema, the batch-shaped partition iteration, the feature vector output shape,
-  * and the partitioning behavior.
+  * Header metadata decode is real for PNG/JPEG/WAV/MP4 (pure-JVM byte walks),
+  * and PIXEL decode is real for every format the JDK's built-in `javax.imageio`
+  * registers (PNG/JPEG/TIFF/BMP/GIF — no external codec library needed): see
+  * [[decodePixels]]. Only audio/video SAMPLE decode remains stubbed
+  * (`decodeStub` — the JDK ships no MP4/PCM-beyond-WAV codec), standing in as a
+  * deterministic fake with the real Spark-side plumbing: binary column schema,
+  * batch-shaped partition iteration, feature vector output shape, partitioning.
   */
 object Multimodal {
 
@@ -288,6 +290,168 @@ object Multimodal {
     wbe32(8 + tail.length); tag("mdat")
     out.write(tail, 0, tail.length)
     out.toByteArray
+  }
+
+  /** Fully-decodable 8-bit GRAYSCALE PNG with pixel bytes at COMPUTABLE blob
+    * offsets: the IDAT zlib stream is handcrafted from STORED (uncompressed)
+    * deflate blocks, so any engine — including a SQL oracle with no codec —
+    * can re-derive every pixel from the raw bytes, while `javax.imageio`
+    * decodes the same file as a perfectly ordinary PNG (stored blocks are
+    * valid zlib). Layout: scanline y = 1 filter byte (0, None) + `width` gray
+    * bytes; raw stream = height such scanlines; zlib = 0x78 0x01 header +
+    * 64KiB-max stored blocks (5-byte headers) + Adler-32. For images whose raw
+    * stream fits one stored block (width+1)*height <= 65535, pixel (x, y)
+    * lives at fixed blob offset 8 + 8+13+4 + 8 + (2+5) + y*(width+1) + 1 + x
+    * — signature, IHDR chunk, IDAT length+type, zlib+block header.
+    */
+  def pngGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "pngGray needs positive dims")
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      val base = y * (width + 1)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < width) { raw(base + 1 + x) = (pixel(x, y) & 0xff).toByte; x += 1 }
+      y += 1
+    }
+    // zlib stream from stored blocks: header 0x78 0x01, then per-block
+    // BFINAL/BTYPE=00 + LEN + ~LEN (LE16), then Adler-32 of the raw stream
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    var off = 0
+    while (off < raw.length) {
+      val len = math.min(65535, raw.length - off)
+      z.write(if (off + len >= raw.length) 1 else 0)
+      z.write(len & 0xff); z.write((len >>> 8) & 0xff)
+      z.write((~len) & 0xff); z.write(((~len) >>> 8) & 0xff)
+      z.write(raw, off, len)
+      off += len
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val a = adler.getValue.toInt
+    z.write((a >>> 24) & 0xff); z.write((a >>> 16) & 0xff)
+    z.write((a >>> 8) & 0xff); z.write(a & 0xff)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit =
+        out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte), 0, 4)
+      w32(data.length)
+      val typed = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(typed, 0, typed.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typed)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // 8-bit gray
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real 8-bit grayscale JPEG via the JDK's built-in ImageIO writer —
+    * deterministic for a given JVM (fixture synthesis for the DCTDecode
+    * gates). Decoded DIMENSIONS are exact; sample values are lossy (DCT
+    * quantization), so dimension gates oracle exactly and sample gates use
+    * tolerance.
+    */
+  def jpegGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    imageioInit
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "jpg", out))
+      throw new IllegalStateException("JDK has no JPEG writer registered")
+    out.toByteArray
+  }
+
+  /** Integer pixel statistics over every band sample of a decoded image —
+    * deterministic (no float math), so two independent decoders of the same
+    * bytes agree bit-for-bit. For an 8-bit grayscale image these are exactly
+    * the statistics of the gray bytes.
+    */
+  final case class PixelStats(width: Int, height: Int, sum: Long, min: Int, max: Int,
+                              gt127: Long)
+
+  // the JDK's default ImageIO cache writes temp FILES per decode — pure-memory
+  // streams keep the executor-side hot path off the disk
+  private lazy val imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL pixel decode via the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/TIFF/BMP/GIF in this JDK — zero external dependencies; the
+    * earlier "no codec libraries in this environment" stub rationale was
+    * wrong). Returns None when no registered reader accepts the bytes or the
+    * decode fails — callers fall back to header metadata / the stub, never
+    * fail the row.
+    */
+  def decodePixels(payload: Array[Byte]): Option[PixelStats] = {
+    imageioInit
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight; val bands = raster.getNumBands
+        var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue; var gt = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              val v = raster.getSample(x, y, b)
+              sum += v
+              if (v < min) min = v
+              if (v > max) max = v
+              if (v > 127) gt += 1
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some(PixelStats(w, h, sum, min, max, gt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  final case class PixelRow(doc_id: Long, px_width: Int, px_height: Int, px_sum: Long,
+                            px_min: Int, px_max: Int, px_gt127: Long, dims_match: Boolean)
+
+  /** Pixel-decode pipeline over a binary-payload table: real `javax.imageio`
+    * decode per partition, with the header-parsed dims cross-checked against
+    * the pixel-decoded dims (`dims_match` — a free consistency gate between
+    * the two independent parsers). Rows whose payload no registered reader
+    * accepts are dropped (callers route those through [[decodeAndFeaturize]]'s
+    * metadata/stub path instead).
+    */
+  def decodePixelStats(media: Dataset[MediaRow]): Dataset[PixelRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        decodePixels(row.payload).map { st =>
+          val header = decode(row.payload)
+          PixelRow(row.doc_id, st.width, st.height, st.sum, st.min, st.max, st.gt127,
+            header.width == st.width && header.height == st.height)
+        }
+      }
+    }
   }
 
   /** STUB feature extraction with real output shape: 8 block-mean byte values

@@ -261,6 +261,60 @@ object MiniPdf {
   def synthesizeFilteredBase64(text: String, filterName: String): String =
     java.util.Base64.getEncoder.encodeToString(synthesizeFiltered(text, filterName))
 
+  /** A document with a TEXT content stream and a /DCTDecode image XObject
+    * (`jpegBytes` must be a real JPEG — e.g. Multimodal.jpegGray). The content
+    * paints the image via `/Im1 Do` (an unknown operator to the reference's
+    * content machine — content.rs:624-628 ignores it — so STRICT text
+    * extraction still returns `text` unchanged); the image itself is reachable
+    * only through the lenient `Pdf.listImages` surface, because strict mode
+    * keeps the reference's DCTDecode panic (body.rs:42-54) if anything tries
+    * to decode the stream.
+    */
+  def synthesizeImagePdf(text: String, jpegBytes: Array[Byte], width: Int,
+                         height: Int): Array[Byte] = {
+    val content = (s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n" +
+      s"q\n$width 0 0 $height 10 10 cm\n/Im1 Do\nQ\n").getBytes(ISO_8859_1)
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> " +
+        "/XObject << /Im1 7 0 R >> >> /Contents 4 0 R >>",
+      null, // text content stream (binary-safe writer below)
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>",
+      null // image stream
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      if (i == 3) {
+        w(s"<< /Length ${content.length} >>\nstream\n")
+        out.write(content)
+        w("\nendstream")
+      } else if (i == 6) {
+        w(s"<< /Type /XObject /Subtype /Image /Width $width /Height $height " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode " +
+          s"/Length ${jpegBytes.length} >>\nstream\n")
+        out.write(jpegBytes)
+        w("\nendstream")
+      } else w(body)
+      w("\nendobj\n")
+    }
+    val xrefOff = out.size()
+    w("xref\n")
+    w(s"0 ${objects.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w("trailer\n")
+    w(s"<< /Size ${objects.length + 1} /Root 1 0 R /Info 6 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
   /** Variant whose content stream uses the LENIENT-TEXT operators: the text is
     * split into `chunk`-char lines shown with `'` (move-show) and `"`
     * (spacing + move-show) after a TL leading set, plus Tw/Tz/Ts state ops —

@@ -236,8 +236,42 @@ class LenientSpec extends AnyFunSuite {
       assert(e.getMessage == s"Filter name $f is currently not supported")
     }
     // unknown filter names still panic identically in BOTH modes
-    val e2 = intercept[PdfParseException](graft.core.BodyFilter.from("DCTDecode", lenient = true))
-    assert(e2.getMessage == "Filter name DCTDecode is currently not supported")
+    val e2 = intercept[PdfParseException](graft.core.BodyFilter.from("JBIG2Decode", lenient = true))
+    assert(e2.getMessage == "Filter name JBIG2Decode is currently not supported")
+    // DCTDecode (round 5) is lenient-only: strict keeps the reference's panic
+    val e3 = intercept[PdfParseException](graft.core.BodyFilter.from("DCTDecode"))
+    assert(e3.getMessage == "Filter name DCTDecode is currently not supported")
+    assert(graft.core.BodyFilter.from("DCTDecode", lenient = true) == graft.core.DctFilter)
+  }
+
+  test("DCTDecode: JPEG image XObjects list with pixel-decoded dims; text extraction unperturbed") {
+    import graft.operators.Multimodal
+    val jpeg = Multimodal.jpegGray(17, 11, (x, y) => (x * 16 + y * 5) % 256)
+    val pdf = graft.pipeline.MiniPdf.synthesizeImagePdf("Text next to an image", jpeg, 17, 11)
+    // text extraction is identical in BOTH modes: the image never enters the
+    // text path (/Im1 Do rides the reference's unknown-operator fallthrough,
+    // and the XObject resource key is ignored by the resources projection)
+    assert(Pdf(pdf).extract(ExtractText) == "Text next to an image")
+    assert(Pdf.lenient(pdf).extract(ExtractText) == "Text next to an image")
+    // lenient image surface: dict metadata + REAL pixel decode agree on dims
+    val imgs = Pdf.lenient(pdf).listImages
+    assert(imgs.length == 1, imgs)
+    val im = imgs.head
+    assert((im.name, im.width, im.height, im.bitsPerComponent, im.colorSpace, im.filter) ==
+      (("Im1", 17, 11, 8, "DeviceGray", "DCTDecode")), im)
+    assert((im.pxWidth, im.pxHeight, im.pxBands) == ((17, 11, 1)), im)
+    // lossy but bounded: decoded mean within ~12% of the source mean
+    val srcMean = (for (y <- 0 until 11; x <- 0 until 17) yield (x * 16 + y * 5) % 256)
+      .sum.toDouble / (17 * 11)
+    val gotMean = im.pxSum.toDouble / (17 * 11)
+    assert(math.abs(gotMean - srcMean) < 32, s"mean drifted: $gotMean vs $srcMean")
+    // strict surface mirrors the reference (no image API)
+    val e = intercept[PdfParseException](Pdf(pdf).listImages)
+    assert(e.getMessage.contains("lenient"))
+    // a corrupt DCT stream fails LOUDLY (per-row error discipline), not silently
+    val bad = graft.pipeline.MiniPdf.synthesizeImagePdf("t", "not a jpeg".getBytes, 4, 4)
+    val e4 = intercept[PdfParseException](Pdf.lenient(bad).listImages)
+    assert(e4.getMessage.startsWith("DCTDecode:"), e4.getMessage)
   }
 
   // --- standard-security-handler decryption (lenient-only) ------------------------

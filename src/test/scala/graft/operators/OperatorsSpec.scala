@@ -461,6 +461,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decode(cutMp4) == Multimodal.decodeStub(cutMp4))
   }
 
+  test("multimodal: pngGray round-trips through javax.imageio pixel-exactly") {
+    // the handcrafted stored-block zlib must be a VALID png for the JDK
+    // decoder, and every pixel must come back bit-exact — including a
+    // multi-stored-block image (raw > 64KiB forces block splitting)
+    for ((w, h) <- Seq((7, 5), (1, 1), (300, 250))) {
+      def pix(x: Int, y: Int): Int = (x * 31 + y * 7 + w) % 256
+      val bytes = Multimodal.pngGray(w, h, pix)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected pngGray($w x $h)")
+      assert(img.getWidth == w && img.getHeight == h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(raster.getSample(x, y, 0) == pix(x, y), s"pixel ($x,$y) of $w x $h")
+    }
+  }
+
+  test("multimodal: decodePixelStats — real decode, dims cross-check, graceful reject") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.pngGray(4, 3, (x, y) => x * 10 + y)),
+      Multimodal.MediaRow(2L, Multimodal.pngGray(2, 2, (_, _) => 200)),
+      Multimodal.MediaRow(3L, "not an image at all".getBytes)).toDS()
+    val got = Multimodal.decodePixelStats(rows).collect().sortBy(_.doc_id)
+    // undecodable payload is dropped, not fatal
+    assert(got.map(_.doc_id).toSeq == Seq(1L, 2L))
+    val a = got(0)
+    // 4x3 gray: samples x*10+y, sum = sum_{x<4,y<3}(10x+y) = 3*10*(0+1+2+3) + 4*(0+1+2)
+    assert((a.px_width, a.px_height, a.px_sum, a.px_min, a.px_max, a.px_gt127, a.dims_match) ==
+      ((4, 3, 192L, 0, 32, 0L, true)), s"got $a")
+    val b = got(1)
+    assert((b.px_sum, b.px_min, b.px_max, b.px_gt127, b.dims_match) ==
+      ((800L, 200, 200, 4L, true)), s"got $b")
+    // direct API: undecodable returns None (never throws)
+    assert(Multimodal.decodePixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodePixels(Multimodal.pngGray(3, 3, (_, _) => 1).take(20)).isEmpty)
+  }
+
   test("redactPii masks URL/email/phone with fixed placeholders, idempotently") {
     import spark.implicits._
     val in = Seq(
