@@ -139,6 +139,41 @@ object SparkEntry {
         })
         .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
     }),
+    // Encrypted METADATA end to end (round 5): R2/R3 documents RC4-encrypt
+    // their Info strings (V1/V2 has no /StrF escape hatch), and the lenient
+    // route decrypts them at the readInfo resolution point — the oracle is
+    // the same plaintext projection q_pdf_info uses on unencrypted docs.
+    "q_pdf_info_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { case (id, text) =>
+          val r = if (id % 2 == 0) 2 else 3
+          val info = Pdf.lenient(MiniPdf.synthesizeEncrypted(text, r)).readInfo
+          (id, info.flatMap(_.title).orNull, info.flatMap(_.author).orNull,
+            info.flatMap(_.creator).orNull)
+        })
+        .toDF("doc_id", "title", "author", "creator").orderBy("doc_id")
+    }),
+    // PASSWORDED documents end to end (round 5): each doc encrypts under a
+    // doc_id-derived password (R3/RC4-128, V4/AES-128, or R6/AES-256), half
+    // opened via the USER password, half via the OWNER password (legacy
+    // Algorithm 7 /O recovery; V5 /O//OE branch) — text must round-trip
+    // identically either way.
+    "q_pdf_password_lenient" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { case (id, text) =>
+          val r = (id % 3) match { case 0 => 3; case 1 => 4; case _ => 6 }
+          val user = s"user-$id".getBytes
+          val owner = s"owner-$id".getBytes
+          val pdf = MiniPdf.synthesizeEncrypted(text, r, userPwd = user, ownerPwd = owner)
+          val opened = Pdf.lenient(pdf, if (id % 2 == 0) user else owner)
+          (id, opened.extract(ExtractText), true)
+        })
+        .toDF("doc_id", "extracted_text", "ok").orderBy("doc_id")
+    }),
     // DCTDecode end to end (round 5): every doc becomes a PDF carrying a REAL
     // JPEG image XObject (JDK ImageIO encode) whose dict dims come from a pure
     // doc_id formula; the lenient image surface must re-derive the SAME dims
@@ -1013,6 +1048,10 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
     "q_pdf_filters_lenient" ->
       "SELECT doc_id, text AS extracted_text, 'pdf-lenient' AS payload_kind, true AS ok FROM documents ORDER BY doc_id",
+    "q_pdf_info_encrypted" ->
+      "SELECT doc_id, substr(text, 1, 24) AS title, 'graft' AS author, 'minipdf' AS creator FROM documents ORDER BY doc_id",
+    "q_pdf_password_lenient" ->
+      "SELECT doc_id, text AS extracted_text, true AS ok FROM documents ORDER BY doc_id",
     // dict dims AND pixel-decoded dims both replay the doc_id formula; a JPEG
     // encode or DCT decode defect would break px_width/px_height equality
     "q_pdf_dct_lenient" ->

@@ -1,19 +1,21 @@
 package graft.core
 
 /** Standard security handler decryption — LENIENT-mode engine extension
-  * (PDF 32000-1 §7.6.2-7.6.4, revisions 2 and 3: RC4-40/RC4-128, EMPTY user
-  * password). The reference ignores the trailer's /Encrypt key entirely
+  * (PDF 32000-1 §7.6.2-7.6.4 RC4-40/RC4-128/AES-128 and PDF 2.0 / ISO
+  * 32000-2 AES-256 R6; empty OR caller-supplied user/owner passwords). The
+  * reference ignores the trailer's /Encrypt key entirely
   * (xref.rs:136-146 parses-and-drops it), so it inflates RC4 ciphertext and
   * panics/garbles; strict mode replicates that exactly. Only `Pdf.lenient`
-  * derives the file key, VERIFIES the /U entry against the empty user
+  * derives the file key, VERIFIES the /U (or /O) entry against the supplied
   * password (anything else fails loudly — no silent garbage), and decrypts
   * STREAM bytes with per-object keys — content streams, ToUnicode streams,
   * and object-stream CONTAINERS (Lenient.prepare builds its own decryptor
   * before materializing ObjStm members, so the modern encrypted 1.5+ layout
-  * with the catalog inside an object stream opens too). Scope, documented:
-  * string decryption is not wired (strings parse deep inside the object
-  * parser without object-id context); it affects Info metadata only, never
-  * extracted text.
+  * with the catalog inside an object stream opens too). STRING decryption
+  * (round 5) is wired where strings are output-visible — the Info metadata
+  * dictionary (`Decryptor.decryptString`, applied at PdfInfo's resolution
+  * point where object identity IS known); content-stream strings never reach
+  * extracted text undecoded, so no other site needs it.
   */
 object Crypt {
 
@@ -65,17 +67,31 @@ object Crypt {
   private def leInt(v: Int): Array[Byte] =
     Array(v, v >>> 8, v >>> 16, v >>> 24).map(b => (b & 0xff).toByte)
 
-  /** Algorithm 2: file encryption key for the EMPTY user password.
+  /** Algorithm 2 step (a): pad or truncate a password to exactly 32 bytes
+    * with the standard padding string. Idempotent on already-padded 32-byte
+    * input (so an Algorithm-7-recovered padded user password feeds straight
+    * back in).
+    */
+  def padPassword(password: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    val n = math.min(password.length, 32)
+    System.arraycopy(password, 0, out, 0, n)
+    if (n < 32) System.arraycopy(Pad, 0, out, n, 32 - n)
+    out
+  }
+
+  /** Algorithm 2: file encryption key for a user password (empty by default).
     * `n` = key length in bytes (5 for R2, /Length/8 for R3/R4).
     * `metadataUnencrypted` appends the 0xFFFFFFFF marker (R4 with
     * /EncryptMetadata false).
     */
   def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], n: Int, r: Int,
-              metadataUnencrypted: Boolean = false): Array[Byte] = {
+              metadataUnencrypted: Boolean = false,
+              password: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val noMeta: Array[Byte] =
       if (metadataUnencrypted) Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
       else Array.emptyByteArray
-    var k = md5(Pad, o, leInt(p), id0, noMeta)
+    var k = md5(padPassword(password), o, leInt(p), id0, noMeta)
     if (r >= 3) {
       var i = 0
       while (i < 50) { k = md5(k.take(n)); i += 1 }
@@ -96,19 +112,48 @@ object Crypt {
     ownerCache.computeIfAbsent((n, r), k => ownerEntry(k._1, k._2))
 
   /** Algorithm 3: the /O entry for empty owner AND user passwords. */
-  def ownerEntry(n: Int, r: Int): Array[Byte] = {
-    var h = md5(Pad)
+  def ownerEntry(n: Int, r: Int): Array[Byte] =
+    ownerEntryFor(n, r, Array.emptyByteArray, Array.emptyByteArray)
+
+  /** Algorithm 3 in full: RC4-encrypt the PADDED USER password under a key
+    * derived from the owner password (owner empty -> user password per spec
+    * step (a)). Fixture synthesis for passworded documents.
+    */
+  def ownerEntryFor(n: Int, r: Int, ownerPwd: Array[Byte],
+                    userPwd: Array[Byte]): Array[Byte] = {
+    val effOwner = if (ownerPwd.isEmpty) userPwd else ownerPwd
+    var h = md5(padPassword(effOwner))
     if (r >= 3) {
       var i = 0
       while (i < 50) { h = md5(h); i += 1 }
     }
     val rc4key = h.take(n)
-    var o = rc4(rc4key, Pad)
+    var o = rc4(rc4key, padPassword(userPwd))
     if (r >= 3) {
       var i = 1
       while (i <= 19) { o = rc4(xorKey(rc4key, i), o); i += 1 }
     }
     o
+  }
+
+  /** Algorithm 7 key recovery: decrypt /O under the owner-password key, which
+    * yields the PADDED user password (the legacy owner-password opening path;
+    * verification happens downstream via Algorithm 2 + the /U check).
+    */
+  def ownerToUserPassword(ownerPwd: Array[Byte], o: Array[Byte], n: Int,
+                          r: Int): Array[Byte] = {
+    var h = md5(padPassword(ownerPwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h); i += 1 }
+    }
+    val rc4key = h.take(n)
+    var u = o
+    if (r >= 3) {
+      var i = 19
+      while (i >= 1) { u = rc4(xorKey(rc4key, i), u); i -= 1 }
+    }
+    rc4(rc4key, u)
   }
 
   /** Algorithms 4 (R2) / 5 (R3): the /U entry for the empty user password. */
@@ -227,31 +272,42 @@ object Crypt {
   /** Parsed /Encrypt state + verified file key. `aes` = AESV2 crypt filter
     * (V4); false = RC4 (V1/V2 or a V4 /CFM /V2 filter). `directKey` (V5 /
     * AESV3) uses the 256-bit file key for every object — revision 6 has no
-    * per-object key derivation.
+    * per-object key derivation. `strings` (round 5): whether STRING objects
+    * are encrypted too — always for V1/V2 (which have no /StrF escape), per
+    * the /StrF crypt filter for V4/V5; drives the Info-metadata string
+    * decryption (strings never reach extracted text).
     */
   final case class Decryptor(key: Array[Byte], aes: Boolean = false,
-                             directKey: Boolean = false) {
+                             directKey: Boolean = false, strings: Boolean = false) {
     def decrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] =
       if (directKey) aesDecrypt(key, data)
       else if (aes) aesDecrypt(objectKey(key, obj, gen, aes = true), data)
       else rc4(objectKey(key, obj, gen), data)
+
+    /** String decryption (same per-object scheme as streams; no-op when the
+      * document declares /StrF /Identity).
+      */
+    def decryptString(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (!strings) data else decrypt(obj, gen, data)
   }
 
-  /** Fixture support (V5/R6, empty passwords): build /U + /UE from the file
-    * key and the two 8-byte salts; and /O + /OE over a given /U.
+  /** Fixture support (V5/R6): build /U + /UE from the file key, the two
+    * 8-byte salts, and the user password (empty by default); and /O + /OE
+    * over a given /U with the owner password.
     */
-  def v5UserEntries(fileKey: Array[Byte], valSalt: Array[Byte],
-                    keySalt: Array[Byte]): (Array[Byte], Array[Byte]) = {
-    val u = hash2B(Array.emptyByteArray, valSalt, Array.emptyByteArray) ++ valSalt ++ keySalt
-    val ikey = hash2B(Array.emptyByteArray, keySalt, Array.emptyByteArray)
+  def v5UserEntries(fileKey: Array[Byte], valSalt: Array[Byte], keySalt: Array[Byte],
+                    password: Array[Byte] = Array.emptyByteArray): (Array[Byte], Array[Byte]) = {
+    val u = hash2B(password, valSalt, Array.emptyByteArray) ++ valSalt ++ keySalt
+    val ikey = hash2B(password, keySalt, Array.emptyByteArray)
     val ue = aesCbcRaw(ikey, new Array[Byte](16), fileKey, encrypt = true)
     (u, ue)
   }
 
   def v5OwnerEntries(fileKey: Array[Byte], u48: Array[Byte], valSalt: Array[Byte],
-                     keySalt: Array[Byte]): (Array[Byte], Array[Byte]) = {
-    val o = hash2B(Array.emptyByteArray, valSalt, u48) ++ valSalt ++ keySalt
-    val okey = hash2B(Array.emptyByteArray, keySalt, u48)
+                     keySalt: Array[Byte],
+                     password: Array[Byte] = Array.emptyByteArray): (Array[Byte], Array[Byte]) = {
+    val o = hash2B(password, valSalt, u48) ++ valSalt ++ keySalt
+    val okey = hash2B(password, keySalt, u48)
     val oe = aesCbcRaw(okey, new Array[Byte](16), fileKey, encrypt = true)
     (o, oe)
   }
@@ -263,14 +319,18 @@ object Crypt {
   }
 
   /** Build a verified decryptor from the /Encrypt dictionary + first /ID
-    * element. Supported: V1/V2 RC4 (R2/R3) and V4 crypt filters with
-    * /CFM /AESV2 (AES-128-CBC) or /V2 (RC4) and /StmF /StdCF. Fails loudly
-    * on: non-Standard handlers, V5+/AESV3 (AES-256/SHA-2 derivation out of
-    * scope), Identity or named stream filters other than StdCF, or a /U that
-    * does not match the EMPTY user password (a passworded document must never
-    * be silently garbled).
+    * element. Supported: V1/V2 RC4 (R2/R3), V4 crypt filters with
+    * /CFM /AESV2 (AES-128-CBC) or /V2 (RC4) and /StmF /StdCF, and V5/R6
+    * AES-256/AESV3 (Algorithm 2.B SHA-2 derivation). `password` (round 5;
+    * empty by default) is tried as the USER password first, then as the
+    * OWNER password (legacy: Algorithm 7 /O recovery; V5: the /O//OE 2.B
+    * branch with the /U entry as udata). Fails loudly on: non-Standard
+    * handlers, Identity or named stream filters other than StdCF, or when
+    * no password path verifies (a wrong password must never silently
+    * garble output).
     */
-  def standardDecryptor(enc: Map[String, PdfObj], id0: Array[Byte]): Decryptor = {
+  def standardDecryptor(enc: Map[String, PdfObj], id0: Array[Byte],
+                        password: Array[Byte] = Array.emptyByteArray): Decryptor = {
     enc.get("Filter") match {
       case Some(PName("Standard")) => ()
       case other => Err.fail(s"encryption handler not supported: $other")
@@ -280,8 +340,20 @@ object Crypt {
       case Some(PNum(NInt(n))) => n
       case _                   => Err.fail("Encrypt dictionary requires /R")
     }
-    // resolve the stream crypt filter method for the crypt-filter versions
-    def streamCfm(): String = {
+    def noOpen(): Nothing = Err.fail(
+      if (password.isEmpty) "encrypted document is not openable with an empty user password"
+      else "encrypted document is not openable with the given password")
+    // are STRING objects encrypted? V1/V2 always (no /StrF concept); the
+    // crypt-filter versions per /StrF (absent = Identity per spec)
+    val strEnc =
+      if (v < 4) true
+      else enc.get("StrF") match {
+        case Some(PName("StdCF"))                  => true
+        case Some(PName("Identity")) | None        => false
+        case other => Err.fail(s"string crypt filter not supported: $other")
+      }
+    // resolve the stream crypt filter (StdCF): method + its own /Length
+    def streamCf(): (String, Option[Int]) = {
       enc.get("StmF") match {
         case Some(PName("StdCF")) => ()
         case None => // /StmF defaults to Identity (unencrypted streams) per spec
@@ -290,51 +362,80 @@ object Crypt {
       }
       enc.get("CF") match {
         case Some(PDict(cf)) => cf.get("StdCF") match {
-          case Some(PDict(std)) => std.get("CFM") match {
-            case Some(PName(m)) => m
-            case _              => Err.fail("StdCF crypt filter requires /CFM")
-          }
+          case Some(PDict(std)) =>
+            val m = std.get("CFM") match {
+              case Some(PName(x)) => x
+              case _              => Err.fail("StdCF crypt filter requires /CFM")
+            }
+            val len = std.get("Length") match {
+              // the CF /Length is specified in BYTES, but writers commonly
+              // emit bits; values <= 32 read as bytes, larger as bits
+              case Some(PNum(NInt(x))) => Some(if (x <= 32) x * 8 else x)
+              case _                   => None
+            }
+            (m, len)
           case _ => Err.fail(s"V$v encryption requires /CF /StdCF")
         }
         case _ => Err.fail(s"V$v encryption requires a /CF dictionary")
       }
     }
     // V5/R6 (PDF 2.0, AES-256): /U carries hash+salts, /UE the wrapped file
-    // key; SHA-2 derivation (Algorithm 2.B), no /ID or per-object keys.
+    // key; SHA-2 derivation (Algorithm 2.B), no /ID or per-object keys. The
+    // password is tried on the user entries first, then on the owner entries
+    // (/O//OE with the 48-byte /U as the 2.B udata).
     if (v == 5) {
       if (r != 6) Err.fail(s"encryption V=5 R=$r not supported (revision 6 only)")
-      streamCfm() match {
+      streamCf()._1 match {
         case "AESV3" => ()
         case other   => Err.fail(s"V5 crypt filter method $other not supported (AESV3 only)")
       }
       val u = bytesOf(enc.getOrElse("U", Err.fail("Encrypt dictionary requires /U")), "/U")
       if (u.length < 48) Err.fail("V5 /U entry must be 48 bytes")
-      val ue = bytesOf(enc.getOrElse("UE", Err.fail("V5 encryption requires /UE")), "/UE")
-      if (ue.length != 32) Err.fail("V5 /UE entry must be 32 bytes")
       val none = Array.emptyByteArray
-      val expected = hash2B(none, u.slice(32, 40), none)
-      if (!java.util.Arrays.equals(expected, u.take(32)))
-        Err.fail("encrypted document is not openable with an empty user password")
-      val ikey = hash2B(none, u.slice(40, 48), none)
-      val key = aesCbcRaw(ikey, new Array[Byte](16), ue, encrypt = false)
-      return Decryptor(key, aes = true, directKey = true)
+      val asUser = java.util.Arrays.equals(hash2B(password, u.slice(32, 40), none), u.take(32))
+      if (asUser) {
+        val ue = bytesOf(enc.getOrElse("UE", Err.fail("V5 encryption requires /UE")), "/UE")
+        if (ue.length != 32) Err.fail("V5 /UE entry must be 32 bytes")
+        val ikey = hash2B(password, u.slice(40, 48), none)
+        return Decryptor(aesCbcRaw(ikey, new Array[Byte](16), ue, encrypt = false),
+          aes = true, directKey = true, strings = strEnc)
+      }
+      val o = enc.get("O").map(x => bytesOf(x, "/O")).filter(_.length >= 48)
+      val oe = enc.get("OE").map(x => bytesOf(x, "/OE")).filter(_.length == 32)
+      (o, oe) match {
+        case (Some(o48), Some(oeB)) =>
+          val u48 = u.take(48)
+          if (!java.util.Arrays.equals(hash2B(password, o48.slice(32, 40), u48), o48.take(32)))
+            noOpen()
+          val okey = hash2B(password, o48.slice(40, 48), u48)
+          return Decryptor(aesCbcRaw(okey, new Array[Byte](16), oeB, encrypt = false),
+            aes = true, directKey = true, strings = strEnc)
+        case _ => noOpen()
+      }
     }
     val okVR = (v >= 1 && v <= 2 && r >= 2 && r <= 3) || (v == 4 && r == 4)
     if (!okVR)
       Err.fail(s"encryption V=$v R=$r not supported (RC4 V1/V2 R2/R3, V4 R4, V5 R6 only)")
-    // V4: resolve the stream crypt filter (StdCF) and its method
+    // V4: resolve the stream crypt filter (StdCF), its method, and — ADVICE
+    // round 5 — prefer the StdCF dictionary's own /Length over the top-level
+    // one (a V4 document may declare its key length only inside the CF dict)
+    var cfLen: Option[Int] = None
     val aes =
       if (v < 4) false
-      else streamCfm() match {
-        case "AESV2" => true
-        case "V2"    => false
-        case other   => Err.fail(s"crypt filter method $other not supported (AESV2/V2 only)")
+      else {
+        val (m, len) = streamCf()
+        cfLen = len
+        m match {
+          case "AESV2" => true
+          case "V2"    => false
+          case other   => Err.fail(s"crypt filter method $other not supported (AESV2/V2 only)")
+        }
       }
-    val lengthBits = enc.get("Length") match {
+    val lengthBits = cfLen.getOrElse(enc.get("Length") match {
       case Some(PNum(NInt(n))) => n
       case None                => if (v == 4) 128 else 40
       case _                   => Err.fail("Encrypt /Length should be an integer")
-    }
+    })
     if (lengthBits % 8 != 0 || lengthBits < 40 || lengthBits > 128)
       Err.fail(s"encryption key length $lengthBits not supported")
     val n = if (r == 2) 5 else lengthBits / 8
@@ -348,13 +449,21 @@ object Crypt {
       case Some(PName("false")) => true // bareword coercion turns booleans into names
       case _                    => false
     }
-    val key = fileKey(o, p, id0, n, r, metaUnenc)
-    val expectU = userEntry(key, id0, r)
-    val matches =
+    def verified(key: Array[Byte]): Boolean = {
+      val expectU = userEntry(key, id0, r)
       if (r == 2) java.util.Arrays.equals(u, expectU)
       else u.length >= 16 && java.util.Arrays.equals(u.take(16), expectU.take(16))
-    if (!matches)
-      Err.fail("encrypted document is not openable with an empty user password")
-    Decryptor(key, aes)
+    }
+    // the password as USER password (Algorithm 2 + /U check) ...
+    val userKey = fileKey(o, p, id0, n, r, metaUnenc, password)
+    if (verified(userKey)) return Decryptor(userKey, aes, strings = strEnc)
+    // ... else as OWNER password (Algorithm 7: recover the padded user
+    // password from /O, re-derive, re-verify)
+    if (password.nonEmpty) {
+      val recovered = ownerToUserPassword(password, o, n, r)
+      val ownerKey = fileKey(o, p, id0, n, r, metaUnenc, recovered)
+      if (verified(ownerKey)) return Decryptor(ownerKey, aes, strings = strEnc)
+    }
+    noOpen()
   }
 }

@@ -534,6 +534,31 @@ object PdfInfo {
     case _        => Err.fail("Trailer should be a dictionary")
   }
 
+  /** Variant with the Info object's identity: when the document encrypts
+    * strings (lenient decryptor with /StrF in force — V1/V2 always), the
+    * dictionary's string values are per-object-key decrypted BEFORE
+    * projection, so encrypted-document metadata reads as plaintext instead of
+    * ciphertext garbage. PStr round-trips bytes via ISO-8859-1 (the lexer's
+    * byte-preserving decode), so decrypt-then-redecode is exact.
+    */
+  def parseAt(ctx: Ctx, at: Int, obj: Int, gen: Int): PdfInfo =
+    ObjParser.parseAt(ctx, at) match {
+      case PDict(d) =>
+        ctx.decrypt.filter(_.strings) match {
+          case Some(dec) =>
+            from(d.map {
+              case (k, PStr(s)) =>
+                val plain = dec.decryptString(obj, gen,
+                  s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                (k, PStr(new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)))
+              case (k, PHexStr(b)) => (k, PHexStr(dec.decryptString(obj, gen, b)))
+              case kv => kv
+            })
+          case None => from(d)
+        }
+      case _ => Err.fail("Trailer should be a dictionary")
+    }
+
   def from(d: Map[String, PdfObj]): PdfInfo = {
     def str(key: String): Option[String] = d.get(key) match {
       case Some(PStr(s)) => Some(s)

@@ -38,7 +38,8 @@ object Lenient {
   /** Parse the full xref at `raw`'s startxref and materialize object-stream
     * members. Returns (augmented bytes, xref facade).
     */
-  def prepare(raw: Array[Byte]): (Array[Byte], XRef) = {
+  def prepare(raw: Array[Byte],
+              password: Array[Byte] = Array.emptyByteArray): (Array[Byte], XRef) = {
     // entry collection across the Prev chain; NEWEST section wins per object
     val typ1 = mutable.HashMap[(Int, Int), Int]() // (obj, gen) -> file offset
     val typ2 = mutable.HashMap[Int, (Int, Int)]() // obj -> (container, idxInStm)
@@ -110,7 +111,7 @@ object Lenient {
           case o        => Err.fail(s"Encrypt should be a dictionary, found $o")
         }
         val docId = id0.getOrElse(Err.fail("encrypted document has no /ID in trailer"))
-        Crypt.standardDecryptor(encDict, docId)
+        Crypt.standardDecryptor(encDict, docId, password)
       }
       typ2.groupBy(_._2._1).foreach { case (container, members) =>
         val containerOff = table.get((container, 0)) match {
@@ -132,7 +133,8 @@ object Lenient {
           table = table.updated((obj, 0), (at, true))
         }
       }
-      (out.toByteArray, XrefTable(NInt(size), None, root, encrypt, info, table, id0))
+      (out.toByteArray,
+        XrefTable(NInt(size), None, root, encrypt, info, table, id0, typ2.keySet.toSet))
     } else {
       (raw, XrefTable(NInt(size), None, root, encrypt, info, table, id0))
     }

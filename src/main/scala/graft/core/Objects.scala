@@ -120,7 +120,7 @@ object ObjParser {
           val value: PdfObj = lex.next() match {
             case TDictBegin     => PDict(parseDict(lex, depth + 1))
             case TArrayBegin    => PArr(parseArray(lex))
-            case l: TLit        => PStr(Utf8.strict(l.bytes))
+            case l: TLit        => PStr(litStr(lex.ctx, l.bytes))
             case b: TBare       => PName(Utf8.strict(b.bytes)) // coercion — object.rs:70-72
             case h: THex        => PHexStr(h.bytes)
             case TName(n)       => PName(n)
@@ -155,6 +155,21 @@ object ObjParser {
     }
     out.result()
   }
+
+  /** Literal-string decode: strict UTF-8 with the reference's panic — except
+    * in LENIENT mode, where a malformed sequence falls back to the
+    * byte-preserving ISO-8859-1 decode instead of failing the document: an
+    * ENCRYPTED document's literal strings are binary ciphertext (almost never
+    * valid UTF-8), and the string decryptor needs the exact bytes back
+    * (`PStr.getBytes(ISO_8859_1)` round-trips them). Valid-UTF-8 strings
+    * decode identically in both modes.
+    */
+  private def litStr(ctx: Ctx, bytes: Array[Byte]): String =
+    if (!ctx.lenient) Utf8.strict(bytes)
+    else try Utf8.strict(bytes) catch {
+      case _: PdfParseException =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
 
   /** `Object::try_from(Token)` — object.rs:171-192. */
   def objFromToken(t: Tok, ctx: Ctx): PdfObj = t match {

@@ -19,16 +19,19 @@ package graft.core
   * forks text assembly (a `'` move-show changes the output bytes), so the
   * extension sits behind a separate flag with its own parity gates.
   */
-final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean) {
-  def this(raw: Array[Byte]) = this(raw, false, false)
-  def this(raw: Array[Byte], lenient: Boolean) = this(raw, lenient, false)
+final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean,
+                password: Array[Byte]) {
+  def this(raw: Array[Byte]) = this(raw, false, false, Array.emptyByteArray)
+  def this(raw: Array[Byte], lenient: Boolean) = this(raw, lenient, false, Array.emptyByteArray)
+  def this(raw: Array[Byte], lenient: Boolean, lenientText: Boolean) =
+    this(raw, lenient, lenientText, Array.emptyByteArray)
 
   private val trimmed: Array[Byte] = Pdf.trimAscii(raw)
   if (trimmed.length < 5 || !Pdf.endsWith(trimmed, "%%EOF"))
     Err.fail("PDF file is corrupted; not consistent trailing charaters")
 
   private val prepared: (Array[Byte], XRef) =
-    if (lenient) Lenient.prepare(raw)
+    if (lenient) Lenient.prepare(raw, password)
     else (raw, XRef.parse(trimmed, XRef.startxref(raw)))
 
   private def body: Array[Byte] = prepared._1
@@ -50,7 +53,7 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean) {
           case o        => Err.fail(s"Encrypt should be a dictionary, found $o")
         }
         val id0 = t.id0.getOrElse(Err.fail("encrypted document has no /ID in trailer"))
-        Crypt.standardDecryptor(enc, id0)
+        Crypt.standardDecryptor(enc, id0, password)
       }
       case _ => None
     }
@@ -70,7 +73,16 @@ final class Pdf(val raw: Array[Byte], lenient: Boolean, lenientText: Boolean) {
     * reference never wires this to its CLI; exposed here as a library call).
     */
   def readInfo: Option[PdfInfo] = xref.infoKey.flatMap { key =>
-    xref.getAndFix(key, body).map(off => PdfInfo.parseAt(new Ctx(body, xref, lenient), off))
+    // strings inside an object stream are never individually encrypted
+    // (PDF 32000-1 §7.5.7) — an Info that was materialized out of an ObjStm
+    // skips string decryption
+    val inObjStm = xref match {
+      case t: XrefTable => t.objStmMembers.contains(key._1)
+      case _            => false
+    }
+    val ctx = new Ctx(body, xref, lenient, lenientText,
+      if (inObjStm) None else decryptor)
+    xref.getAndFix(key, body).map(off => PdfInfo.parseAt(ctx, off, key._1, key._2))
   }
 
   /** LENIENT-only: enumerate image XObjects with DCT pixel decode
@@ -91,6 +103,15 @@ object Pdf {
 
   /** Engine extension: lenient xref resolution (see class scaladoc). */
   def lenient(bytes: Array[Byte]): Pdf = new Pdf(bytes, lenient = true)
+
+  /** Engine extension (round 5): lenient xref resolution with a non-empty
+    * user or owner password for encrypted documents — tried as the user
+    * password (Algorithm 2 + /U check, or 2.B for V5/R6), then as the owner
+    * password (Algorithm 7 /O recovery, or the V5 /O//OE branch); a password
+    * that verifies neither fails loudly (Crypt.standardDecryptor).
+    */
+  def lenient(bytes: Array[Byte], password: Array[Byte]): Pdf =
+    new Pdf(bytes, lenient = true, lenientText = false, password)
 
   /** Engine extension: lenient xref AND the Tw/Tz/TL/Ts/'/" text operators
     * (see class scaladoc) — the widest lenient surface.

@@ -80,7 +80,12 @@ final case class XrefTable(
     // first trailer /ID element, captured by the LENIENT resolver only (the
     // reference ignores /ID, so the strict parser leaves None — it is needed
     // solely for the lenient decryption key derivation)
-    id0: Option[Array[Byte]] = None
+    id0: Option[Array[Byte]] = None,
+    // object numbers materialized OUT of object streams by the lenient
+    // resolver: strings inside an ObjStm are NEVER individually encrypted
+    // (PDF 32000-1 §7.5.7 — the container was encrypted once), so string
+    // decryption must skip these objects
+    objStmMembers: Set[Int] = Set.empty
 ) extends XRef {
 
   def len: Int = table.size

@@ -373,10 +373,12 @@ object MiniPdf {
     * extracts. Scope note: Info strings are left PLAINTEXT (string decryption
     * is out of the lenient scope and documented so in Crypt.scala).
     */
-  def synthesizeEncrypted(text: String, r: Int = 2, useFlate: Boolean = true): Array[Byte] = {
+  def synthesizeEncrypted(text: String, r: Int = 2, useFlate: Boolean = true,
+                          userPwd: Array[Byte] = Array.emptyByteArray,
+                          ownerPwd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     import graft.core.Crypt
     require((r >= 2 && r <= 4) || r == 6, "standard handler revisions 2-4 and 6 only")
-    if (r == 6) return synthesizeEncryptedV5(text, useFlate)
+    if (r == 6) return synthesizeEncryptedV5(text, useFlate, userPwd, ownerPwd)
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
       .getBytes(ISO_8859_1)
     val filtered = if (useFlate) {
@@ -387,27 +389,52 @@ object MiniPdf {
       java.util.Arrays.copyOf(buf, m)
     } else content
     val n = if (r == 2) 5 else 16
-    val o = Crypt.ownerEntryCached(n, r)
+    val o =
+      if (userPwd.isEmpty && ownerPwd.isEmpty) Crypt.ownerEntryCached(n, r)
+      else Crypt.ownerEntryFor(n, r, ownerPwd, userPwd)
     val p = -1
     // the tokenizer's nextN skips LEADING WHITESPACE (replicated reference
     // quirk, tokenizer.rs:173-185), so raw stream bytes must not start with a
     // whitespace-class byte — RC4 ciphertext / the AES IV are pseudorandom
     // (~2.3% chance), so salt-search the deterministic /ID until the first
-    // stream byte is safe (same workaround the raw xref-stream fixtures use)
+    // stream byte is safe (same workaround the raw xref-stream fixtures use).
+    // V1/V2 additionally encrypt the Info STRINGS (no /StrF escape hatch
+    // exists there — an external conforming reader decrypts every string, so
+    // plaintext Info would read as garbage): same salt search keeps the
+    // string ciphertexts free of CR/LF/NUL so they survive the literal-string
+    // lexer byte-exactly under escapeLiteral's \\ \( \) escapes.
     def isWs(b: Byte): Boolean =
       b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
+    def strSafe(b: Array[Byte]): Boolean = {
+      if (b.exists(x => x == 0x00 || x == 0x0a || x == 0x0d)) false
+      else if (b.forall(_ >= 0)) true // pure ASCII round-trips under any decode
+      else
+        // a VALID multibyte-UTF-8 ciphertext would strict-decode to chars that
+        // ISO-8859-1 can't round-trip back to bytes — salt past it (rare)
+        try { graft.core.Utf8.strict(b); false }
+        catch { case _: graft.core.PdfParseException => true }
+    }
+    val infoPlain = Seq(titleOf(text), "graft", "minipdf")
+      .map(_.getBytes(ISO_8859_1))
+    val encStrings = r <= 3
     var salt = 0
     var id0: Array[Byte] = null
     var key: Array[Byte] = null
     var encBytes: Array[Byte] = null
-    while (encBytes == null || (encBytes.nonEmpty && isWs(encBytes(0)))) {
+    var infoEnc: Seq[Array[Byte]] = null
+    var ok = false
+    while (!ok) {
       id0 = Crypt.md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         Array(salt.toByte, (salt >> 8).toByte))
-      key = Crypt.fileKey(o, p, id0, n, r)
+      key = Crypt.fileKey(o, p, id0, n, r, password = userPwd)
       encBytes =
         if (r == 4) Crypt.aesEncrypt(Crypt.objectKey(key, 4, 0, aes = true),
           Crypt.md5(id0, "iv".getBytes).take(16), filtered)
         else Crypt.rc4(Crypt.objectKey(key, 4, 0), filtered)
+      infoEnc =
+        if (encStrings) infoPlain.map(s => Crypt.rc4(Crypt.objectKey(key, 6, 0), s))
+        else infoPlain
+      ok = (encBytes.isEmpty || !isWs(encBytes(0))) && infoEnc.forall(strSafe)
       salt += 1
     }
     val u = Crypt.userEntry(key, id0, r)
@@ -425,13 +452,14 @@ object MiniPdf {
         s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
           (if (r == 3) "/Length 128 " else "") +
           s"/O <${hx(o)}> /U <${hx(u)}> /P $p >>"
+    def lit(b: Array[Byte]) = escapeLiteral(new String(b, ISO_8859_1))
     val objects = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
       null, // encrypted stream assembled below (binary body)
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>",
+      s"<< /Title (${lit(infoEnc(0))}) /Author (${lit(infoEnc(1))}) /Creator (${lit(infoEnc(2))}) >>",
       encDict
     )
     val out = new java.io.ByteArrayOutputStream()
@@ -465,7 +493,9 @@ object MiniPdf {
     * AES-256-CBC with IV prefix and NO per-object key derivation. All key
     * material derives deterministically from the text.
     */
-  private def synthesizeEncryptedV5(text: String, useFlate: Boolean): Array[Byte] = {
+  private def synthesizeEncryptedV5(text: String, useFlate: Boolean,
+                                    userPwd: Array[Byte] = Array.emptyByteArray,
+                                    ownerPwd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     import graft.core.Crypt
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
       .getBytes(ISO_8859_1)
@@ -480,9 +510,10 @@ object MiniPdf {
     val fileKey = Crypt.md5(tb, "fk1".getBytes) ++ Crypt.md5(tb, "fk2".getBytes) // 32 bytes
     val valSalt = Crypt.md5(tb, "vs".getBytes).take(8)
     val keySalt = Crypt.md5(tb, "ks".getBytes).take(8)
-    val (u, ue) = Crypt.v5UserEntries(fileKey, valSalt, keySalt)
+    val (u, ue) = Crypt.v5UserEntries(fileKey, valSalt, keySalt, userPwd)
     val (o, oe) = Crypt.v5OwnerEntries(fileKey, u,
-      Crypt.md5(tb, "ovs".getBytes).take(8), Crypt.md5(tb, "oks".getBytes).take(8))
+      Crypt.md5(tb, "ovs".getBytes).take(8), Crypt.md5(tb, "oks".getBytes).take(8),
+      if (ownerPwd.isEmpty) userPwd else ownerPwd)
     def isWs(b: Byte): Boolean =
       b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
     // ws-guard on the stream's first byte (= the IV's first byte)

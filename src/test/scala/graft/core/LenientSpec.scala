@@ -404,7 +404,7 @@ class LenientSpec extends AnyFunSuite {
     // /U does not match the empty user password -> explicit rejection
     val e = intercept[PdfParseException](Crypt.standardDecryptor(base, id0))
     assert(e.getMessage.contains("empty user password"))
-    // V5/AES-256 is out of scope and says so
+    // V5 without its crypt-filter machinery fails loudly
     val e2 = intercept[PdfParseException](Crypt.standardDecryptor(
       base + ("V" -> PNum(NInt(5))) + ("R" -> PNum(NInt(6))), id0))
     assert(e2.getMessage.contains("not supported"))
@@ -420,6 +420,81 @@ class LenientSpec extends AnyFunSuite {
       v4base + ("StmF" -> PName("StdCF")) +
         ("CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV3")))))), id0))
     assert(e5.getMessage.contains("AESV2/V2 only"), e5.getMessage)
+  }
+
+  test("crypt: passworded documents open with the right password, fail loudly on the wrong one") {
+    val text = "Top secret transcript body"
+    val user = "hunter2".getBytes
+    val owner = "root-password".getBytes
+    // USER password: R3 (RC4-128), V4 (AES-128) and R6 (AES-256) round-trip
+    for (r <- Seq(3, 4, 6)) {
+      val pdf = graft.pipeline.MiniPdf.synthesizeEncrypted(text, r, userPwd = user, ownerPwd = owner)
+      assert(Pdf.lenient(pdf, user).extract(ExtractText) == text, s"r=$r user")
+      // OWNER password opens too (legacy Algorithm 7 recovery; V5 /O//OE)
+      assert(Pdf.lenient(pdf, owner).extract(ExtractText) == text, s"r=$r owner")
+      // empty and wrong passwords fail LOUDLY, never garble
+      val e1 = intercept[PdfParseException](Pdf.lenient(pdf).extract(ExtractText))
+      assert(e1.getMessage.contains("empty user password"), s"r=$r: ${e1.getMessage}")
+      val e2 = intercept[PdfParseException](
+        Pdf.lenient(pdf, "wrong".getBytes).extract(ExtractText))
+      assert(e2.getMessage.contains("given password"), s"r=$r: ${e2.getMessage}")
+    }
+    // user-password-only document (owner derives from user per Algorithm 3)
+    val selfOwner = graft.pipeline.MiniPdf.synthesizeEncrypted(text, 3, userPwd = user)
+    assert(Pdf.lenient(selfOwner, user).extract(ExtractText) == text)
+    // empty-password documents still open without any password (regression)
+    assert(Pdf.lenient(graft.pipeline.MiniPdf.synthesizeEncrypted(text, 3)).extract(ExtractText) == text)
+  }
+
+  test("crypt: V4 key length from the StdCF dictionary is preferred (bytes and bits forms)") {
+    // ADVICE round 5: a V4 document may declare its key length ONLY inside
+    // the /CF /StdCF dictionary; both the bytes (<=32) and bits conventions
+    // must derive the same 128-bit key as a top-level /Length would
+    val id0 = Array.fill(16)(7.toByte)
+    val o = Crypt.ownerEntry(16, 4)
+    val key = Crypt.fileKey(o, -1, id0, 16, 4)
+    val u = Crypt.userEntry(key, id0, 4)
+    def enc(cfLen: Option[Int], topLen: Option[Int]): Map[String, PdfObj] = {
+      val std = Map("CFM" -> PName("AESV2")) ++
+        cfLen.map(x => "Length" -> PNum(NInt(x))).toMap
+      Map("Filter" -> PName("Standard"), "V" -> PNum(NInt(4)), "R" -> PNum(NInt(4)),
+        "CF" -> PDict(Map("StdCF" -> PDict(std))), "StmF" -> PName("StdCF"),
+        "O" -> PHexStr(o), "U" -> PHexStr(u), "P" -> PNum(NInt(-1))) ++
+        topLen.map(x => "Length" -> PNum(NInt(x))).toMap
+    }
+    for (cfLen <- Seq(Some(16), Some(128)); topLen <- Seq(None, Some(128))) {
+      val d = Crypt.standardDecryptor(enc(cfLen, topLen), id0)
+      assert(d.key.toSeq == key.toSeq && d.aes, s"cf=$cfLen top=$topLen")
+    }
+    // no CF length anywhere: top-level /Length (or the 128 default) rules
+    assert(Crypt.standardDecryptor(enc(None, Some(128)), id0).key.toSeq == key.toSeq)
+    assert(Crypt.standardDecryptor(enc(None, None), id0).key.toSeq == key.toSeq)
+  }
+
+  test("crypt: encrypted Info STRINGS decrypt at the readInfo site (V1/V2); /StrF Identity stays plaintext") {
+    val text = "Encrypted metadata document"
+    // R2/R3 fixtures now RC4-encrypt their Info strings (V1/V2 has no /StrF
+    // escape — ADVICE round 5 self-consistency); lenient readInfo decrypts
+    // them back through Decryptor.decryptString at the Info resolution point
+    for (r <- Seq(2, 3)) {
+      val pdf = graft.pipeline.MiniPdf.synthesizeEncrypted(text, r)
+      val info = Pdf.lenient(pdf).readInfo
+      assert(info.flatMap(_.title).contains(graft.pipeline.MiniPdf.titleOf(text)), s"r=$r title")
+      assert(info.flatMap(_.author).contains("graft"), s"r=$r author")
+      assert(info.flatMap(_.creator).contains("minipdf"), s"r=$r creator")
+      // strict mode never decrypts (reference parity): binary ciphertext in a
+      // literal string fails the strict UTF-8 decode exactly like the
+      // reference's from_utf8 unwrap
+      val es = intercept[PdfParseException](Pdf(pdf).readInfo)
+      assert(es.getMessage.contains("invalid utf-8"), s"r=$r strict: ${es.getMessage}")
+    }
+    // V4 declares /StrF /Identity -> strings are plaintext and stay plaintext
+    val v4 = graft.pipeline.MiniPdf.synthesizeEncrypted(text, 4)
+    assert(Pdf.lenient(v4).readInfo.flatMap(_.author).contains("graft"))
+    // passworded variant: Info strings decrypt under the password-derived key
+    val pw = graft.pipeline.MiniPdf.synthesizeEncrypted(text, 3, userPwd = "hunter2".getBytes)
+    assert(Pdf.lenient(pw, "hunter2".getBytes).readInfo
+      .flatMap(_.title).contains(graft.pipeline.MiniPdf.titleOf(text)))
   }
 
   test("crypt: AES-128 primitives round-trip and reject malformed padding") {
