@@ -104,13 +104,32 @@ object Bench {
     val pass2 = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
 
-    // extraction throughput bench (the north-rule headline metric)
+    // extraction throughput bench (the north-rule headline metric) — two
+    // timed runs: min is the reported number, their ratio feeds the
+    // contention signature below
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft-bench")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "3000").toInt
     val nTurns = prepareCorpus(spark, benchDir, nConvs)
     timeExtraction(spark, benchDir, cpus.toInt) // warm run (JIT the extractor)
-    val extractSec = timeExtraction(spark, benchDir, cpus.toInt)
+    val ex1 = timeExtraction(spark, benchDir, cpus.toInt)
+    val ex2 = timeExtraction(spark, benchDir, cpus.toInt)
+    val extractSec = math.min(ex1, ex2)
     val turnsPerSec = nTurns / extractSec
+
+    // CONTENTION SIGNATURE (round 5, automating BENCH.md's by-hand analysis):
+    // this host is a shared VM whose CPU-steal windows inflate identical runs
+    // up to 3x. Two symptoms identify a contended sample without any external
+    // probe: (a) the per-query spread between the two interleaved passes —
+    // quiet hosts repeat within ~1.2x, contended windows spread 1.5-3x across
+    // MANY queries at once (median, not max, so one cold-cache outlier can't
+    // trip it); (b) the extraction twin-run ratio. A flagged BENCH_r{N}.json
+    // self-labels so cross-round comparisons skip poisoned samples.
+    val spreads = pass1.zip(pass2).collect {
+      case ((_, a), (_, b)) if math.min(a, b) > 0.05 => math.max(a, b) / math.min(a, b)
+    }.sorted
+    val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.length / 2)
+    val extractSpread = math.max(ex1, ex2) / math.max(extractSec, 1e-9)
+    val contended = medianSpread > 1.35 || extractSpread > 1.5
 
     val all = results :+ ("x_extract_pipeline_sf" -> extractSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -129,7 +148,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus,"contended":$contended,"median_pass_spread":${f"$medianSpread%.3f"},"extract_spread":${f"$extractSpread%.3f"}}""")
     spark.stop()
   }
 }

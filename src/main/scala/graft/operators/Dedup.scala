@@ -266,6 +266,12 @@ object Dedup {
     * no shuffle, no join, fuses with scan pushdown. The collect is
     * bounded-by-contract (guarded): callers with a huge "benchmark" are using
     * the wrong operator — that is a near-dup join, not decontamination.
+    *
+    * Driver-memory math: 8 B per shingle — the 5M default caps the driver
+    * array + broadcast at 40 MB, matching the "benchmark sides are small by
+    * nature" contract. A genuinely larger eval corpus opts UP explicitly via
+    * `maxBenchShingles` (hard ceiling 50M = 400 MB; past that the right tool
+    * is a near-dup join).
     */
   def decontaminate(
       docs: DataFrame,
@@ -274,8 +280,10 @@ object Dedup {
       benchmark: DataFrame,
       benchTextCol: String,
       k: Int = 8,
-      maxBenchShingles: Int = 50000000
+      maxBenchShingles: Int = 5000000
   ): DataFrame = {
+    require(maxBenchShingles > 0 && maxBenchShingles <= 50000000,
+      s"maxBenchShingles=$maxBenchShingles out of range (1..50000000 — 8 B/shingle on the driver)")
     val spark = docs.sparkSession
     import spark.implicits._
     // the limit BOUNDS the driver materialization (at most max+1 longs reach
@@ -288,7 +296,9 @@ object Dedup {
       .limit(maxBenchShingles + 1)
       .collect()
     require(benchShingles.length <= maxBenchShingles,
-      s"benchmark exceeds $maxBenchShingles distinct shingles — use a near-dup join for corpus-vs-corpus overlap")
+      s"benchmark exceeds maxBenchShingles=$maxBenchShingles distinct shingles " +
+        "(8 B each on the driver; raise maxBenchShingles up to 50000000 explicitly, " +
+        "or use a near-dup join for corpus-vs-corpus overlap)")
     java.util.Arrays.sort(benchShingles)
     val bc = spark.sparkContext.broadcast(benchShingles)
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))

@@ -259,9 +259,17 @@ object ExtractJob {
       }
       val totW = weights.sum
       val cumW = weights.scanLeft(0L)(_ + _)
+      // wallMs * cumW must not overflow Long: a 17-minute wave over ~10 TB
+      // puts the product past 2^63 (ADVICE round 5) — BigInteger keeps the
+      // cumulative allocation exact at any scale (once per shard, off the hot
+      // path)
+      val wallBig = java.math.BigInteger.valueOf(wallMs)
+      val totBig = java.math.BigInteger.valueOf(totW)
+      def alloc(c: Long): Long =
+        wallBig.multiply(java.math.BigInteger.valueOf(c)).divide(totBig).longValueExact()
       io.appendManifests(spark, outDir, wave.zipWithIndex.map { case (k, i) =>
         val (rows, bytes) = stats.getOrElse(k, (0L, 0L))
-        val share = wallMs * cumW(i + 1) / totW - wallMs * cumW(i) / totW
+        val share = alloc(cumW(i + 1)) - alloc(cumW(i))
         PartManifest(k, SALT, rows, bytes, share, waveId, "done")
       })
       committed += wave.size

@@ -325,6 +325,13 @@ class OperatorsSpec extends AnyFunSuite {
         k = 8, maxBenchShingles = 3)
     }
     assert(e.getMessage.contains("near-dup join"))
+    // the loud failure NAMES the parameter to raise (and its ceiling exists)
+    assert(e.getMessage.contains("maxBenchShingles=3"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(docRows, "text", "doc_id", bench, "text",
+        k = 8, maxBenchShingles = 50000001)
+    }
+    assert(e2.getMessage.contains("maxBenchShingles"), e2.getMessage)
   }
 
   test("clusters: path graphs collapse transitively, components stay separate") {
