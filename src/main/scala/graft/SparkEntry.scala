@@ -479,6 +479,32 @@ object SparkEntry {
     // turn stream; dropDuplicatesWithinWatermark keeps one row per content
     // hash with watermark-bounded state; the deterministic output is the
     // distinct hash set.
+    // Stream-STATIC broadcast enrichment (round 5): events stream through a
+    // LEFT join against a small dimension (only even user_ids have a segment
+    // row — odd users keep nulls, LEFT semantics), dimension broadcast so the
+    // stream side never shuffles; oracle is the same join in plain SQL.
+    "q_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-enrich-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-enrich-cp").toString
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+      ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dim = ev.select($"user_id").distinct()
+        .where($"user_id" % 2 === 0)
+        .withColumn("segment", ($"user_id" % 5).cast("int"))
+      val stream = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
+        .parquet(tmp)
+      val name = s"enrich_out_${System.nanoTime()}"
+      val q = graft.streaming.StreamingExtract.enrichStream(stream, dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("segment"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_id")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-in").toString
@@ -1234,6 +1260,10 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY text_hash",
+    "q_stream_enrich" ->
+      ("SELECT event_id, user_id, " +
+        "CAST(CASE WHEN user_id % 2 = 0 THEN user_id % 5 END AS INT) AS segment " +
+        "FROM events ORDER BY event_id"),
     "q_vector_ops" ->
       ("SELECT vec_id, " +
         "CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +

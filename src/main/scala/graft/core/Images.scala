@@ -108,7 +108,24 @@ object PdfImages {
     val bs = BodyStream.of(ps, ctx, obj, gen)
     val px = bs.dict.filter match {
       case Some(DctFilter) => Some(LenientFilters.dctDecodeImage(bs.content))
-      case _               => None
+      case Some(FlateDecodeFilter) | None =>
+        // raw bitmap (optionally deflated): the samples carry no dims of
+        // their own, so VALIDATE the dictionary's — 8-bit Gray/RGB whose
+        // decoded length equals w*h*bands confirms the declared geometry;
+        // anything else stays dict-metadata-only (px* = -1)
+        val bands = h.get("ColorSpace") match {
+          case Some(PName("DeviceGray")) => 1
+          case Some(PName("DeviceRGB"))  => 3
+          case _                         => 0
+        }
+        val w = intOf("Width", -1); val ht = intOf("Height", -1)
+        if (bands > 0 && intOf("BitsPerComponent", -1) == 8 && w > 0 && ht > 0) {
+          val data = bs.getDataExact
+          if (data.length == w.toLong * ht * bands)
+            Some(LenientFilters.DctImage(w, ht, bands, data))
+          else None
+        } else None
+      case _ => None
     }
     var sum = -1L
     px.foreach { im =>

@@ -271,7 +271,27 @@ object MiniPdf {
     * to decode the stream.
     */
   def synthesizeImagePdf(text: String, jpegBytes: Array[Byte], width: Int,
-                         height: Int): Array[Byte] = {
+                         height: Int): Array[Byte] =
+    synthesizeImagePdfFiltered(text, jpegBytes, width, height, "DCTDecode")
+
+  /** Same document shape with a FLATE-compressed raw grayscale bitmap instead
+    * of a JPEG — the other image-encoding path `Pdf.listImages` validates
+    * (decoded length must equal w*h for the dims to be confirmed).
+    */
+  def synthesizeFlateImagePdf(text: String, gray: Array[Byte], width: Int,
+                              height: Int): Array[Byte] = {
+    require(gray.length == width * height, "gray bitmap must be w*h bytes")
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(gray); deflater.finish()
+    val buf = new Array[Byte](gray.length + 64)
+    val m = deflater.deflate(buf); deflater.end()
+    synthesizeImagePdfFiltered(text, java.util.Arrays.copyOf(buf, m), width, height,
+      "FlateDecode")
+  }
+
+  private def synthesizeImagePdfFiltered(text: String, imgBytes: Array[Byte],
+                                         width: Int, height: Int,
+                                         filterName: String): Array[Byte] = {
     val content = (s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n" +
       s"q\n$width 0 0 $height 10 10 cm\n/Im1 Do\nQ\n").getBytes(ISO_8859_1)
     val objects = Seq(
@@ -297,9 +317,9 @@ object MiniPdf {
         w("\nendstream")
       } else if (i == 6) {
         w(s"<< /Type /XObject /Subtype /Image /Width $width /Height $height " +
-          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode " +
-          s"/Length ${jpegBytes.length} >>\nstream\n")
-        out.write(jpegBytes)
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /$filterName " +
+          s"/Length ${imgBytes.length} >>\nstream\n")
+        out.write(imgBytes)
         w("\nendstream")
       } else w(body)
       w("\nendobj\n")

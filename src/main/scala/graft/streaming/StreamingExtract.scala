@@ -131,6 +131,19 @@ object StreamingExtract {
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("text_hash"))
 
+  /** Stream-STATIC enrichment join — the lookup/dimension attach every
+    * event pipeline needs (user segment, document source, model route).
+    * The dimension side is small by nature and BROADCASTS: the streaming
+    * side never shuffles and no state store is involved (stateless
+    * micro-batch map-side join), so at 100 TB/day the plan stays a narrow
+    * pass whatever the event rate. LEFT semantics: events with no dimension
+    * row keep nulls (they are data, not errors). Works identically on a
+    * batch DataFrame (same function — batch/stream parity by construction,
+    * like extractStream).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** File-based continuous ingest: watch `inDir` for new transcript parquet,
     * write extracted parquet to `outDir` with checkpointed exactly-once progress.
     */

@@ -274,6 +274,26 @@ class LenientSpec extends AnyFunSuite {
     assert(e4.getMessage.startsWith("DCTDecode:"), e4.getMessage)
   }
 
+  test("Flate image XObjects: raw bitmap dims validated by decoded length, exact pixel sum") {
+    val w = 9; val ht = 6
+    val gray = Array.tabulate[Byte](w * ht)(i => ((i * 13) % 256).toByte)
+    val pdf = graft.pipeline.MiniPdf.synthesizeFlateImagePdf("Bitmap text", gray, w, ht)
+    assert(Pdf.lenient(pdf).extract(ExtractText) == "Bitmap text")
+    val im = Pdf.lenient(pdf).listImages.head
+    // dims confirmed (decoded length == w*h), samples byte-exact (lossless)
+    assert((im.filter, im.pxWidth, im.pxHeight, im.pxBands) == (("FlateDecode", w, ht, 1)), im)
+    assert(im.pxSum == gray.map(_ & 0xff).map(_.toLong).sum, im.pxSum)
+    // a LYING dictionary (declared dims don't match the payload) is NOT
+    // confirmed: px* stay -1 instead of trusting the declaration (same-length
+    // byte patch, so xref offsets stay valid)
+    val lying = graft.pipeline.MiniPdf.synthesizeFlateImagePdf("t", gray, w, ht)
+    val mangled = new String(lying, ISO_8859_1)
+      .replace(s"/Width $w /Height $ht", s"/Width 8 /Height $ht")
+      .getBytes(ISO_8859_1)
+    val im2 = Pdf.lenient(mangled).listImages.head
+    assert((im2.width, im2.pxWidth, im2.pxSum) == ((8, -1, -1L)), im2)
+  }
+
   // --- standard-security-handler decryption (lenient-only) ------------------------
 
   test("crypt primitives: RC4 known vector, symmetry") {

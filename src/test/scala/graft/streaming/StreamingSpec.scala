@@ -111,6 +111,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hashes.toSet == expected)
   }
 
+  test("stream-static enrichment: broadcast LEFT join across batches, stream side never shuffles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    // batch analog (same function): plan gate — dimension broadcasts, the
+    // event side reaches the join without an Exchange
+    val batchEv = Seq((10L, 1L), (11L, 3L)).toDF("event_id", "user_id")
+    val plan = StreamingExtract.enrichStream(batchEv, dim, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"stream side must not shuffle:\n${plan.take(800)}")
+    // streaming: enrichment holds across micro-batches; unknown users keep
+    // nulls (LEFT semantics — they are data, not errors)
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingExtract.enrichStream(
+        input.toDS().toDF("event_id", "user_id"), dim, "user_id")
+      .select("event_id", "user_id", "segment") // join-on-key reorders: key first
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((100L, 1L), (101L, 9L))
+    q.processAllAvailable()
+    input.addData((102L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((100L, 1L, Some("gold")), (101L, 9L, None), (102L, 2L, Some("basic"))),
+      s"got $got")
+  }
+
   test("windowed metrics aggregate per payload kind with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
