@@ -218,7 +218,12 @@ object Crypt {
     * for the user password. Empty-password inputs keep every block length a
     * multiple of 16, which the inner AES-128-CBC requires.
     */
-  def hash2B(password: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+  def hash2B(password0: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    // ISO 32000-2 7.6.4.3.3: the UTF-8 password is truncated to 127 bytes
+    // BEFORE hashing — a conforming writer does the same, so skipping this
+    // would reject valid >127-byte passwords
+    val password =
+      if (password0.length > 127) java.util.Arrays.copyOf(password0, 127) else password0
     var k = sha(sha256Local, password, salt, udata)
     var i = 0
     var done = false

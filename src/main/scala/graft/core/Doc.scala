@@ -538,8 +538,18 @@ object PdfInfo {
     * strings (lenient decryptor with /StrF in force — V1/V2 always), the
     * dictionary's string values are per-object-key decrypted BEFORE
     * projection, so encrypted-document metadata reads as plaintext instead of
-    * ciphertext garbage. PStr round-trips bytes via ISO-8859-1 (the lexer's
-    * byte-preserving decode), so decrypt-then-redecode is exact.
+    * ciphertext garbage.
+    *
+    * Byte recovery from the parsed PStr: a ciphertext that failed strict
+    * UTF-8 was decoded byte-preserving (ISO-8859-1, ObjParser.litStr) and
+    * reverses exactly; one that strict-decoded to chars ABOVE U+00FF can only
+    * have come from the UTF-8 decode, so UTF-8 re-encode reverses it. The one
+    * ambiguous corner — random ciphertext that is VALID multibyte UTF-8 whose
+    * decoded chars all fit in U+0080..U+00FF — is unrecoverable from the
+    * String form and decrypts wrong (lossy metadata, never text; odds are a
+    * few in a million per string). Decrypted PLAINTEXT re-decodes through the
+    * same strict-UTF-8-else-byte-preserving policy as unencrypted strings, so
+    * an encrypted UTF-8 title matches its unencrypted twin exactly.
     */
   def parseAt(ctx: Ctx, at: Int, obj: Int, gen: Int): PdfInfo =
     ObjParser.parseAt(ctx, at) match {
@@ -548,9 +558,11 @@ object PdfInfo {
           case Some(dec) =>
             from(d.map {
               case (k, PStr(s)) =>
-                val plain = dec.decryptString(obj, gen,
-                  s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-                (k, PStr(new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)))
+                val cipher =
+                  if (s.exists(_ > '\u00ff'))
+                    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                (k, PStr(ObjParser.lenientStr(dec.decryptString(obj, gen, cipher))))
               case (k, PHexStr(b)) => (k, PHexStr(dec.decryptString(obj, gen, b)))
               case kv => kv
             })

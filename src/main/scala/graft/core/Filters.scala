@@ -193,7 +193,10 @@ object LenientFilters {
     */
   final case class DctImage(width: Int, height: Int, bands: Int, samples: Array[Byte])
 
-  private lazy val imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+  // shared across every ImageIO user in the engine (DCT decode, multimodal
+  // pixel decode, JPEG fixture encode): the default cache writes temp FILES
+  // per decode — pure-memory streams keep executor hot paths off the disk
+  private[graft] lazy val imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** DCTDecode (PDF 32000-1 §7.4.8): decode the JPEG stream with the JDK's
     * built-in `javax.imageio` reader — no external codec. The reference panics

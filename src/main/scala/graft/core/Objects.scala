@@ -165,8 +165,14 @@ object ObjParser {
     * decode identically in both modes.
     */
   private def litStr(ctx: Ctx, bytes: Array[Byte]): String =
-    if (!ctx.lenient) Utf8.strict(bytes)
-    else try Utf8.strict(bytes) catch {
+    if (!ctx.lenient) Utf8.strict(bytes) else lenientStr(bytes)
+
+  /** The lenient decode policy alone (strict UTF-8, else byte-preserving) —
+    * also used to re-decode DECRYPTED string plaintext (PdfInfo), so an
+    * encrypted UTF-8 title decodes exactly like its unencrypted twin.
+    */
+  private[core] def lenientStr(bytes: Array[Byte]): String =
+    try Utf8.strict(bytes) catch {
       case _: PdfParseException =>
         new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     }

@@ -365,7 +365,7 @@ object Multimodal {
     * tolerance.
     */
   def jpegGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
-    imageioInit
+    graft.core.LenientFilters.imageioInit
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -389,45 +389,29 @@ object Multimodal {
   final case class PixelStats(width: Int, height: Int, sum: Long, min: Int, max: Int,
                               gt127: Long)
 
-  // the JDK's default ImageIO cache writes temp FILES per decode — pure-memory
-  // streams keep the executor-side hot path off the disk
-  private lazy val imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
-
   /** REAL pixel decode via the JDK's built-in `javax.imageio` readers
     * (PNG/JPEG/TIFF/BMP/GIF in this JDK — zero external dependencies; the
     * earlier "no codec libraries in this environment" stub rationale was
-    * wrong). Returns None when no registered reader accepts the bytes or the
-    * decode fails — callers fall back to header metadata / the stub, never
-    * fail the row.
+    * wrong). One shared decode+raster-walk with the DCT stream filter
+    * (core/Filters.dctDecodeImage) — samples are 8-bit (deeper rasters read
+    * mod 256, consistently across both call sites). Returns None when no
+    * registered reader accepts the bytes or the decode fails — callers fall
+    * back to header metadata / the stub, never fail the row.
     */
   def decodePixels(payload: Array[Byte]): Option[PixelStats] = {
-    imageioInit
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val raster = img.getRaster
-        val w = img.getWidth; val h = img.getHeight; val bands = raster.getNumBands
-        var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue; var gt = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) {
-              val v = raster.getSample(x, y, b)
-              sum += v
-              if (v < min) min = v
-              if (v > max) max = v
-              if (v > 127) gt += 1
-              b += 1
-            }
-            x += 1
-          }
-          y += 1
-        }
-        Some(PixelStats(w, h, sum, min, max, gt))
+      val im = graft.core.LenientFilters.dctDecodeImage(payload)
+      var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue; var gt = 0L
+      var i = 0
+      while (i < im.samples.length) {
+        val v = im.samples(i) & 0xff
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        if (v > 127) gt += 1
+        i += 1
       }
+      Some(PixelStats(im.width, im.height, sum, min, max, gt))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -437,8 +421,12 @@ object Multimodal {
   /** Pixel-decode pipeline over a binary-payload table: real `javax.imageio`
     * decode per partition, with the header-parsed dims cross-checked against
     * the pixel-decoded dims (`dims_match` — a free consistency gate between
-    * the two independent parsers). Rows whose payload no registered reader
-    * accepts are dropped (callers route those through [[decodeAndFeaturize]]'s
+    * the two independent parsers). The cross-check applies ONLY to containers
+    * the header parser actually speaks (PNG/JPEG stills) — for formats it
+    * does not (BMP/GIF/TIFF, which ImageIO still decodes), `dims_match` is
+    * vacuously true rather than falsely comparing a real decode against the
+    * stub's fake dims. Rows whose payload no registered reader accepts are
+    * dropped (callers route those through [[decodeAndFeaturize]]'s
     * metadata/stub path instead).
     */
   def decodePixelStats(media: Dataset[MediaRow]): Dataset[PixelRow] = {
@@ -446,9 +434,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { row =>
         decodePixels(row.payload).map { st =>
-          val header = decode(row.payload)
+          val headerKnown = isPng(row.payload) || isJpeg(row.payload)
+          val header = if (headerKnown) decode(row.payload) else null
           PixelRow(row.doc_id, st.width, st.height, st.sum, st.min, st.max, st.gt127,
-            header.width == st.width && header.height == st.height)
+            header == null || (header.width == st.width && header.height == st.height))
         }
       }
     }

@@ -242,9 +242,14 @@ object Temporal {
     val emit = base
       .withColumn("__rslice", coalesce(slice, lit(Long.MinValue)))
       .withColumn("__remit", lit(1))
+    // m == 0 (windowSec == 0: the frame is exactly the current-second peers,
+    // all in the row's own slice) must generate NO contributor copies —
+    // sequence(slice+1, slice+0) would otherwise produce a DESCENDING
+    // 2-element sequence (Spark's default step is -1 when start > stop) and
+    // double-count every row against its own copy
     val contrib = base
-      .where(col("__rsec").isNotNull)
-      .withColumn("__rslice", explode(sequence(slice + 1, slice + m)))
+      .where(lit(m >= 1) && col("__rsec").isNotNull)
+      .withColumn("__rslice", explode(sequence(slice + 1, slice + math.max(m, 1))))
       .withColumn("__remit", lit(0))
     val w = Window.partitionBy(col(key), col("__rslice"))
       .orderBy(col("__rsec"))

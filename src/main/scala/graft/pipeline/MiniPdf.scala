@@ -382,16 +382,19 @@ object MiniPdf {
   def synthesizeTextOpsBase64(text: String, chunk: Int): String =
     java.util.Base64.getEncoder.encodeToString(synthesizeTextOps(text, chunk))
 
-  /** ENCRYPTED variant (standard security handler, empty user password,
-    * r=2 -> V1/RC4-40, r=3 -> V2/RC4-128, r=4 -> V4 crypt filter /AESV2 =
-    * AES-128-CBC): the content stream is deflated then encrypted with the
-    * per-object key (encryption wraps OUTSIDE the filters; AES prepends its
-    * 16-byte IV), /O and /U computed with the real Algorithms 2-5
-    * (core/Crypt.scala), deterministic /ID = MD5(text). The reference ignores
+  /** ENCRYPTED variant (standard security handler; empty OR supplied
+    * user/owner passwords, r=2 -> V1/RC4-40, r=3 -> V2/RC4-128, r=4 -> V4
+    * crypt filter /AESV2 = AES-128-CBC, r=6 -> V5/AES-256): the content
+    * stream is deflated then encrypted with the per-object key (encryption
+    * wraps OUTSIDE the filters; AES prepends its 16-byte IV), /O and /U
+    * computed with the real Algorithms 2-5 (core/Crypt.scala), deterministic
+    * /ID = MD5(text). For r<=3 (V1/V2, which have no /StrF escape) the Info
+    * STRINGS are RC4-encrypted with the object-6 key so the fixture is
+    * self-consistent for conforming external readers; V4 declares
+    * /StrF /Identity and keeps them plaintext. The reference ignores
     * /Encrypt entirely (xref.rs:136-146) and inflates ciphertext — strict
     * mode fails identically; only `Pdf.lenient` derives+verifies the key and
-    * extracts. Scope note: Info strings are left PLAINTEXT (string decryption
-    * is out of the lenient scope and documented so in Crypt.scala).
+    * extracts (and decrypts the Info strings at readInfo).
     */
   def synthesizeEncrypted(text: String, r: Int = 2, useFlate: Boolean = true,
                           userPwd: Array[Byte] = Array.emptyByteArray,

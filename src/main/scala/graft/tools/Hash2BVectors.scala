@@ -26,6 +26,9 @@ object Hash2BVectors {
       ("ascii-user", b("hunter2"), salt(4), Array.emptyByteArray),
       ("ascii-owner", b("correct horse battery"), salt(5), udata(6)),
       ("long-pwd", b("x" * 127), salt(7), Array.emptyByteArray),
+      // >127 bytes: both sides must truncate to 127 (ISO 32000-2 7.6.4.3.3),
+      // so this case must hash IDENTICALLY to a 127-byte prefix
+      ("overlong-pwd", b("y" * 200), salt(12), Array.emptyByteArray),
       ("binary-pwd", Array.tabulate[Byte](32)(i => (i * 5 - 120).toByte), salt(8), udata(9)),
       ("zero-salt", b("p"), new Array[Byte](8), Array.emptyByteArray),
       ("utf8ish-pwd", b("pässÜltra"), salt(10), udata(11))

@@ -542,6 +542,14 @@ class LenientSpec extends AnyFunSuite {
     // different salts diverge (the iterated SHA-2 mixing is salt-sensitive)
     val h3 = Crypt.hash2B(Array.emptyByteArray, salt.map(b => (b + 1).toByte), Array.emptyByteArray)
     assert(h1.toSeq != h3.toSeq)
+    // ISO 32000-2 7.6.4.3.3: passwords truncate to 127 bytes before hashing —
+    // a 200-byte password must hash identically to its 127-byte prefix (and
+    // differently from a 126-byte one)
+    val p200 = Array.fill[Byte](200)('y')
+    assert(Crypt.hash2B(p200, salt, Array.emptyByteArray).toSeq ==
+      Crypt.hash2B(p200.take(127), salt, Array.emptyByteArray).toSeq)
+    assert(Crypt.hash2B(p200, salt, Array.emptyByteArray).toSeq !=
+      Crypt.hash2B(p200.take(126), salt, Array.emptyByteArray).toSeq)
     // a V5 dictionary whose /U hash does not match the empty password: loud
     val enc: Map[String, PdfObj] = Map(
       "Filter" -> PName("Standard"), "V" -> PNum(NInt(5)), "R" -> PNum(NInt(6)),

@@ -747,6 +747,15 @@ class OperatorsSpec extends AnyFunSuite {
         windowSec = 600L, bucketSec = 1L)
     }
     assert(boom.getMessage.contains("bucketSec"), boom.getMessage)
+    // windowSec = 0: frame = current-second peers only, no contributor copies
+    // (a descending sequence() would otherwise double-count every row)
+    val w0 = Window.partitionBy($"k").orderBy(unix_timestamp($"ts")).rangeBetween(0L, 0L)
+    val exp0 = df.select($"eid", count(lit(1)).over(w0).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got0 = Temporal.rollingAgg(df, "k", "ts", Seq((count(lit(1)), "n")), windowSec = 0L)
+      .select($"eid", $"n").as[(Long, Long)].collect().toMap
+    assert(got0 == exp0,
+      s"windowSec=0 diff: ${(got0.toSet diff exp0.toSet).take(3)}")
   }
 
   test("rollingAgg: hot key is time-sliced — window tasks bounded by (key, slice), not key") {

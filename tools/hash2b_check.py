@@ -27,6 +27,8 @@ def aes_cbc_encrypt(key16, iv16, data):
 
 
 def hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    # ISO 32000-2 7.6.4.3.3: the UTF-8 password truncates to 127 bytes first
+    password = password[:127]
     # ISO 32000-2 7.6.4.3.4: K0 = SHA-256(password || salt || udata); then
     # rounds of K1 = (password || K || udata) * 64, E = AES-128-CBC(K[:16],
     # iv=K[16:32], K1), K = SHA-{256,384,512}(E) picked by (sum of E[:16]) % 3;
