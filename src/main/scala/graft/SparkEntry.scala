@@ -711,6 +711,21 @@ object SparkEntry {
           col("sum_raw").cast("decimal(28,4)").cast("double").as("sum_value_1h"))
         .orderBy("event_id")
     }),
+    // Grouped TOP-K via the custom bounded Catalyst aggregate (round 5):
+    // per user, the 3 highest-value events — the "best N per key" shape that
+    // a row_number window serializes per key and a collect_list agg OOMs on;
+    // TopKPairs keeps k pairs of state per group at every stage (map-side
+    // partials merge like a sum). Deterministic ties: value DESC, event_id
+    // ASC — the oracle's row_number twin orders identically.
+    "q_topk_per_key" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 3).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"), col("col.score").as("value"))
+        .orderBy("user_id", "rank")
+    }),
     "q_sort_topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -1229,6 +1244,12 @@ object SparkEntry {
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id",
     "q_sort_topk" ->
       "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM lineitem ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber LIMIT 25",
+    "q_topk_per_key" ->
+      ("SELECT user_id, CAST(rk AS INT) AS rank, event_id, CAST(value AS DOUBLE) AS value FROM " +
+        "(SELECT user_id, event_id, value, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(value AS DOUBLE) DESC, event_id) AS rk " +
+        "FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL) " +
+        "WHERE rk <= 3 ORDER BY user_id, rank"),
     "q_pivot" ->
       ("SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click, " +
         "count(*) FILTER (WHERE event_type = 'view') AS view, " +

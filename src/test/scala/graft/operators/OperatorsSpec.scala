@@ -792,6 +792,42 @@ class OperatorsSpec extends AnyFunSuite {
       s"diff: ${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
   }
 
+  test("TopKPairs: bounded custom aggregate matches the row_number window, partials merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    // random scores with deliberate TIES (id tiebreak must be deterministic)
+    // and planted nulls (unrankable, skipped)
+    val rows = (0 until 800).map(i => (rnd.nextInt(5).toLong, i.toLong,
+      if (i % 97 == 0) None else Some(rnd.nextInt(40).toDouble)))
+    val df = rows.toDF("k", "id", "score")
+    val got = df.groupBy($"k")
+      .agg(graft.functions.TopK.topK($"score", $"id", 4).as("top"))
+      .select($"k", posexplode($"top"))
+      .select($"k", ($"pos" + 1).as("rank"), $"col.id".as("id"), $"col.score".as("score"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+    val expected = df.where($"score".isNotNull)
+      .select($"k", row_number().over(w).as("rank"), $"id", $"score")
+      .where($"rank" <= 4)
+      .as[(Long, Int, Long, Double)].collect().map(r => (r._1, r._2.toLong, r._3, r._4)).toSet
+    assert(got == expected,
+      s"diff ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    // plan: PARTIAL aggregation runs map-side (state bounded at k per group
+    // per task — the scale property the per-key window lacks)
+    val plan = df.groupBy($"k")
+      .agg(graft.functions.TopK.topK($"score", $"id", 4).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), s"no map-side partial:\n${plan.take(1200)}")
+    // k larger than the group emits the whole group, ordered
+    val small = Seq((1L, 10L, 2.0), (1L, 11L, 9.0)).toDF("k", "id", "score")
+    val whole = small.groupBy($"k")
+      .agg(graft.functions.TopK.topK($"score", $"id", 100).as("top"))
+      .select(explode($"top")).select($"col.id").as[Long].collect().toSeq
+    assert(whole == Seq(11L, 10L))
+  }
+
   test("rollingAgg: NULL keys and NULL timestamps follow SQL window semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
