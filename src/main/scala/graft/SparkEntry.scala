@@ -474,6 +474,25 @@ object SparkEntry {
         size(col("embedding")).as("n_dims"))
         .orderBy("vec_id")
     }),
+    // int8 QUANTIZATION (round 5): symmetric absmax/127 per vector, every
+    // emitted metric an EXACT integer over the quantized values (engine-
+    // reproducible bit-for-bit; rounding is half-away-from-zero in both
+    // engines) — the 4x-shuffle-reduction path embeddings take before any
+    // 100TB join/index move, plus n_sat as the saturation observability.
+    "q_quantize_vectors" -> ((s, dir) => {
+      val vf = graft.functions.VectorFunctions
+      val sc = vf.int8Scale(col("embedding"))
+      val q = vf.quantizeInt8(col("embedding"), sc)
+      t(s, dir, "embeddings").select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          size(col("q")).as("n_dims"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v.cast("long")).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          size(filter(col("q"), v => abs(v) === 127)).as("n_sat"),
+          vf.dotInt8(col("q"), col("q")).as("q_dot_self"))
+        .orderBy("vec_id")
+    }),
 
     // Streaming EXACT DEDUP: the documents table plus planted duplicates as a
     // turn stream; dropDuplicatesWithinWatermark keeps one row per content
@@ -1285,6 +1304,22 @@ object SparkEntry {
       ("SELECT event_id, user_id, " +
         "CAST(CASE WHEN user_id % 2 = 0 THEN user_id % 5 END AS INT) AS segment " +
         "FROM events ORDER BY event_id"),
+    // quantization twin: identical absmax/127 scale, round-half-away division,
+    // [-127,127] clamp replayed per element in DuckDB; all outputs integer
+    "q_quantize_vectors" ->
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id, CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0) " +
+        "ELSE list_transform(embedding, x -> " +
+        "CAST(greatest(-127.0, least(127.0, round(CAST(x AS DOUBLE) / sc))) AS INT)) END AS qv " +
+        "FROM e) " +
+        "SELECT vec_id, CAST(len(qv) AS INT) AS n_dims, " +
+        "CAST(list_sum(qv) AS BIGINT) AS q_sum, " +
+        "CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max, " +
+        "CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INT) AS n_sat, " +
+        "CAST(list_sum(list_transform(qv, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS q_dot_self " +
+        "FROM q ORDER BY vec_id"),
     "q_vector_ops" ->
       ("SELECT vec_id, " +
         "CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +

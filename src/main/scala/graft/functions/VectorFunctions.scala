@@ -50,4 +50,35 @@ object VectorFunctions {
     */
   def nAbove(a: Column, threshold: Double): Column =
     size(filter(a, x => x > threshold))
+
+  // --- int8 quantization (the 100TB shuffle lever: 4x fewer bytes than
+  //     float32 for every embedding that moves through a join or index) ----
+
+  /** Per-vector symmetric scale: absmax/127 (0.0 for the all-zero vector). */
+  def int8Scale(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 quantization against `scale`: round(x/scale) clamped to
+    * [-127, 127] (array<int> carrying int8-range values — Tungsten stores
+    * them compactly, and integer arithmetic downstream is EXACT, so every
+    * derived metric is engine-reproducible bit-for-bit; rounding is
+    * half-away-from-zero in both Spark and DuckDB). The all-zero vector
+    * (scale 0) quantizes to zeros instead of dividing by zero.
+    */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    when(scale === 0.0, transform(a, _ => lit(0)))
+      .otherwise(transform(a, x =>
+        greatest(lit(-127.0), least(lit(127.0), round(x.cast("double") / scale)))
+          .cast("int")))
+
+  /** Reconstruction: q * scale back to float. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
+  /** EXACT integer dot product of two quantized vectors — the ANN scoring
+    * primitive after quantization (rescale with scaleA*scaleB outside).
+    */
+  def dotInt8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
 }

@@ -380,6 +380,50 @@ class OperatorsSpec extends AnyFunSuite {
       s"vector ops must stay in Catalyst expressions:\n${plan.take(800)}")
   }
 
+  test("int8 quantization: bounded reconstruction error, exact integer dot, saturation clamp") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sc = int8Scale($"embedding")
+    // per-element reconstruction error <= scale/2 (round) — the quantization
+    // grid guarantee, checked against the original floats
+    val rows = emb.select($"vec_id", $"embedding", sc.as("sc"),
+      dequantizeInt8(quantizeInt8($"embedding", sc), sc).as("rec"))
+      .as[(Long, Array[Float], Double, Array[Float])].collect()
+    rows.foreach { case (id, v, s, rec) =>
+      assert(v.length == rec.length)
+      v.zip(rec).foreach { case (x, r) =>
+        assert(math.abs(x - r) <= s / 2 + 1e-6, s"vec $id: |$x - $r| > ${s / 2}")
+      }
+    }
+    // rescaled int8 dot approximates the float dot within the quantization
+    // error bound (and IS exact integer arithmetic underneath)
+    val ones = org.apache.spark.sql.functions.transform($"embedding",
+      _ => org.apache.spark.sql.functions.lit(1.0f))
+    val qOnes = quantizeInt8(ones, int8Scale(ones))
+    val approx = emb.select($"vec_id",
+      (dotInt8(quantizeInt8($"embedding", sc), qOnes).cast("double") * sc *
+        (int8Scale(ones))).as("qdot"),
+      dot($"embedding", ones).as("fdot"),
+      org.apache.spark.sql.functions.size($"embedding").as("nd"), sc.as("sc"))
+      .as[(Long, Double, Double, Int, Double)].collect()
+    approx.foreach { case (id, qd, fd, nd, s) =>
+      // error budget: nd elements, each off by <= scale/2 (ones quantize exactly)
+      assert(math.abs(qd - fd) <= nd * (s / 2) + 1e-6, s"vec $id: $qd vs $fd")
+    }
+    // an outlier element saturates at the clamp instead of overflowing int8
+    val sat = Seq((1L, Array(1000.0f, -1000.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(quantizeInt8($"embedding", org.apache.spark.sql.functions.lit(0.001)).as("q"))
+      .as[Array[Int]].collect().head
+    assert(sat.toSeq == Seq(127, -127, 127))
+    // the all-zero vector quantizes to zeros (no divide-by-zero)
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(quantizeInt8($"embedding", int8Scale($"embedding")).as("q"))
+      .as[Array[Int]].collect().head
+    assert(z.toSeq == Seq(0, 0))
+  }
+
   test("langId is deterministic and picks the profile language") {
     assert(TextFunctions.langId("the cat is on the mat and it is happy") == "en")
     assert(TextFunctions.langId("der hund ist nicht in der schule und das ist gut") == "de")
