@@ -236,17 +236,18 @@ object Similarity {
     * quantizer must scan a large fraction for high recall; on real clustered
     * embedding corpora the same layout prunes hard.
     */
-  def ivfBuildIndex(
+  /** Top-`spill` cell assignment under FIXED centroids — shared by the
+    * initial build and incremental append so the two can never drift.
+    */
+  private def assignCells(
       embeddings: DataFrame,
-      indexDir: String,
-      nCells: Int = 16,
-      spill: Int = 2,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"
-  ): Unit = {
+      centroids: Array[Array[Float]],
+      spill: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(embeddings, nCells, idCol = idCol, vecCol = vecCol)
     val bcC = spark.sparkContext.broadcast(centroids)
     embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
@@ -259,6 +260,20 @@ object Similarity {
             .map { case (c, _) => (id, vec, c) }
         }
       }.toDF("id", "vec", "cell")
+  }
+
+  def ivfBuildIndex(
+      embeddings: DataFrame,
+      indexDir: String,
+      nCells: Int = 16,
+      spill: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, nCells, idCol = idCol, vecCol = vecCol)
+    assignCells(embeddings, centroids, spill, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/data")
     centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
       .toDF("cell", "centroid")
@@ -267,6 +282,47 @@ object Similarity {
     // in-task duplicates could evict true top-k entries
     Seq((nCells, spill)).toDF("n_cells", "spill")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** INCREMENTAL append — the living-index path: new embeddings are assigned
+    * to the EXISTING centroids (read back from the index, exactly the build's
+    * assignment code) with the index's own build-time spill, and appended to
+    * the cell-partitioned layout. Probes pick the new vectors up with no
+    * change: the `cell IN (...)` partition filter prunes directories, not
+    * files, so appended files inside a probed cell are scanned like original
+    * ones. No retrain, no rewrite of existing data — a daily 100TB ingest
+    * appends instead of rebuilding. Documented tradeoffs: ids are the
+    * caller's contract (appending an existing id duplicates it — dedup
+    * upstream), and centroids drift as the distribution moves (recall decay
+    * is monitorable via the planted-probe pattern in the specs; retrain with
+    * ivfBuildIndex when it matters). A pre-meta layout fails loudly, same as
+    * ivfProbe. Returns the number of appended (id, cell) rows (= newRows *
+    * spill).
+    */
+  def ivfAppend(
+      newEmbeddings: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Long = {
+    val spark = newEmbeddings.sparkSession
+    import spark.implicits._
+    val spill =
+      try spark.read.parquet(s"$indexDir/meta").select(col("spill")).head().getInt(0)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"ivfAppend: index at $indexDir has no readable meta " +
+              s"(pre-meta layouts must be rebuilt): ${e.getMessage}")
+      }
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid")).as[(Int, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    if (centroids.isEmpty)
+      throw new IllegalArgumentException(s"ivfAppend: index at $indexDir has no centroids")
+    val assigned = assignCells(newEmbeddings, centroids, spill, idCol, vecCol)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$indexDir/data")
+    assigned.count()
   }
 
   /** Probe a built IVF index: per query rank cells by centroid cosine, scan the

@@ -948,6 +948,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.count() > 0)
   }
 
+  test("ivfAppend: new vectors join the index under the STORED centroids; probes find them") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val half = emb.filter(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.ivfBuildIndex(half.toSeq.toDF("vec_id", "embedding"), dir,
+      nCells = 8, spill = 2)
+    // append the other half PLUS a planted near-duplicate of vector 0
+    val q0 = emb.find(_._1 == 0L).get._2
+    val planted = (900001L, q0.map(x => x * 1.0001f))
+    val rest = emb.filter(_._1 % 2 == 1).toSeq :+ planted
+    val appended = Similarity.ivfAppend(rest.toDF("vec_id", "embedding"), dir)
+    assert(appended == rest.size * 2L, s"appended $appended") // spill = 2
+    // layout: every appended row sits in one of ITS top-spill cells under the
+    // centroids the index stores (build and append can't drift — shared code)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val data = spark.read.parquet(s"$dir/data")
+      .select($"id", $"vec", $"cell").as[(Long, Array[Float], Int)].collect()
+    val byId = (half ++ rest).toMap
+    data.foreach { case (id, _, cell) =>
+      val top2 = centroids.indices.map(c => (c, Similarity.cosine(centroids(c), byId(id))))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      assert(top2.contains(cell), s"row $id landed in cell $cell, not its top-2 $top2")
+    }
+    // probing vector 0 finds the APPENDED planted near-duplicate at rank 1
+    val top = Similarity.ivfProbe(spark, dir, Seq(0L), k = 3)
+      .orderBy("rank").select($"neighbor_id").as[Long].head()
+    assert(top == 900001L, s"planted appended neighbor not found, got $top")
+    // a pre-meta layout refuses the append loudly
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/meta"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(rest.toDF("vec_id", "embedding"), dir)
+    }
+    assert(e.getMessage.contains("rebuilt"), e.getMessage)
+  }
+
   test("rangeJoin: inclusive containment, bucket-boundary-spanning intervals, key isolation") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
