@@ -366,6 +366,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TRAINING-MIX builder (round 5, composed, ONE plan): exact-dedup keeper
+    // -> INTEGER quality score (2*n_alpha + 10*n_stop - n_punct, exact column
+    // exprs) -> per-source top-5 via the custom bounded TopKPairs aggregate
+    // (no per-key window, no collect_list) -> token counts + per-source
+    // cumulative token budget over the tiny exploded result. The shape every
+    // data-mixture pipeline runs: best-N-per-source under a token budget.
+    "q_training_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      val keepers = Dedup.exact(dupes, "text", "doc_id")
+        .join(dupes, col("keeper_id") === col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val scored = keepers.select(col("doc_id"), col("text"),
+        (col("doc_id") % 7).cast("int").as("source"),
+        (TextFunctions.nAlpha(col("text")) * 2 + TextFunctions.nStopwords(col("text")) * 10
+          - TextFunctions.nPunct(col("text"))).cast("int").as("score"))
+      val top = scored.groupBy(col("source"))
+        .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").cast("int").as("score"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.join(docs, "doc_id")
+        .select(col("source"), col("rank"), col("doc_id"), col("score"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+        .orderBy("source", "rank")
+    }),
+
     // ---- deduplication -------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1137,6 +1167,25 @@ object SparkEntry {
       "SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct, len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) AS n_stop FROM documents ORDER BY doc_id",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) GROUP BY md5(text) ORDER BY text_hash",
+    // training-mix twin: keepers == the original docs (every duplicate is a
+    // planted +10000 twin), score/tokens from the exact integer formulas, the
+    // TopKPairs stage replayed as a row_number window, cumulative budget as a
+    // running sum over rank
+    "q_training_mix" ->
+      ("WITH sc AS (SELECT doc_id, text, CAST(doc_id % 7 AS INT) AS source, " +
+        "CAST((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 2 " +
+        "+ len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) * 10 " +
+        "- (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) AS INT) AS score " +
+        "FROM documents), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk FROM sc), " +
+        "top AS (SELECT source, CAST(rnk AS INT) AS rank, doc_id, score, " +
+        "CAST(CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
+        "FROM rk WHERE rnk <= 5) " +
+        "SELECT source, rank, doc_id, score, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rank " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens " +
+        "FROM top ORDER BY source, rank"),
     // Same URL-then-email-then-digit-run replacement chain; the regexes use the
     // RE2/Java-common subset so both engines match identically.
     "q_redact_pii" ->

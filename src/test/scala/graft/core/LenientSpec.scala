@@ -274,6 +274,31 @@ class LenientSpec extends AnyFunSuite {
     assert(e4.getMessage.startsWith("DCTDecode:"), e4.getMessage)
   }
 
+  test("listImages: cyclic page tree fails loudly at the depth guard, never StackOverflow") {
+    // a Pages node whose Kids points back at itself — the image walk must hit
+    // the shared MaxTreeDepth guard (poison-payload discipline), not recurse
+    // to a StackOverflowError that escapes the per-row NonFatal catch
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [2 0 R] /Count 1 >>")
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i) = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n").append(s"0 ${objects.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(off => sb.append(f"$off%010d 00000 n \n"))
+    sb.append("trailer\n").append(s"<< /Size ${objects.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF")
+    val pdf = sb.toString.getBytes(ISO_8859_1)
+    val e = intercept[PdfParseException](Pdf.lenient(pdf).listImages)
+    assert(e.getMessage.contains("deeper than"), e.getMessage)
+  }
+
   test("Flate image XObjects: raw bitmap dims validated by decoded length, exact pixel sum") {
     val w = 9; val ht = 6
     val gray = Array.tabulate[Byte](w * ht)(i => ((i * 13) % 256).toByte)
