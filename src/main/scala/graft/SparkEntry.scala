@@ -511,9 +511,12 @@ object SparkEntry {
     // 100TB join/index move, plus n_sat as the saturation observability.
     "q_quantize_vectors" -> ((s, dir) => {
       val vf = graft.functions.VectorFunctions
-      val sc = vf.int8Scale(col("embedding"))
-      val q = vf.quantizeInt8(col("embedding"), sc)
-      t(s, dir, "embeddings").select(col("vec_id"), q.as("q"))
+      // scale PROJECTED first (see quantizeInt8 scaladoc): inline it and the
+      // O(d) absmax re-evaluates per element inside the transform lambda
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          vf.int8Scale(col("embedding")).as("sc"))
+        .select(col("vec_id"), vf.quantizeInt8(col("embedding"), col("sc")).as("q"))
         .select(col("vec_id"),
           size(col("q")).as("n_dims"),
           aggregate(col("q"), lit(0L), (acc, v) => acc + v.cast("long")).as("q_sum"),
@@ -1167,18 +1170,24 @@ object SparkEntry {
       "SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct, len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) AS n_stop FROM documents ORDER BY doc_id",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) GROUP BY md5(text) ORDER BY text_hash",
-    // training-mix twin: keepers == the original docs (every duplicate is a
-    // planted +10000 twin), score/tokens from the exact integer formulas, the
-    // TopKPairs stage replayed as a row_number window, cumulative budget as a
-    // running sum over rank
+    // training-mix twin: the keeper stage is REPLAYED (min doc_id per text
+    // hash over the planted-dupe union — no uniqueness assumption about the
+    // generator's texts), score/tokens from the exact integer formulas with a
+    // null-score guard matching TopKPairs' null skip, the TopKPairs stage as
+    // a row_number window, cumulative budget as a running sum over rank
     "q_training_mix" ->
-      ("WITH sc AS (SELECT doc_id, text, CAST(doc_id % 7 AS INT) AS source, " +
+      ("WITH keep AS (SELECT min(doc_id) AS doc_id FROM " +
+        "(SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
+        "GROUP BY md5(text)), " +
+        "kd AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)), " +
+        "sc AS (SELECT doc_id, text, CAST(doc_id % 7 AS INT) AS source, " +
         "CAST((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 2 " +
         "+ len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
         "w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) * 10 " +
         "- (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) AS INT) AS score " +
-        "FROM documents), " +
-        "rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk FROM sc), " +
+        "FROM kd), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk " +
+        "FROM sc WHERE score IS NOT NULL), " +
         "top AS (SELECT source, CAST(rnk AS INT) AS rank, doc_id, score, " +
         "CAST(CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
         "FROM rk WHERE rnk <= 5) " +

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescript
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import graft.operators.TopKHeap
 
 /** Bounded per-group TOP-K as a custom Catalyst aggregate — step (b) of the
   * custom-operator ladder (a native `TypedImperativeAggregate`, not a UDAF).
@@ -21,11 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * partition) — the same plan shape as a sum, with hot keys costing no more
   * than cold ones.
   *
-  * Ordering is total and deterministic: score DESC, id ASC on ties — so the
-  * result is reproducible and SQL-oracle-able (`row_number` twin). NULL
-  * score/id rows can't rank and are skipped (SQL window functions order
-  * NULLs arbitrarily across engines; excluding them is the deterministic
-  * choice). Output: `array<struct<score double, id bigint>>`, best first.
+  * The buffer IS the ANN paths' `TopKHeap` (operators/Similarity.scala) —
+  * ONE heap algebra in the engine: total order via `Double.compare` (NaN
+  * ranks greatest, exactly how Spark and DuckDB order NaN in a DESC sort;
+  * -0.0 normalized on insert), id ASC on ties — so the result is
+  * reproducible and SQL-oracle-able (`row_number` twin). NULL score/id rows
+  * can't rank and are skipped (SQL window functions order NULLs arbitrarily
+  * across engines; excluding them is the deterministic choice). Output:
+  * `array<struct<score double, id bigint>>`, best first.
   */
 @ExpressionDescription(usage = "bounded top-k (score, id) pairs per group")
 final case class TopKPairs(
@@ -34,7 +38,7 @@ final case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[TopKBuffer] {
+) extends TypedImperativeAggregate[TopKHeap] {
 
   require(k >= 1 && k <= (1 << 20), s"k=$k out of range (1..1048576 — state is k pairs per group)")
 
@@ -46,40 +50,47 @@ final case class TopKPairs(
     StructType(Seq(StructField("score", DoubleType, nullable = false),
       StructField("id", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
-  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) buffer.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) buffer.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buffer
   }
 
-  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+  override def merge(buffer: TopKHeap, other: TopKHeap): TopKHeap = {
     var i = 0
-    while (i < other.size) { buffer.offer(other.scores(i), other.ids(i)); i += 1 }
+    while (i < other.size) { buffer.add(other.simAt(i), other.idAt(i)); i += 1 }
     buffer
   }
 
-  override def eval(buffer: TopKBuffer): Any = {
-    val rows = buffer.sortedBestFirst.map { case (s, i) => InternalRow(s, i) }
+  override def eval(buffer: TopKHeap): Any = {
+    // best first: score DESC under the same total order the heap uses
+    // (Double.compare — NaN greatest), id ASC on ties
+    val rows = (0 until buffer.size).map(i => (buffer.simAt(i), buffer.idAt(i)))
+      .sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = java.lang.Double.compare(sa, sb)
+        c > 0 || (c == 0 && ia < ib)
+      }
+      .map { case (s, i) => InternalRow(s, i) }.toArray
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buffer.size * 16)
     bb.putInt(buffer.size)
     var i = 0
-    while (i < buffer.size) { bb.putDouble(buffer.scores(i)); bb.putLong(buffer.ids(i)); i += 1 }
+    while (i < buffer.size) { bb.putDouble(buffer.simAt(i)); bb.putLong(buffer.idAt(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuffer(k)
+    val buf = new TopKHeap(k)
     var i = 0
-    while (i < n) { buf.offer(bb.getDouble, bb.getLong); i += 1 }
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
     buf
   }
 
@@ -91,54 +102,6 @@ final case class TopKPairs(
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(score = newChildren(0), id = newChildren(1))
   override def prettyName: String = "graft_topk"
-}
-
-/** Bounded min-heap of (score, id) pairs holding the CURRENT best k: the
-  * root is the worst retained pair (score ASC, id DESC — the inverse of the
-  * output order), so a better candidate replaces it in O(log k). Primitive
-  * arrays, no boxing on the per-row hot path.
-  */
-final class TopKBuffer(val k: Int) {
-  val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
-  var size = 0
-
-  // a is WORSE than b in retained order (kicked out first)
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
-
-  def offer(s: Double, i: Long): Unit = {
-    if (size < k) {
-      var c = size
-      scores(c) = s; ids(c) = i
-      size += 1
-      while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
-        swap(c, (c - 1) / 2); c = (c - 1) / 2
-      }
-    } else if (worse(scores(0), ids(0), s, i)) {
-      scores(0) = s; ids(0) = i
-      var c = 0
-      var done = false
-      while (!done) {
-        val l = 2 * c + 1; val r = 2 * c + 2
-        var m = c
-        if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
-        if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
-        if (m == c) done = true
-        else { swap(c, m); c = m }
-      }
-    }
-  }
-
-  @inline private def swap(a: Int, b: Int): Unit = {
-    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
-    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
-  }
-
-  /** Best first: score DESC, id ASC. */
-  def sortedBestFirst: Array[(Double, Long)] =
-    (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortBy { case (s, i) => (-s, i) }
 }
 
 object TopK {

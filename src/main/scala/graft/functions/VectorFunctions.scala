@@ -64,6 +64,12 @@ object VectorFunctions {
     * derived metric is engine-reproducible bit-for-bit; rounding is
     * half-away-from-zero in both Spark and DuckDB). The all-zero vector
     * (scale 0) quantizes to zeros instead of dividing by zero.
+    *
+    * PROJECT THE SCALE FIRST: pass `scale` as a materialized column
+    * (`.select(..., int8Scale($"v").as("sc"))` then reference `$"sc"`), not
+    * the `int8Scale(...)` expression inline — higher-order-function lambda
+    * bodies evaluate per ELEMENT with no common-subexpression elimination, so
+    * an inline O(d) scale subtree turns the quantization O(d^2) per row.
     */
   def quantizeInt8(a: Column, scale: Column): Column =
     when(scale === 0.0, transform(a, _ => lit(0)))

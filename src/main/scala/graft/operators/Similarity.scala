@@ -6,22 +6,37 @@ import org.apache.spark.sql.expressions.Window
 
 /** Bounded top-k accumulator: a fixed-capacity binary heap whose root is the
   * WORST kept element under the deterministic order (sim desc, id asc). Used by
-  * the per-partition ANN top-k paths so only `capacity` candidates per query per
+  * the per-partition ANN top-k paths AND the TopKPairs Catalyst aggregate
+  * (functions/TopK.scala) so only `capacity` candidates per query per
   * partition ever leave the scan — the merge stage then sees
   * O(parts * queries * capacity) rows instead of |corpus| * |queries|.
+  *
+  * The order is TOTAL even on pathological doubles: scores compare via
+  * `java.lang.Double.compare` with -0.0 normalized to 0.0 on insert, so NaN
+  * ranks GREATEST (exactly how Spark and DuckDB order NaN in a DESC sort —
+  * the row_number oracle twins stay exact) and can never wedge the heap the
+  * way IEEE `<`/`==` would (every NaN comparison false -> a NaN root would
+  * block all admission).
   */
 final class TopKHeap(val capacity: Int) {
   private val sims = new Array[Double](capacity)
   private val ids = new Array[Long](capacity)
   private var n = 0
 
-  /** true if (s1,i1) ranks strictly worse than (s2,i2): lower sim, or same sim
-    * and larger id (ids are unique per corpus; ties are broken ascending).
+  /** true if (s1,i1) ranks strictly worse than (s2,i2): lower sim (total
+    * order, NaN greatest), or same sim and larger id (ties ascending).
     */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
-  def add(sim: Double, id: Long): Unit = {
+  def add(sim0: Double, id: Long): Unit = {
+    val sim = sim0 + 0.0 // normalize -0.0 (SQL treats -0.0 == 0.0; Double.compare does not)
+    addNormalized(sim, id)
+  }
+
+  private def addNormalized(sim: Double, id: Long): Unit = {
     if (n < capacity) {
       sims(n) = sim; ids(n) = id
       var i = n
@@ -310,19 +325,28 @@ object Similarity {
     val spill =
       try spark.read.parquet(s"$indexDir/meta").select(col("spill")).head().getInt(0)
       catch {
-        case e: Exception =>
+        // ONLY the missing-path analysis error means a pre-meta layout; any
+        // other failure (permissions, corruption, transient IO) propagates
+        // with its own diagnosis instead of prompting a needless rebuild
+        case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
             s"ivfAppend: index at $indexDir has no readable meta " +
-              s"(pre-meta layouts must be rebuilt): ${e.getMessage}")
+              s"(pre-meta layouts must be rebuilt): ${e.getMessage}", e)
       }
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid")).as[(Int, Array[Float])]
       .collect().sortBy(_._1).map(_._2)
     if (centroids.isEmpty)
       throw new IllegalArgumentException(s"ivfAppend: index at $indexDir has no centroids")
+    // persist so the assignment job runs ONCE: the count after the write
+    // would otherwise re-read the source and re-score every vector (and could
+    // disagree with what was written if the source is re-read between jobs)
     val assigned = assignCells(newEmbeddings, centroids, spill, idCol, vecCol)
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$indexDir/data")
-    assigned.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("append").partitionBy("cell").parquet(s"$indexDir/data")
+      assigned.count()
+    } finally assigned.unpersist()
   }
 
   /** Probe a built IVF index: per query rank cells by centroid cosine, scan the

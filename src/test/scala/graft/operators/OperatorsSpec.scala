@@ -383,12 +383,14 @@ class OperatorsSpec extends AnyFunSuite {
   test("int8 quantization: bounded reconstruction error, exact integer dot, saturation clamp") {
     import spark.implicits._
     import graft.functions.VectorFunctions._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val sc = int8Scale($"embedding")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // scale PROJECTED first per the quantizeInt8 contract (inline O(d) scale
+    // subtrees re-evaluate per element inside HOF lambdas)
+    val emb = emb0.select($"vec_id", $"embedding", int8Scale($"embedding").as("sc"))
     // per-element reconstruction error <= scale/2 (round) — the quantization
     // grid guarantee, checked against the original floats
-    val rows = emb.select($"vec_id", $"embedding", sc.as("sc"),
-      dequantizeInt8(quantizeInt8($"embedding", sc), sc).as("rec"))
+    val rows = emb.select($"vec_id", $"embedding", $"sc",
+      dequantizeInt8(quantizeInt8($"embedding", $"sc"), $"sc").as("rec"))
       .as[(Long, Array[Float], Double, Array[Float])].collect()
     rows.foreach { case (id, v, s, rec) =>
       assert(v.length == rec.length)
@@ -400,12 +402,13 @@ class OperatorsSpec extends AnyFunSuite {
     // error bound (and IS exact integer arithmetic underneath)
     val ones = org.apache.spark.sql.functions.transform($"embedding",
       _ => org.apache.spark.sql.functions.lit(1.0f))
-    val qOnes = quantizeInt8(ones, int8Scale(ones))
-    val approx = emb.select($"vec_id",
-      (dotInt8(quantizeInt8($"embedding", sc), qOnes).cast("double") * sc *
-        (int8Scale(ones))).as("qdot"),
-      dot($"embedding", ones).as("fdot"),
-      org.apache.spark.sql.functions.size($"embedding").as("nd"), sc.as("sc"))
+    val staged = emb.select($"vec_id", $"embedding", $"sc", ones.as("ones"))
+      .select($"vec_id", $"embedding", $"sc", $"ones", int8Scale($"ones").as("osc"))
+    val approx = staged.select($"vec_id",
+      (dotInt8(quantizeInt8($"embedding", $"sc"), quantizeInt8($"ones", $"osc"))
+        .cast("double") * $"sc" * $"osc").as("qdot"),
+      dot($"embedding", $"ones").as("fdot"),
+      org.apache.spark.sql.functions.size($"embedding").as("nd"), $"sc")
       .as[(Long, Double, Double, Int, Double)].collect()
     approx.foreach { case (id, qd, fd, nd, s) =>
       // error budget: nd elements, each off by <= scale/2 (ones quantize exactly)
@@ -870,6 +873,14 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(graft.functions.TopK.topK($"score", $"id", 100).as("top"))
       .select(explode($"top")).select($"col.id").as[Long].collect().toSeq
     assert(whole == Seq(11L, 10L))
+    // pathological doubles: NaN ranks GREATEST (like both engines' DESC
+    // sorts) and never wedges the heap; -0.0 ties with 0.0 (id breaks it)
+    val weird = Seq((1L, 1L, Double.NaN), (1L, 2L, 5.0), (1L, 3L, 7.0),
+      (1L, 4L, -0.0), (1L, 5L, 0.0), (1L, 6L, 1.0)).toDF("k", "id", "score")
+    val wTop = weird.groupBy($"k")
+      .agg(graft.functions.TopK.topK($"score", $"id", 5).as("top"))
+      .select(explode($"top")).select($"col.id").as[Long].collect().toSeq
+    assert(wTop == Seq(1L, 3L, 2L, 6L, 4L), s"got $wTop")
   }
 
   test("rollingAgg: NULL keys and NULL timestamps follow SQL window semantics") {
