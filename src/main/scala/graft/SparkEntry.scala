@@ -611,12 +611,14 @@ object SparkEntry {
         .toDF().select("doc_id", "width", "height", "frames", "bytes")
         .orderBy("doc_id")
     }),
-    // REAL pixel decode (round 5): per doc, a fully-decodable grayscale PNG
-    // whose pixels are a pure function of (doc_id, x, y); javax.imageio
-    // decodes it per partition and the integer pixel statistics hash-match a
-    // SQL oracle that replays the SAME formula — so a wrong PNG encode, a
-    // wrong zlib framing, or a wrong decode would all surface as a mismatch.
-    // dims_match cross-checks the header parser against the pixel decoder.
+    // REAL pixel decode (round 5): per doc, a fully-decodable grayscale image
+    // — even ids a handcrafted stored-zlib PNG, odd ids an ImageIO-written
+    // BMP (both lossless, two independent codec paths) — whose pixels are a
+    // pure function of (doc_id, x, y); javax.imageio decodes per partition
+    // and the integer pixel statistics hash-match a SQL oracle that replays
+    // the SAME formula, so a wrong encode, wrong zlib framing, or wrong
+    // decode on either path surfaces as a mismatch. dims_match cross-checks
+    // the header parser where it speaks the container (PNG).
     "q_multimodal_pixels" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents").select($"doc_id").as[Long]
@@ -624,12 +626,41 @@ object SparkEntry {
         .map { id =>
           val w = (4 + id % 13).toInt
           val h = (3 + id % 11).toInt
-          Multimodal.MediaRow(id, Multimodal.pngGray(w, h,
-            (x, y) => (((id * 31 + y.toLong * w + x) * 7) % 256).toInt))
+          def pix(x: Int, y: Int) = (((id * 31 + y.toLong * w + x) * 7) % 256).toInt
+          Multimodal.MediaRow(id,
+            if (id % 2 == 0) Multimodal.pngGray(w, h, pix)
+            else Multimodal.bmpGray(w, h, pix))
         }
       Multimodal.decodePixelStats(media).toDF()
         .select(col("doc_id"), col("px_width"), col("px_height"), col("px_sum"),
           col("px_min"), col("px_max"), col("px_gt127"), col("dims_match"))
+        .orderBy("doc_id")
+    }),
+    // REAL audio sample decode (round 5): per doc, a WAV whose SIGNED 16-bit
+    // PCM samples are a pure function of (doc_id, i); the pure-byte-read
+    // decoder (no codec library — closes the audio-stub gap for WAV) emits
+    // integer sample statistics the oracle replays from the same formula.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val channels = (1 + id % 2).toInt
+          val rate = (8000 + (id % 8) * 500).toInt
+          val n = ((40 + id % 30) * channels).toInt
+          val tail = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 7 + i.toLong * 13) % 65536) - 32768).toInt
+            tail(2 * i) = (v & 0xff).toByte
+            tail(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val st = Multimodal.decodeWavSamples(
+            Multimodal.wavEnvelope(rate, channels, tail)).get
+          (id, st.sampleRate, st.channels, st.nSamples, st.sum, st.min, st.max)
+        }
+        .toDF("doc_id", "sample_rate", "channels", "n_samples", "s_sum", "s_min", "s_max")
         .orderBy("doc_id")
     }),
 
@@ -1289,6 +1320,18 @@ object SparkEntry {
         "CAST(max(v) AS INT) AS px_max, " +
         "CAST(count(*) FILTER (WHERE v > 127) AS BIGINT) AS px_gt127, " +
         "TRUE AS dims_match FROM px GROUP BY doc_id ORDER BY doc_id"),
+    // audio twin: signed-16-bit sample formula replayed per index
+    "q_multimodal_audio" ->
+      ("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels, " +
+        "CAST(8000 + (doc_id % 8) * 500 AS INT) AS sample_rate, " +
+        "CAST((40 + doc_id % 30) * (1 + doc_id % 2) AS BIGINT) AS n FROM documents), " +
+        "sm AS (SELECT doc_id, channels, sample_rate, n, " +
+        "((doc_id*7 + i*13) % 65536) - 32768 AS v FROM " +
+        "(SELECT doc_id, channels, sample_rate, n, unnest(range(0, n)) AS i FROM d)) " +
+        "SELECT doc_id, any_value(sample_rate) AS sample_rate, " +
+        "any_value(channels) AS channels, any_value(n) AS n_samples, " +
+        "CAST(sum(v) AS BIGINT) AS s_sum, CAST(min(v) AS INT) AS s_min, " +
+        "CAST(max(v) AS INT) AS s_max FROM sm GROUP BY doc_id ORDER BY doc_id"),
     "q1_pricing_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_revenue" ->

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode / feature-extract / resize /
   * frame-sample stages as typed mapPartitions transforms.
   *
-  * Header metadata decode is real for PNG/JPEG/WAV/MP4 (pure-JVM byte walks),
-  * and PIXEL decode is real for every format the JDK's built-in `javax.imageio`
+  * Header metadata decode is real for PNG/JPEG/WAV/MP4 (pure-JVM byte walks);
+  * PIXEL decode is real for every format the JDK's built-in `javax.imageio`
   * registers (PNG/JPEG/TIFF/BMP/GIF — no external codec library needed): see
-  * [[decodePixels]]. Only audio/video SAMPLE decode remains stubbed
-  * (`decodeStub` — the JDK ships no MP4/PCM-beyond-WAV codec), standing in as a
-  * deterministic fake with the real Spark-side plumbing: binary column schema,
-  * batch-shaped partition iteration, feature vector output shape, partitioning.
+  * [[decodePixels]]; AUDIO SAMPLE decode is real for WAV/PCM-16
+  * ([[decodeWavSamples]] — pure byte reads). Only MP4 FRAME decode remains
+  * stubbed (`decodeStub` — the JDK genuinely ships no video codec), standing
+  * in as a deterministic fake with the real Spark-side plumbing: binary column
+  * schema, batch-shaped partition iteration, feature output shape,
+  * partitioning.
   */
 object Multimodal {
 
@@ -154,6 +156,54 @@ object Multimodal {
       h = be32(b, wOff + 4) >>> 16
       if w > 0 && h > 0
     } yield (w, h)
+  }
+
+  /** Integer statistics over REAL decoded 16-bit PCM samples — audio's
+    * equivalent of [[PixelStats]], fully reproducible cross-engine.
+    */
+  final case class AudioStats(sampleRate: Int, channels: Int, nSamples: Long,
+                              sum: Long, min: Int, max: Int)
+
+  /** REAL audio sample decode for WAV/PCM-16 — pure byte reads, no codec
+    * library: walk the RIFF chunks (same walk as the header decode), then
+    * read the data chunk as little-endian SIGNED 16-bit samples (all
+    * channels interleaved; a trailing odd byte is ignored). This closes the
+    * "audio sample decode stubbed" gap for WAV — only MP4 FRAME decode
+    * remains stubbed (the JDK genuinely ships no video codec). Returns None
+    * for non-WAV, non-PCM-16, or structurally corrupt payloads.
+    */
+  def decodeWavSamples(b: Array[Byte]): Option[AudioStats] = {
+    if (!isWav(b)) return None
+    try {
+      var pos = 12
+      var rate = -1; var channels = -1; var bits = -1; var fmt = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+        val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, pos + 4)
+        if (size < 0 || pos + 8 + size > b.length) return None
+        if (id == "fmt " && size >= 16) {
+          fmt = le16(b, pos + 8)
+          channels = le16(b, pos + 10)
+          rate = le32(b, pos + 12)
+          bits = le16(b, pos + 22)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+        pos += 8 + size + (size & 1)
+      }
+      if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0) return None
+      val n = dataLen / 2
+      var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val v = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend LE16
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        i += 1
+      }
+      if (n == 0) { min = 0; max = 0 }
+      Some(AudioStats(rate, channels, n.toLong, sum, min, max))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decode media metadata from REAL container headers — pure-JVM byte reads,
@@ -378,6 +428,28 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     if (!javax.imageio.ImageIO.write(img, "jpg", out))
       throw new IllegalStateException("JDK has no JPEG writer registered")
+    out.toByteArray
+  }
+
+  /** Real 8-bit grayscale BMP via the JDK's ImageIO writer (lossless — BMP
+    * stores raw rows, so decode returns the exact samples; probe-verified
+    * TYPE_BYTE_GRAY round-trip). A second true pixel codec path beside the
+    * handcrafted stored-zlib PNG.
+    */
+  def bmpGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    graft.core.LenientFilters.imageioInit
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "bmp", out))
+      throw new IllegalStateException("JDK has no BMP writer registered")
     out.toByteArray
   }
 

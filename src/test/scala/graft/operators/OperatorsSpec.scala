@@ -552,6 +552,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodePixels(Multimodal.pngGray(3, 3, (_, _) => 1).take(20)).isEmpty)
   }
 
+  test("multimodal: WAV PCM-16 sample decode is byte-exact; non-PCM rejects; BMP pixels round-trip") {
+    import spark.implicits._
+    // signed 16-bit LE samples, full range incl. negatives
+    val samples = Array(-32768, -1, 0, 1, 32767, 12345, -12345)
+    val tail = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      tail(2 * i) = (v & 0xff).toByte; tail(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val st = Multimodal.decodeWavSamples(Multimodal.wavEnvelope(44100, 1, tail)).get
+    assert((st.sampleRate, st.channels, st.nSamples) == ((44100, 1, 7L)), st)
+    assert((st.sum, st.min, st.max) == ((samples.map(_.toLong).sum, -32768, 32767)), st)
+    // empty data chunk: zero samples, zeroed extrema (not MaxValue garbage)
+    val empty = Multimodal.decodeWavSamples(
+      Multimodal.wavEnvelope(8000, 2, Array.emptyByteArray)).get
+    assert((empty.nSamples, empty.sum, empty.min, empty.max) == ((0L, 0L, 0, 0)))
+    // non-WAV payloads and truncated containers return None, never throw
+    assert(Multimodal.decodeWavSamples("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWavSamples(
+      Multimodal.wavEnvelope(8000, 1, tail).take(30)).isEmpty)
+    // BMP (ImageIO-written) pixels decode byte-exact through decodePixelStats
+    val bmp = Multimodal.bmpGray(6, 4, (x, y) => (x * 40 + y * 11) % 256)
+    val rows = Multimodal.decodePixelStats(
+      Seq(Multimodal.MediaRow(1L, bmp)).toDS()).collect()
+    val expectedSum = (for (y <- 0 until 4; x <- 0 until 6) yield (x * 40 + y * 11) % 256).sum
+    assert(rows.length == 1 &&
+      (rows.head.px_width, rows.head.px_height, rows.head.px_sum, rows.head.dims_match) ==
+      ((6, 4, expectedSum.toLong, true)), rows.toSeq)
+  }
+
   test("redactPii masks URL/email/phone with fixed placeholders, idempotently") {
     import spark.implicits._
     val in = Seq(
