@@ -98,3 +98,18 @@ object GateMain {
     spark.stop()
   }
 }
+
+/** Small-file compaction for an extraction output dir (pipeline/Compaction).
+  * Usage: CompactMain <outDir> [targetBytes]
+  */
+object CompactMain {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val target = if (args.length > 1) args(1).toLong else 128L * 1024 * 1024
+    val spark = SparkEnv.session("graft-compact")
+    val r = graft.pipeline.Compaction.compactOutput(spark, outDir, target)
+    println(s"compacted $outDir: files ${r.filesBefore} -> ${r.filesAfter}, " +
+      s"rows=${r.rows}, targetBytes=${r.targetBytes}")
+    spark.stop()
+  }
+}

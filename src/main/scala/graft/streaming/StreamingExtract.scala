@@ -140,9 +140,24 @@ object StreamingExtract {
     * row keep nulls (they are data, not errors). Works identically on a
     * batch DataFrame (same function — batch/stream parity by construction,
     * like extractStream).
+    *
+    * `maxDimRows` bounds the broadcast BY CONTRACT (same discipline as
+    * decontaminate's benchmark cap): an explicit broadcast() hint bypasses
+    * Spark's auto-broadcast threshold, so a fact table passed as `dim` would
+    * OOM the driver silently-late — the limit+count guard fails loudly
+    * up-front instead (one cheap job over the small-by-contract side;
+    * limit(max+1) bounds the check itself however oversized the input).
+    * A genuinely larger dimension belongs in a shuffle join, not here.
     */
-  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String,
+                   maxDimRows: Long = 10000000L): DataFrame = {
+    require(maxDimRows > 0, "maxDimRows must be positive")
+    val probe = dim.limit(math.min(maxDimRows + 1, Int.MaxValue).toInt).count()
+    require(probe <= maxDimRows,
+      s"enrichStream dimension exceeds maxDimRows=$maxDimRows — a side this " +
+        "large belongs in a shuffle join, not a broadcast")
     events.join(broadcast(dim), Seq(key), "left")
+  }
 
   /** File-based continuous ingest: watch `inDir` for new transcript parquet,
     * write extracted parquet to `outDir` with checkpointed exactly-once progress.

@@ -261,6 +261,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     gen.unpersist(); turns.unpersist()
   }
 
+  test("compaction: fewer files, identical data, manifests and resume state untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val gen = SynthGen.generate(spark, 40, 5, 0, 0, includeFixturePdfs = false).cache()
+    val turns = SynthGen.turns(gen).cache()
+    // waveSize=1 writes each shard in its own pass -> many small files
+    ExtractJob.runWithManifests(spark, turns, dir, shards = 6, partitions = 4, waveSize = 1)
+    val before = ExtractJob.readOutput(spark, dir)
+      .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "extracted_text").collect()
+    val report = Compaction.compactOutput(spark, dir, targetBytes = 1024L * 1024 * 1024)
+    // a 1GB target on a tiny corpus -> exactly one file per shard
+    assert(report.filesAfter < report.filesBefore || report.filesBefore <= 6,
+      s"no compaction happened: $report")
+    assert(report.filesAfter <= 6, s"expected <= 1 file per shard: $report")
+    assert(report.rows == turns.count())
+    // data byte-identical, row for row
+    val after = ExtractJob.readOutput(spark, dir)
+      .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "extracted_text").collect()
+    assert(after.toSeq == before.toSeq)
+    // manifests (resume state) untouched: still 6 done shards
+    assert(ExtractJob.completedShards(spark, dir).size == 6)
+    // a stale mid-swap leftover refuses to run with recovery instructions
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.data_old"))
+    val e = intercept[IllegalStateException] {
+      Compaction.compactOutput(spark, dir, targetBytes = 1024L * 1024 * 1024)
+    }
+    assert(e.getMessage.contains("Recover"), e.getMessage)
+    gen.unpersist(); turns.unpersist()
+  }
+
   test("manifests written by an older engine version (no wave_id) still resume") {
     import spark.implicits._
     // a live deployment upgrades mid-job: the _manifests dir holds rows from

@@ -140,6 +140,11 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
     assert(got == Seq((100L, 1L, Some("gold")), (101L, 9L, None), (102L, 2L, Some("basic"))),
       s"got $got")
+    // an oversized "dimension" refuses the broadcast loudly, naming the knob
+    val e = intercept[IllegalArgumentException] {
+      StreamingExtract.enrichStream(batchEv, dim, "user_id", maxDimRows = 1L)
+    }
+    assert(e.getMessage.contains("maxDimRows"), e.getMessage)
   }
 
   test("windowed metrics aggregate per payload kind with watermark") {
