@@ -101,29 +101,42 @@ object Multimodal {
   def isMp4(b: Array[Byte]): Boolean =
     b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-  /** WAV/RIFF audio meta via a real chunk walk (RIFF spec; WAVE fmt + data
-    * chunks): the audio axes flatten into MediaMeta as width = sample rate,
-    * height = channel count, frames = SAMPLE frames (data bytes / block
-    * align) — the documented audio mapping of the shared media schema.
+  /** Parsed RIFF/WAVE structure — ONE chunk walk shared by the header decode
+    * (wavMeta) and the sample decode (decodeWavSamples), so the two can never
+    * diverge on the same bytes.
     */
-  private def wavMeta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+  private final case class WavChunks(fmt: Int, channels: Int, rate: Int, bits: Int,
+                                     blockAlign: Int, dataOff: Int, dataLen: Int)
+
+  private def wavChunks(b: Array[Byte]): Option[WavChunks] = {
     var pos = 12
-    var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1
-    while (pos + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+    var rate = -1; var channels = -1; var blockAlign = -1; var bits = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(b, pos + 4)
       if (size < 0 || pos + 8 + size > b.length) return None
       if (id == "fmt " && size >= 16) {
+        fmt = le16(b, pos + 8)
         channels = le16(b, pos + 10)
         rate = le32(b, pos + 12)
         blockAlign = le16(b, pos + 20)
-      } else if (id == "data") dataLen = size
+        bits = le16(b, pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
       pos += 8 + size + (size & 1) // RIFF chunks are word-aligned (odd sizes pad)
     }
-    if (rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0)
-      Some((rate, channels, dataLen / blockAlign))
+    if (rate > 0 && channels > 0 && blockAlign > 0 && dataOff >= 0)
+      Some(WavChunks(fmt, channels, rate, bits, blockAlign, dataOff, dataLen))
     else None
   }
+
+  /** WAV/RIFF audio meta (RIFF spec; WAVE fmt + data chunks): the audio axes
+    * flatten into MediaMeta as width = sample rate, height = channel count,
+    * frames = SAMPLE frames (data bytes / block align) — the documented audio
+    * mapping of the shared media schema.
+    */
+  private def wavMeta(b: Array[Byte]): Option[(Int, Int, Int)] =
+    wavChunks(b).map(c => (c.rate, c.channels, c.dataLen / c.blockAlign))
 
   /** MP4/ISO-BMFF video dims via a real box walk: moov -> trak -> tkhd, whose
     * v0/v1 payload ends in 16.16 fixed-point track width/height
@@ -175,34 +188,20 @@ object Multimodal {
   def decodeWavSamples(b: Array[Byte]): Option[AudioStats] = {
     if (!isWav(b)) return None
     try {
-      var pos = 12
-      var rate = -1; var channels = -1; var bits = -1; var fmt = -1
-      var dataOff = -1; var dataLen = -1
-      while (pos + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-        val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val size = le32(b, pos + 4)
-        if (size < 0 || pos + 8 + size > b.length) return None
-        if (id == "fmt " && size >= 16) {
-          fmt = le16(b, pos + 8)
-          channels = le16(b, pos + 10)
-          rate = le32(b, pos + 12)
-          bits = le16(b, pos + 22)
-        } else if (id == "data") { dataOff = pos + 8; dataLen = size }
-        pos += 8 + size + (size & 1)
+      wavChunks(b).filter(c => c.fmt == 1 && c.bits == 16).map { c =>
+        val n = c.dataLen / 2
+        var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue
+        var i = 0
+        while (i < n) {
+          val v = (le16(b, c.dataOff + 2 * i) << 16) >> 16 // sign-extend LE16
+          sum += v
+          if (v < min) min = v
+          if (v > max) max = v
+          i += 1
+        }
+        if (n == 0) { min = 0; max = 0 }
+        AudioStats(c.rate, c.channels, n.toLong, sum, min, max)
       }
-      if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0) return None
-      val n = dataLen / 2
-      var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue
-      var i = 0
-      while (i < n) {
-        val v = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend LE16
-        sum += v
-        if (v < min) min = v
-        if (v > max) max = v
-        i += 1
-      }
-      if (n == 0) { min = 0; max = 0 }
-      Some(AudioStats(rate, channels, n.toLong, sum, min, max))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -414,7 +413,14 @@ object Multimodal {
     * quantization), so dimension gates oracle exactly and sample gates use
     * tolerance.
     */
-  def jpegGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+  def jpegGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    imageioGray("jpg", width, height, pixel)
+
+  /** One grayscale BufferedImage fill + ImageIO encode shared by every
+    * format-specific writer (jpegGray/bmpGray).
+    */
+  private def imageioGray(format: String, width: Int, height: Int,
+                          pixel: (Int, Int) => Int): Array[Byte] = {
     graft.core.LenientFilters.imageioInit
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -426,8 +432,8 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "jpg", out))
-      throw new IllegalStateException("JDK has no JPEG writer registered")
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalStateException(s"JDK has no $format writer registered")
     out.toByteArray
   }
 
@@ -436,22 +442,8 @@ object Multimodal {
     * TYPE_BYTE_GRAY round-trip). A second true pixel codec path beside the
     * handcrafted stored-zlib PNG.
     */
-  def bmpGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
-    graft.core.LenientFilters.imageioInit
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "bmp", out))
-      throw new IllegalStateException("JDK has no BMP writer registered")
-    out.toByteArray
-  }
+  def bmpGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    imageioGray("bmp", width, height, pixel)
 
   /** Integer pixel statistics over every band sample of a decoded image —
     * deterministic (no float math), so two independent decoders of the same

@@ -5,24 +5,31 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Small-file COMPACTION for the extraction output (engine addition — the
-  * maintenance job every long-lived 100TB table needs). Wave-based runs,
-  * resume-after-crash reruns, and streaming ingest all accrete small parquet
-  * files per shard partition; a scan then pays per-file open/footer cost and
-  * the scheduler per-split overhead. Compaction rewrites `outDir/data` with
-  * bounded file sizes and IDENTICAL data.
+  * maintenance job every long-lived 100TB table needs). Wave-based runs and
+  * resume-after-crash reruns accrete small parquet files per shard partition;
+  * a scan then pays per-file open/footer cost and the scheduler per-split
+  * overhead. Compaction rewrites `outDir/data` with bounded file sizes and
+  * IDENTICAL data. (Structured-streaming SINK directories are out of scope:
+  * they carry a `_spark_metadata` exactly-once log that rewriting would
+  * invalidate — compact those by re-materializing downstream.)
   *
-  * Shape: one shuffle keyed on (shard, conv-hash bucket) sized from the
-  * table's actual bytes — each shard gets ceil(shardBytes / targetBytes)
-  * output buckets, so a hot shard splits into right-sized files while cold
-  * shards coalesce into one. Total tasks = total target files: the rewrite
-  * is a single pass at cluster width, never a per-file loop.
+  * Shape: ONE shuffle. Parallelism comes from (shard, conv-hash bucket) keys
+  * — each shard contributes ~ceil(shardBytes / targetBytes) buckets (via a
+  * flat map-literal lookup, codegen-friendly at any shard count), so a hot
+  * shard rewrites at cluster width instead of in one task. The file-size
+  * bound itself does NOT depend on hash-partition collisions: the writer's
+  * `maxRecordsPerFile` (computed from the table's measured bytes/row)
+  * splits any oversized task output into ~targetBytes files exactly.
   *
   * Swap protocol (no self-overwrite — Spark cannot overwrite a path it is
-  * reading): write to `.data_compacting`, then data -> `.data_old`,
-  * compacted -> `data`, drop `.data_old`. A crash leaves either the original
-  * intact (before the first rename — rerun cleans the temp) or both dirs
-  * present (`.data_old` + renamed `data`) — never zero copies; recovery is
-  * documented in the error message of the guard below.
+  * reading): write to `.data_compacting`, then `data` -> `.data_old`,
+  * compacted -> `data`, drop `.data_old`. Crash states and recovery:
+  * before the first rename the original `data` is untouched (a rerun cleans
+  * the temp and starts over); BETWEEN the renames `data` is absent but TWO
+  * full copies exist (`.data_old` = original, `.data_compacting` =
+  * compacted) — the rerun guard refuses with exact instructions; after the
+  * second rename only `.data_old` cleanup remains. At every instant at
+  * least one full copy exists on disk.
   */
 object Compaction {
 
@@ -38,52 +45,92 @@ object Compaction {
     val tmpPath = new Path(s"$outDir/.data_compacting")
     if (fs.exists(oldPath))
       throw new IllegalStateException(
-        s"$oldPath exists — a previous compaction crashed mid-swap. Recover by " +
-          s"keeping exactly one of $oldPath / $dataPath as data (both hold a full copy) " +
-          "and deleting the other, then rerun.")
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true): Unit // stale temp from a pre-swap crash
+        s"$oldPath exists — a previous compaction crashed mid-swap. If $dataPath is " +
+          s"ABSENT, restore one full copy: rename $oldPath (the pre-compaction data) " +
+          s"or $tmpPath (the compacted data, if complete) to $dataPath. If $dataPath " +
+          "exists, it is already a full copy. Then delete the leftover dirs and rerun.")
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true): Unit // pre-swap crash leftover
 
-    def countFiles(p: Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
-    val filesBefore = countFiles(dataPath)
-    // per-shard byte sizes from the FILES (ground truth at rest, no scan)
-    val shardBytes: Map[Int, Long] = {
+    // visible data files only: committer attempt dirs (_temporary/...) and
+    // other hidden paths are ignored by spark.read and must not skew sizing
+    def visibleParquets(): Iterator[org.apache.hadoop.fs.LocatedFileStatus] = {
       val it = fs.listFiles(dataPath, true)
-      val m = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) {
-          val parent = st.getPath.getParent.getName
-          if (parent.startsWith("shard=")) m(parent.stripPrefix("shard=").toInt) += st.getLen
+      new Iterator[org.apache.hadoop.fs.LocatedFileStatus] {
+        private var nxt: org.apache.hadoop.fs.LocatedFileStatus = advance()
+        private def hidden(p: Path): Boolean = {
+          var cur = p
+          while (cur != null && cur.depth() > dataPath.depth()) {
+            val n = cur.getName
+            if (n.startsWith("_") || n.startsWith(".")) return true
+            cur = cur.getParent
+          }
+          false
+        }
+        private def advance(): org.apache.hadoop.fs.LocatedFileStatus = {
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet") && !hidden(st.getPath)) return st
+          }
+          null
+        }
+        def hasNext: Boolean = nxt != null
+        def next(): org.apache.hadoop.fs.LocatedFileStatus = {
+          val r = nxt; nxt = advance(); r
         }
       }
-      m.toMap
     }
+    var filesBefore = 0L
+    val shardBytesM = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    visibleParquets().foreach { st =>
+      filesBefore += 1
+      val parent = st.getPath.getParent.getName
+      if (parent.startsWith("shard=")) shardBytesM(parent.stripPrefix("shard=").toInt) += st.getLen
+    }
+    val shardBytes = shardBytesM.toMap
+    val totalBytes = math.max(1L, shardBytes.values.sum)
+
+    val df = spark.read.parquet(s"$outDir/data")
+    val nRowsBefore = math.max(1L, df.count())
+    val bytesPerRow = math.max(1L, totalBytes / nRowsBefore)
+    val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
+
     val buckets: Map[Int, Int] =
       shardBytes.map { case (s, b) => s -> math.max(1, ((b + targetBytes - 1) / targetBytes).toInt) }
     val totalBuckets = math.max(1, buckets.values.sum)
-    val bucketsExpr = buckets.toSeq.sortBy(_._1)
-      .foldLeft(lit(1)) { case (acc, (s, n)) => when(col("shard") === s, n).otherwise(acc) }
+    // flat map-literal (codegen-friendly at any shard count); unknown shards
+    // (none in practice) fall back to 1 bucket via coalesce
+    val bucketMap = map(buckets.toSeq.sortBy(_._1)
+      .flatMap { case (s, n) => Seq(lit(s), lit(n)) }: _*)
+    val nBuckets = coalesce(element_at(bucketMap, col("shard").cast("int")), lit(1))
 
-    val df = spark.read.parquet(s"$outDir/data")
-    val rows = df
-      .withColumn("__b", pmod(hash(col("conv_id")), bucketsExpr))
+    df.withColumn("__b", pmod(hash(col("conv_id")), nBuckets))
       .repartition(totalBuckets, col("shard"), col("__b"))
       .drop("__b")
-    rows.write.mode("overwrite").partitionBy("shard").parquet(tmpPath.toString)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("shard").parquet(tmpPath.toString)
     val nRows = spark.read.parquet(tmpPath.toString).count()
+    if (nRows != nRowsBefore) {
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(
+        s"compaction aborted: rewrote $nRows rows but source holds $nRowsBefore — original untouched")
+    }
 
     if (!fs.rename(dataPath, oldPath))
-      throw new IllegalStateException(s"compaction: could not stage $dataPath aside")
+      throw new IllegalStateException(s"compaction: could not stage $dataPath aside; original untouched")
     if (!fs.rename(tmpPath, dataPath)) {
-      fs.rename(oldPath, dataPath) // roll back; original copy is intact
+      if (!fs.rename(oldPath, dataPath))
+        throw new IllegalStateException(
+          s"compaction: install AND rollback failed — $dataPath is absent; restore it " +
+            s"by renaming $oldPath (original) or $tmpPath (compacted) back to $dataPath")
       throw new IllegalStateException(s"compaction: could not install compacted data; rolled back")
     }
     fs.delete(oldPath, true)
-    CompactionReport(filesBefore, countFiles(dataPath), nRows, targetBytes)
+    val filesAfter = {
+      var n = 0L
+      visibleParquets().foreach(_ => n += 1)
+      n
+    }
+    CompactionReport(filesBefore, filesAfter, nRows, targetBytes)
   }
 }

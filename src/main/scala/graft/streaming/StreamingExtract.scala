@@ -150,9 +150,13 @@ object StreamingExtract {
     * A genuinely larger dimension belongs in a shuffle join, not here.
     */
   def enrichStream(events: DataFrame, dim: DataFrame, key: String,
-                   maxDimRows: Long = 10000000L): DataFrame = {
-    require(maxDimRows > 0, "maxDimRows must be positive")
-    val probe = dim.limit(math.min(maxDimRows + 1, Int.MaxValue).toInt).count()
+                   maxDimRows: Int = 10000000): DataFrame = {
+    // Int, not Long: a guard that cannot be raised past what a broadcast can
+    // physically hold is a guard that cannot be silently disabled (limit()
+    // takes an Int anyway — a >2^31-row "dimension" is a fact table)
+    require(maxDimRows > 0 && maxDimRows < Int.MaxValue,
+      s"maxDimRows=$maxDimRows out of range (1..${Int.MaxValue - 1})")
+    val probe = dim.limit(maxDimRows + 1).count()
     require(probe <= maxDimRows,
       s"enrichStream dimension exceeds maxDimRows=$maxDimRows — a side this " +
         "large belongs in a shuffle join, not a broadcast")

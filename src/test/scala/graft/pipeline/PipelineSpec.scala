@@ -289,7 +289,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalStateException] {
       Compaction.compactOutput(spark, dir, targetBytes = 1024L * 1024 * 1024)
     }
-    assert(e.getMessage.contains("Recover"), e.getMessage)
+    assert(e.getMessage.contains("restore one full copy"), e.getMessage)
     gen.unpersist(); turns.unpersist()
   }
 

@@ -142,7 +142,7 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
     // an oversized "dimension" refuses the broadcast loudly, naming the knob
     val e = intercept[IllegalArgumentException] {
-      StreamingExtract.enrichStream(batchEv, dim, "user_id", maxDimRows = 1L)
+      StreamingExtract.enrichStream(batchEv, dim, "user_id", maxDimRows = 1)
     }
     assert(e.getMessage.contains("maxDimRows"), e.getMessage)
   }
