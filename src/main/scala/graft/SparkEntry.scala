@@ -455,6 +455,17 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("user_id"))
         .orderBy("event_id")
     }),
+    // WEIGHTED (importance) sampling (round 5): keep probability = the doc's
+    // alpha-character density — quality-proportional retention, the mixture
+    // staple. Same deterministic id-hash draw; the per-row threshold is an
+    // IEEE double product + half-away round, identical in both engines.
+    "q_sample_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextFunctions.nAlpha(col("text")).cast("double") /
+        (length(col("text")).cast("double") + 1.0)
+      graft.operators.Sampling.weighted(docs, "doc_id", w)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
 
     // Test-set decontamination: docs 0-4 ARE the "benchmark", so they (and any
     // doc sharing an 8-word shingle with them) must report contamination; the
@@ -1127,6 +1138,14 @@ object SparkEntry {
         "CASE event_type WHEN 'purchase' THEN 4294967296 WHEN 'click' THEN 1073741824 " +
         "WHEN 'view' THEN 214748365 ELSE 429496730 END " +
         "ORDER BY event_id"),
+    // weighted twin: same hash, per-row threshold from the identical
+    // alpha-density formula (clamp is a no-op here — density is in [0,1))
+    "q_sample_weighted" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < " +
+        "round(least(greatest((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) " +
+        "/ (length(text) + 1.0), 0.0), 1.0) * 4294967296.0) " +
+        "ORDER BY doc_id"),
     // word-8-shingles (docs under 8 words collapse to one whole-text shingle,
     // mirroring Dedup.shingles); hits counted over DISTINCT shingles per doc
     "q_decontaminate" ->

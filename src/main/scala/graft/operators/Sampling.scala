@@ -45,6 +45,20 @@ object Sampling {
   def bernoulli(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.where(idHash(col(idCol)) < lit(threshold(fraction)))
 
+  /** WEIGHTED (importance) sampling: per-row keep probability =
+    * clamp(weight, 0, 1) — the quality-proportional retention every data
+    * mixture uses ("keep better documents with higher probability"). The
+    * per-row threshold round(clamp(w) * 2^32) compares against the same id
+    * hash, so the draw stays deterministic, rerun/layout-invariant, and
+    * SQL-replayable (IEEE double product + half-away round are identical
+    * across engines); a NULL weight drops the row (no probability defined).
+    * One codegen'd predicate in the scan stage, no shuffle.
+    */
+  def weighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val p = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.where(idHash(col(idCol)) < round(p * lit(Space.toDouble)))
+  }
+
   /** Stratified sampling: a per-stratum fraction (strata not listed take
     * `default`). One codegen'd CASE — no per-stratum scans, no shuffle.
     */

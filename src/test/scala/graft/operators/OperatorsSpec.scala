@@ -295,6 +295,33 @@ class OperatorsSpec extends AnyFunSuite {
       manual.select($"event_id").as[Long].collect().toSet)
   }
 
+  test("weighted sampling: probability-proportional keep, clamp, null drop, layout-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 4000L).map(i =>
+      (i, if (i % 97 == 0) None else Some((i % 100).toDouble / 100.0)))
+    val df = rows.toDF("id", "w")
+    val kept = Sampling.weighted(df, "id", $"w").select($"id").as[Long].collect().toSet
+    // exactly the manual predicate: hash < round(clamp(w) * 2^32)
+    rows.foreach { case (id, w) =>
+      val expect = w.exists(x =>
+        ((id % 2147483648L) * 2654435761L) % 4294967296L < math.round(x * 4294967296.0))
+      assert(kept.contains(id) == expect, s"id $id w $w")
+    }
+    // null weights drop (no probability defined), never throw
+    assert(!kept.exists(_ % 97 == 0))
+    // keep rate tracks the mean weight (~0.495 here) on the hash's equidistribution
+    val rate = kept.size.toDouble / rows.count(_._2.isDefined)
+    assert(math.abs(rate - 0.495) < 0.03, s"rate $rate")
+    // out-of-range weights clamp: w>=1 keeps everything, w<=0 keeps nothing
+    assert(Sampling.weighted(df, "id", lit(7.5)).count() == 4000L)
+    assert(Sampling.weighted(df, "id", lit(-3.0)).count() == 0L)
+    // layout-invariant: repartitioned input keeps the same ids
+    val kept2 = Sampling.weighted(df.repartition(7), "id", $"w")
+      .select($"id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
   test("decontaminate: planted benchmark overlap counted exactly, big side stays shuffle-free") {
     import spark.implicits._
     val w = (1 to 30).map(i => s"w$i") // 30 distinct words
