@@ -93,6 +93,28 @@ class PropertySpec extends AnyFunSuite {
     }, n = 500)
   }
 
+  test("passworded round-trip holds for arbitrary passwords across R3/V4/R6") {
+    // any password bytes (incl. empty-ish, long, non-ASCII) must round-trip
+    // via BOTH the user and owner paths, and a perturbed password must fail
+    // loudly — never garble (50 cases/revision: crypto fixtures are ~ms each)
+    val genPwd = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 255)).map(_.map(_.toByte).toArray))
+    for (r <- Seq(3, 4, 6)) {
+      check(s"pwd-roundtrip-r$r", Prop.forAll(genPwd, genPwd) { (user, owner) =>
+        val text = "property fuzz body"
+        val pdf = MiniPdf.synthesizeEncrypted(text, r, userPwd = user, ownerPwd = owner)
+        val viaUser = Pdf.lenient(pdf, user).extract(ExtractText) == text
+        // owner path only distinct when the padded forms differ
+        val viaOwner = Pdf.lenient(pdf, owner).extract(ExtractText) == text
+        val wrong = user.clone(); wrong(0) = (wrong(0) ^ 0x5a).toByte
+        val wrongFails =
+          try { Pdf.lenient(pdf, wrong).extract(ExtractText); false }
+          catch { case e: PdfParseException => e.getMessage.contains("password") }
+        viaUser && viaOwner && wrongFails
+      }, n = 50)
+    }
+  }
+
   test("extractTurn is total: arbitrary-byte payloads land in the error column, never throw") {
     import graft.pipeline.{ExtractJob, Turn}
     val anyBytes = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
