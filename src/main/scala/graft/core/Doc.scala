@@ -24,8 +24,14 @@ object BodyFilter {
   }
 }
 
-/** Stream dictionary projection — body.rs:56-85. */
-final case class StreamDict(length: Num, filter: Option[BodyFilter])
+/** Stream dictionary projection — body.rs:56-85. `lzwEarlyChange` (round 5,
+  * LENIENT-only — the reference never reads /DecodeParms in body streams)
+  * carries /DecodeParms /EarlyChange for the LZW filter; every other
+  * DecodeParms key is ignored here (predictors are an xref-stream concern,
+  * core/Lenient.scala).
+  */
+final case class StreamDict(length: Num, filter: Option[BodyFilter],
+                            lzwEarlyChange: Int = 1)
 
 object StreamDict {
   def from(dict: Map[String, PdfObj], lenient: Boolean = false): StreamDict = StreamDict(
@@ -47,7 +53,16 @@ object StreamDict {
       case Some(PName(name)) => Some(BodyFilter.from(name, lenient))
       case None              => None
       case _                 => Err.fail("Filter should be a name")
-    }
+    },
+    lzwEarlyChange =
+      if (!lenient) 1 // strict never reads /DecodeParms (reference parity)
+      else dict.get("DecodeParms") match {
+        case Some(PDict(dp)) => dp.get("EarlyChange") match {
+          case Some(PNum(NInt(0))) => 0
+          case _                   => 1
+        }
+        case _ => 1
+      }
   )
 }
 
@@ -60,7 +75,7 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
   def getData: Array[Byte] = dict.filter match {
     case Some(FlateDecodeFilter) => Flate.flateDecode(content)
     case Some(AsciiHexFilter)    => LenientFilters.asciiHexDecode(content)
-    case Some(LzwFilter)         => LenientFilters.lzwDecode(content)
+    case Some(LzwFilter)         => LenientFilters.lzwDecode(content, dict.lzwEarlyChange)
     case Some(DctFilter)         => LenientFilters.dctDecode(content)
     case None                    => content
   }
@@ -73,7 +88,7 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
   def getDataExact: Array[Byte] = dict.filter match {
     case Some(FlateDecodeFilter) => Flate.flateDecodeExact(content)
     case Some(AsciiHexFilter)    => LenientFilters.asciiHexDecode(content)
-    case Some(LzwFilter)         => LenientFilters.lzwDecode(content)
+    case Some(LzwFilter)         => LenientFilters.lzwDecode(content, dict.lzwEarlyChange)
     case Some(DctFilter)         => LenientFilters.dctDecode(content)
     case None                    => content
   }
@@ -93,7 +108,7 @@ final case class BodyStream(dict: StreamDict, content: Array[Byte]) {
       val exact = Flate.flateDecodeExact(content)
       if (PdfTokenizer.padSensitiveAtEof(exact)) Flate.flateDecode(content) else exact
     case Some(AsciiHexFilter) => LenientFilters.asciiHexDecode(content)
-    case Some(LzwFilter)      => LenientFilters.lzwDecode(content)
+    case Some(LzwFilter)      => LenientFilters.lzwDecode(content, dict.lzwEarlyChange)
     case Some(DctFilter)      => LenientFilters.dctDecode(content)
     case None                 => content
   }

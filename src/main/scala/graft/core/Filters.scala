@@ -61,14 +61,18 @@ object LenientFilters {
   private val Eod = 257
   private val MaxCode = 4095
 
-  /** LZW with EarlyChange=1 (the PDF default): MSB-first 9..12-bit codes,
-    * 256 = clear-table, 257 = EOD. The decoder's code width grows when the
-    * next free table entry reaches (1<<width)-1 — one code EARLIER than the
-    * table forces (the TIFF/PDF early-change off-by-one; pdf.js and
-    * Ghostscript decode the same way). A truncated stream (missing EOD)
-    * returns what was decoded; an out-of-range code fails the parse.
+  /** LZW: MSB-first 9..12-bit codes, 256 = clear-table, 257 = EOD. With
+    * `earlyChange = 1` (the PDF default) the decoder's code width grows when
+    * the next free table entry reaches (1<<width)-1 — one code EARLIER than
+    * the table forces (the TIFF/PDF early-change off-by-one; pdf.js and
+    * Ghostscript decode the same way); `earlyChange = 0` (via /DecodeParms
+    * /EarlyChange 0, round 5) switches exactly at (1<<width). A truncated
+    * stream (missing EOD) returns what was decoded; an out-of-range code
+    * fails the parse.
     */
-  def lzwDecode(data: Array[Byte]): Array[Byte] = {
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    require(earlyChange == 0 || earlyChange == 1, s"EarlyChange must be 0 or 1, got $earlyChange")
+    val delta = earlyChange
     val out = new java.io.ByteArrayOutputStream(data.length * 3 + 16)
     val prefix = new Array[Int](MaxCode + 1) // entries 258..: (prefix code, appended byte)
     val append = new Array[Byte](MaxCode + 1)
@@ -118,7 +122,7 @@ object LenientFilters {
           val fb = firstByteOf(if (code < nextCode) code else prev)
           if (nextCode <= MaxCode) {
             prefix(nextCode) = prev; append(nextCode) = fb; nextCode += 1
-            if (width < 12 && nextCode == (1 << width) - 1) width += 1 // early change
+            if (width < 12 && nextCode == (1 << width) - delta) width += 1 // (early) change
           }
           emit(code)
           prev = code
@@ -128,13 +132,15 @@ object LenientFilters {
     out.toByteArray
   }
 
-  /** Fixture support: LZW encoder paired with the decoder above (EarlyChange=1,
-    * clear emitted at table-full). The encoder's table leads the decoder's by
-    * one entry, so its width switch fires at (1<<width) where the decoder's
-    * fires at (1<<width)-1 — the pairing is round-trip-gated in LenientSpec,
-    * including across 9->10->11-bit boundaries and the KwKwK case.
+  /** Fixture support: LZW encoder paired with the decoder above (clear
+    * emitted at table-full). The encoder's table leads the decoder's by one
+    * entry, so its width switch fires one entry after the decoder's at either
+    * EarlyChange — the pairing is round-trip-gated in LenientSpec, including
+    * across 9->10->11-bit boundaries and the KwKwK case, for BOTH settings.
     */
-  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+  def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    require(earlyChange == 0 || earlyChange == 1, s"EarlyChange must be 0 or 1, got $earlyChange")
+    val delta = earlyChange
     val out = new java.io.ByteArrayOutputStream(data.length + 16)
     var bitBuf = 0L
     var bitCnt = 0
@@ -160,7 +166,7 @@ object LenientFilters {
           write(cur)
           table.update(key, nextCode)
           nextCode += 1
-          if (width < 12 && nextCode == (1 << width)) width += 1
+          if (width < 12 && nextCode == (1 << width) + 1 - delta) width += 1
           if (nextCode >= MaxCode) { // table (nearly) full: clear both sides
             write(ClearCode) // at the current width; both sides then reset to 9
             table = new scala.collection.mutable.LongMap[Int]()
@@ -179,7 +185,7 @@ object LenientFilters {
       // decoder's nextCode exactly on (1<<width)-1, the decoder widens BEFORE
       // reading the next code — so EOD must be written at the wider width or
       // it is misread as a data code (silent garbage or a spurious failure).
-      if (width < 12 && nextCode == (1 << width) - 1) width += 1
+      if (width < 12 && nextCode == (1 << width) - delta) width += 1
     }
     write(Eod)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt) // zero-pad

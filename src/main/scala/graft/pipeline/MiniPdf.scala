@@ -217,14 +217,18 @@ object MiniPdf {
     * otherwise — the document is strict-shaped except for the filter name.
     * Deterministic: both encoders are pure functions.
     */
-  def synthesizeFiltered(text: String, filterName: String): Array[Byte] = {
+  def synthesizeFiltered(text: String, filterName: String,
+                         lzwEarlyChange: Int = 1): Array[Byte] = {
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
       .getBytes(ISO_8859_1)
     val encoded = filterName match {
       case "ASCIIHexDecode" => graft.core.LenientFilters.asciiHexEncode(content)
-      case "LZWDecode"      => graft.core.LenientFilters.lzwEncode(content)
+      case "LZWDecode"      => graft.core.LenientFilters.lzwEncode(content, lzwEarlyChange)
       case other            => throw new IllegalArgumentException(s"no encoder for $other")
     }
+    // /DecodeParms /EarlyChange 0 declares the non-default width timing
+    val parms = if (filterName == "LZWDecode" && lzwEarlyChange == 0)
+      " /DecodeParms << /EarlyChange 0 >>" else ""
     val objects = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -241,7 +245,7 @@ object MiniPdf {
       offsets(i) = out.size()
       w(s"${i + 1} 0 obj\n")
       if (body == null) {
-        w(s"<< /Length ${encoded.length} /Filter /$filterName >>\nstream\n")
+        w(s"<< /Length ${encoded.length} /Filter /$filterName$parms >>\nstream\n")
         out.write(encoded)
         w("\nendstream")
       } else w(body)

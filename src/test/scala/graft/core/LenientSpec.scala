@@ -225,6 +225,34 @@ class LenientSpec extends AnyFunSuite {
     assert(LenientFilters.lzwDecode(noEod).length <= 2)
   }
 
+  test("LZW EarlyChange=0: round-trips across width boundaries; e2e via /DecodeParms; settings differ") {
+    def rt0(b: Array[Byte]): Unit =
+      assert(LenientFilters.lzwDecode(LenientFilters.lzwEncode(b, 0), 0).toSeq == b.toSeq,
+        s"EC=0 round-trip failed at ${b.length} bytes")
+    rt0(Array.empty[Byte])
+    rt0("a".getBytes(ISO_8859_1))
+    rt0(Array.fill(50)('a'.toByte)) // KwKwK
+    // random bytes never compress -> dense sweep across the 9->10->11->12-bit
+    // boundaries AND the table-full clear (same gate the EC=1 sweep has)
+    val rnd = new scala.util.Random(77)
+    for (n <- Seq(200, 255, 256, 257, 300, 2047, 2048, 2049, 16500)) {
+      rt0(Array.fill(n)(rnd.nextInt(256).toByte))
+    }
+    // the EOD-tail width sync holds at EC=0 too: sweep lengths around every
+    // boundary so the final registration lands on each side of (1<<w)
+    for (n <- 250 to 262) rt0(Array.fill(n)(rnd.nextInt(256).toByte))
+    // EC=0 and EC=1 genuinely differ once the first boundary is crossed
+    val big = Array.fill(400)(rnd.nextInt(256).toByte)
+    assert(LenientFilters.lzwEncode(big, 0).toSeq != LenientFilters.lzwEncode(big, 1).toSeq)
+    // e2e: a PDF declaring /DecodeParms /EarlyChange 0 extracts via lenient
+    val text = "EarlyChange zero document body " * 20
+    val pdf = graft.pipeline.MiniPdf.synthesizeFiltered(text, "LZWDecode", lzwEarlyChange = 0)
+    assert(Pdf.lenient(pdf).extract(ExtractText) == text)
+    // the DEFAULT (no DecodeParms) still decodes as EC=1
+    val pdf1 = graft.pipeline.MiniPdf.synthesizeFiltered(text, "LZWDecode")
+    assert(Pdf.lenient(pdf1).extract(ExtractText) == text)
+  }
+
   test("lenient: ASCIIHex/LZW content streams extract; strict panics with the reference wording") {
     for (f <- Seq("ASCIIHexDecode", "LZWDecode")) {
       val pdf = graft.pipeline.MiniPdf.synthesizeFiltered(s"Filtered via $f!", f)
