@@ -56,12 +56,36 @@ object StreamDict {
     },
     lzwEarlyChange =
       if (!lenient) 1 // strict never reads /DecodeParms (reference parity)
-      else dict.get("DecodeParms") match {
-        case Some(PDict(dp)) => dp.get("EarlyChange") match {
+      else {
+        val isLzw = dict.get("Filter").contains(PName("LZWDecode"))
+        def earlyOf(dp: Map[String, PdfObj]): Int = dp.get("EarlyChange") match {
           case Some(PNum(NInt(0))) => 0
           case _                   => 1
         }
-        case _ => 1
+        dict.get("DecodeParms") match {
+          case Some(PDict(dp)) => earlyOf(dp)
+          // the legal single-filter array form
+          case Some(PArr(Vector(PDict(dp)))) => earlyOf(dp)
+          // indirect DecodeParms: resolve through the ref's own context
+          case Some(PRef(obj, gen, rctx)) =>
+            rctx.xref.getAndFix((obj, gen), rctx.bytes) match {
+              case Some(at) => ObjParser.parseAt(rctx, at) match {
+                case PDict(dp) => earlyOf(dp)
+                case o if isLzw =>
+                  Err.fail(s"LZW /DecodeParms should resolve to a dictionary, found $o")
+                case _ => 1
+              }
+              case None if isLzw => Err.fail("LZW /DecodeParms ref not found in xref")
+              case None          => 1
+            }
+          case None => 1
+          // an unreadable DecodeParms SHAPE on an LZW stream must fail loudly
+          // (decoding with the wrong width timing garbles); other filters
+          // ignore DecodeParms here (predictors are the xref resolver's)
+          case Some(o) if isLzw =>
+            Err.fail(s"LZW /DecodeParms not supported in this form: $o")
+          case Some(_) => 1
+        }
       }
   )
 }

@@ -239,7 +239,8 @@ object Lenient {
     val inflated = s.header.get("Filter") match {
       case Some(PName("FlateDecode"))    => Flate.flateDecodeExact(s.bytes)
       case Some(PName("ASCIIHexDecode")) => LenientFilters.asciiHexDecode(s.bytes)
-      case Some(PName("LZWDecode"))      => LenientFilters.lzwDecode(s.bytes)
+      case Some(PName("LZWDecode")) =>
+        LenientFilters.lzwDecode(s.bytes, lzwEarlyChangeOf(s.header))
       case None                          => s.bytes
       case Some(o)                       => Err.fail(s"xref stream filter not supported: $o")
     }
@@ -315,7 +316,8 @@ object Lenient {
     val data = stm.header.get("Filter") match {
       case Some(PName("FlateDecode"))    => Flate.flateDecodeExact(bytes)
       case Some(PName("ASCIIHexDecode")) => LenientFilters.asciiHexDecode(bytes)
-      case Some(PName("LZWDecode"))      => LenientFilters.lzwDecode(bytes)
+      case Some(PName("LZWDecode")) =>
+        LenientFilters.lzwDecode(bytes, lzwEarlyChangeOf(stm.header))
       case None                          => bytes
       case Some(o)                       => Err.fail(s"object stream filter not supported: $o")
     }
@@ -348,6 +350,25 @@ object Lenient {
   }
 
   // ---- predictors ---------------------------------------------------------------
+
+  /** /DecodeParms /EarlyChange for an LZW stream in THIS resolver (direct
+    * dict or the single-element array form; xref/ObjStm DecodeParms are
+    * always direct in practice — anything else already fails loudly at the
+    * predictor site). Shares the LZW width-timing support with body streams
+    * (StreamDict.from).
+    */
+  private def lzwEarlyChangeOf(header: Map[String, PdfObj]): Int =
+    header.get("DecodeParms") match {
+      case Some(PDict(p)) => p.get("EarlyChange") match {
+        case Some(PNum(NInt(0))) => 0
+        case _                   => 1
+      }
+      case Some(PArr(Vector(PDict(p)))) => p.get("EarlyChange") match {
+        case Some(PNum(NInt(0))) => 0
+        case _                   => 1
+      }
+      case _ => 1
+    }
 
   /** Undo /DecodeParms predictors: 1 = none, 2 = TIFF horizontal differencing,
     * 10-15 = PNG per-row filters (None/Sub/Up/Average/Paeth; the row's filter

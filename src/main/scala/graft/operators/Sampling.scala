@@ -51,11 +51,16 @@ object Sampling {
     * per-row threshold round(clamp(w) * 2^32) compares against the same id
     * hash, so the draw stays deterministic, rerun/layout-invariant, and
     * SQL-replayable (IEEE double product + half-away round are identical
-    * across engines); a NULL weight drops the row (no probability defined).
+    * across engines); a NULL or NaN weight drops the row (no probability defined).
     * One codegen'd predicate in the scan stage, no shuffle.
     */
   def weighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
-    val p = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val wd = weight.cast("double")
+    // NaN would CLAMP TO 1.0 through greatest/least (Spark orders NaN above
+    // all doubles), silently disabling the sampler on an upstream 0/0 score
+    // bug — route it to the same drop path as NULL (no probability defined)
+    val p = when(wd.isNaN, lit(null).cast("double"))
+      .otherwise(least(greatest(wd, lit(0.0)), lit(1.0)))
     df.where(idHash(col(idCol)) < round(p * lit(Space.toDouble)))
   }
 

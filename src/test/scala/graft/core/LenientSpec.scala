@@ -244,6 +244,39 @@ class LenientSpec extends AnyFunSuite {
     // EC=0 and EC=1 genuinely differ once the first boundary is crossed
     val big = Array.fill(400)(rnd.nextInt(256).toByte)
     assert(LenientFilters.lzwEncode(big, 0).toSeq != LenientFilters.lzwEncode(big, 1).toSeq)
+    // INDEPENDENT decoder vector (no shared codec code — breaks the paired
+    // encoder/decoder circularity): an all-literal stream hand-built from the
+    // spec's width rule. The decoder registers one entry from the second
+    // post-clear code on; at EarlyChange e it widens when nextCode reaches
+    // (1<<w)-e, affecting the NEXT read. 300 literals cross the 9->10-bit
+    // boundary at DIFFERENT positions for e=0 (after the 255th code) and e=1
+    // (after the 254th), so a common off-by-one would break exactly one mode.
+    def handStream(bytes: Array[Byte], e: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0; var width = 9; var nextCode = 258
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bitCnt += width
+        while (bitCnt >= 8) { bitCnt -= 8; out.write(((bitBuf >>> bitCnt) & 0xff).toInt) }
+      }
+      put(256) // clear
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        put(b & 0xff)
+        if (i > 0) {
+          nextCode += 1
+          if (width < 12 && nextCode == (1 << width) - e) width += 1
+        }
+      }
+      put(257) // EOD
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      out.toByteArray
+    }
+    val vec = Array.tabulate[Byte](300)(i => ((i * 7) % 256).toByte)
+    assert(LenientFilters.lzwDecode(handStream(vec, 0), 0).toSeq == vec.toSeq, "EC=0 hand vector")
+    assert(LenientFilters.lzwDecode(handStream(vec, 1), 1).toSeq == vec.toSeq, "EC=1 hand vector")
+    // cross-mode decode must NOT silently agree (misaligned widths)
+    val cross = try LenientFilters.lzwDecode(handStream(vec, 0), 1).toSeq
+                catch { case _: PdfParseException => Seq.empty }
+    assert(cross != vec.toSeq, "EC mismatch must not decode identically")
     // e2e: a PDF declaring /DecodeParms /EarlyChange 0 extracts via lenient
     val text = "EarlyChange zero document body " * 20
     val pdf = graft.pipeline.MiniPdf.synthesizeFiltered(text, "LZWDecode", lzwEarlyChange = 0)
