@@ -762,6 +762,18 @@ object SparkEntry {
         .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")
     }),
+    // NEAREST as-of (round 5): the closest purchase in EITHER direction,
+    // backward winning second-truncated ties — completes the
+    // backward/forward/nearest family; oracle composes DuckDB's two
+    // directional ASOF joins with the same tie rule.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofNearest(ev, purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
     // RANGE join: events falling inside [purchase, purchase + 30min] windows of
     // the same user, counted per purchase. Bucketed equi-join under the hood
     // (no per-key nested loop); plain inclusive BETWEEN join is the oracle.
@@ -1365,6 +1377,19 @@ object SparkEntry {
       ("SELECT a.event_id, b.value AS asof_value FROM events a " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
         "ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id"),
+    // nearest twin: the two directional ASOF joins composed with the engine's
+    // tie rule — backward wins when it exists and its SECOND-truncated
+    // distance (epoch_ms // 1000, mirroring unix_timestamp) is <= forward's
+    "q_asof_nearest" ->
+      ("WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "bk AS (SELECT a.event_id, a.ts, b.ts AS bts, b.value AS bval FROM events a " +
+        "ASOF LEFT JOIN p b ON a.user_id = b.user_id AND a.ts >= b.ts), " +
+        "fw AS (SELECT a.event_id, f.ts AS fts, f.value AS fval FROM events a " +
+        "ASOF LEFT JOIN p f ON a.user_id = f.user_id AND a.ts <= f.ts) " +
+        "SELECT bk.event_id, CASE WHEN bts IS NOT NULL AND (fts IS NULL OR " +
+        "(epoch_ms(bk.ts) // 1000 - epoch_ms(bts) // 1000) <= " +
+        "(epoch_ms(fts) // 1000 - epoch_ms(bk.ts) // 1000)) THEN bval ELSE fval END AS asof_value " +
+        "FROM bk JOIN fw USING (event_id) ORDER BY bk.event_id"),
     // the tolerance compare is SECOND-truncated on the Spark side (epoch
     // seconds ride in the carried struct), so the oracle truncates identically
     // via epoch_ms // 1000

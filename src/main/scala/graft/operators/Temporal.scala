@@ -171,6 +171,45 @@ object Temporal {
       .unionByName(nullKeyLeft)
   }
 
+  /** NEAREST-direction AS-OF join (round 5 — completes the
+    * backward/forward/nearest family Polars/pandas expose): attach the right
+    * row whose timestamp is CLOSEST to each left row's, in either direction;
+    * backward wins exact-distance ties (the conventional stale-before-future
+    * preference). Composed from the two directional passes — each one the
+    * time-sliced skew-proof plan — with the matched timestamps carried
+    * through `valueCols` and compared per row; `toleranceSec` bounds the
+    * distance on both sides. Scale shape: exactly two asofJoin plans plus a
+    * narrow per-row projection, no additional shuffle.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_",
+      sliceSec: Long = 21600L,
+      toleranceSec: Option[Long] = None
+  ): DataFrame = {
+    require(!valueCols.contains(tsCol),
+      s"valueCols must not include $tsCol (the matched timestamp is carried internally)")
+    val leftCols = left.columns.toSeq
+    val vcs = valueCols :+ tsCol
+    val back = asofJoin(left, right, key, tsCol, vcs, prefix = "__b_",
+      sliceSec = sliceSec, toleranceSec = toleranceSec)
+    val both = asofJoin(back, right, key, tsCol, vcs, prefix = "__f_",
+      sliceSec = sliceSec, toleranceSec = toleranceSec, forward = true)
+    val sec = epochSec(left.schema(tsCol).dataType, col(tsCol))
+    val bSec = epochSec(right.schema(tsCol).dataType, col(s"__b_$tsCol"))
+    val fSec = epochSec(right.schema(tsCol).dataType, col(s"__f_$tsCol"))
+    // backward wins when it exists and (forward missing OR backward at least
+    // as close); NULL arithmetic keeps missing sides out naturally
+    val backWins = col(s"__b_$tsCol").isNotNull &&
+      (col(s"__f_$tsCol").isNull || (sec - bSec) <= (fSec - sec))
+    both.select(leftCols.map(col) ++ valueCols.map(c =>
+      when(backWins, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"$prefix$c")): _*)
+  }
+
   /** Trailing-window (RANGE-frame) aggregates, time-sliced: for every row,
     * aggregate over the same key's rows with `ts` in `[ts - windowSec, ts]`
     * (inclusive both ends — exactly a SQL

@@ -821,6 +821,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asofNearest: closest right row either direction, backward wins ties, tolerance bounds both") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // exact tie at distance 50 -> backward (v=1.0); forward closer -> 9.0;
+    // backward only -> 1.0; no match inside tolerance -> null
+    val left = Seq((1L, 10L, ts(100)), (1L, 11L, ts(149)), (1L, 12L, ts(400)), (2L, 20L, ts(500)))
+      .toDF("k", "eid", "ts")
+    val right = Seq((1L, ts(50), 1.0), (1L, ts(150), 9.0), (2L, ts(5000), 7.0))
+      .toDF("k", "ts", "v")
+    val got = Temporal.asofNearest(left, right, "k", "ts", Seq("v"))
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(10L -> Some(1.0), 11L -> Some(9.0), 12L -> Some(9.0), 20L -> Some(7.0)),
+      s"got $got")
+    val gotTol = Temporal.asofNearest(left, right, "k", "ts", Seq("v"), toleranceSec = Some(100L))
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(gotTol(20L).isEmpty && gotTol(10L) == Some(1.0), s"got $gotTol")
+    // brute-force parity on a dense random set across slice boundaries
+    val rnd = new scala.util.Random(41)
+    val ls = (0 until 300).map(i => (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(5000))))
+    val rs = (0 until 40).map(i => (rnd.nextInt(3).toLong, ts(rnd.nextInt(5000)), i.toDouble))
+    val gotD = Temporal.asofNearest(ls.toDF("k", "eid", "ts"), rs.toDF("k", "ts", "v"),
+      "k", "ts", Seq("v"), sliceSec = 400L)
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    val expected = ls.map { case (k, eid, t) =>
+      val cand = rs.filter(_._1 == k)
+      val back = cand.filter(r => !r._2.after(t)).sortBy(-_._2.getTime).headOption
+      val fwd = cand.filter(r => !r._2.before(t)).sortBy(_._2.getTime).headOption
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          val db = t.getTime / 1000 - b._2.getTime / 1000
+          val df = f._2.getTime / 1000 - t.getTime / 1000
+          if (db <= df) Some(b._3) else Some(f._3)
+        case (Some(b), None) => Some(b._3)
+        case (None, Some(f)) => Some(f._3)
+        case _               => None
+      }
+      eid -> pick
+    }.toMap
+    assert(gotD == expected,
+      s"diff ${(gotD.toSet diff expected.toSet).take(4)} vs ${(expected.toSet diff gotD.toSet).take(4)}")
+  }
+
   test("rollingAgg: parity with the plain RANGE-frame window across slice widths") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
