@@ -1378,8 +1378,10 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
         "ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id"),
     // nearest twin: the two directional ASOF joins composed with the engine's
-    // tie rule — backward wins when it exists and its SECOND-truncated
-    // distance (epoch_ms // 1000, mirroring unix_timestamp) is <= forward's
+    // tie rule — backward wins when it exists and its MILLISECOND distance
+    // (epoch_ms, mirroring unix_millis) is <= forward's. NOTE: the JOIN
+    // USING (event_id) recomposition assumes event_id is the events table's
+    // unique key (the generator's contract; every driver table keys its id)
     "q_asof_nearest" ->
       ("WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
         "bk AS (SELECT a.event_id, a.ts, b.ts AS bts, b.value AS bval FROM events a " +
@@ -1387,8 +1389,8 @@ object SparkEntry {
         "fw AS (SELECT a.event_id, f.ts AS fts, f.value AS fval FROM events a " +
         "ASOF LEFT JOIN p f ON a.user_id = f.user_id AND a.ts <= f.ts) " +
         "SELECT bk.event_id, CASE WHEN bts IS NOT NULL AND (fts IS NULL OR " +
-        "(epoch_ms(bk.ts) // 1000 - epoch_ms(bts) // 1000) <= " +
-        "(epoch_ms(fts) // 1000 - epoch_ms(bk.ts) // 1000)) THEN bval ELSE fval END AS asof_value " +
+        "(epoch_ms(bk.ts) - epoch_ms(bts)) <= (epoch_ms(fts) - epoch_ms(bk.ts))) " +
+        "THEN bval ELSE fval END AS asof_value " +
         "FROM bk JOIN fw USING (event_id) ORDER BY bk.event_id"),
     // the tolerance compare is SECOND-truncated on the Spark side (epoch
     // seconds ride in the carried struct), so the oracle truncates identically

@@ -16,6 +16,17 @@ object Temporal {
     case _                                => c.cast("long")
   }
 
+  /** Epoch MILLISECONDS — for distance comparisons that must not lose
+    * sub-second precision (asofNearest). NTZ routes through a cast to
+    * TIMESTAMP, an identity shift under the engine's UTC sessions (every
+    * SparkSession this engine builds pins spark.sql.session.timeZone=UTC).
+    */
+  private def epochMs(dt: DataType, c: Column): Column = dt match {
+    case TimestampType    => unix_millis(c)
+    case TimestampNTZType => unix_millis(c.cast("timestamp"))
+    case _                => c.cast("long") * 1000
+  }
+
   /** AS-OF join: for every left row, attach the values of the LATEST right row
     * with `ts_right <= ts_left` for the same key (point-in-time lookup; left
     * rows with no prior right row get nulls). Spark has no native ASOF
@@ -177,9 +188,12 @@ object Temporal {
     * backward wins exact-distance ties (the conventional stale-before-future
     * preference). Composed from the two directional passes — each one the
     * time-sliced skew-proof plan — with the matched timestamps carried
-    * through `valueCols` and compared per row; `toleranceSec` bounds the
-    * distance on both sides. Scale shape: exactly two asofJoin plans plus a
-    * narrow per-row projection, no additional shuffle.
+    * through `valueCols` and compared per row at MILLISECOND precision (the
+    * sub-second row must not lose to a truncation artifact); backward wins
+    * exact-millisecond ties. `toleranceSec` bounds the distance on both
+    * sides (second-granular, like the directional passes). Scale shape:
+    * exactly two asofJoin plans plus a narrow per-row projection, no
+    * additional shuffle.
     */
   def asofNearest(
       left: DataFrame,
@@ -193,15 +207,17 @@ object Temporal {
   ): DataFrame = {
     require(!valueCols.contains(tsCol),
       s"valueCols must not include $tsCol (the matched timestamp is carried internally)")
+    require(!left.columns.exists(c => c.startsWith("__b_") || c.startsWith("__f_")),
+      "__b_*/__f_* are reserved working prefixes (chain through a rename first)")
     val leftCols = left.columns.toSeq
     val vcs = valueCols :+ tsCol
     val back = asofJoin(left, right, key, tsCol, vcs, prefix = "__b_",
       sliceSec = sliceSec, toleranceSec = toleranceSec)
     val both = asofJoin(back, right, key, tsCol, vcs, prefix = "__f_",
       sliceSec = sliceSec, toleranceSec = toleranceSec, forward = true)
-    val sec = epochSec(left.schema(tsCol).dataType, col(tsCol))
-    val bSec = epochSec(right.schema(tsCol).dataType, col(s"__b_$tsCol"))
-    val fSec = epochSec(right.schema(tsCol).dataType, col(s"__f_$tsCol"))
+    val sec = epochMs(left.schema(tsCol).dataType, col(tsCol))
+    val bSec = epochMs(right.schema(tsCol).dataType, col(s"__b_$tsCol"))
+    val fSec = epochMs(right.schema(tsCol).dataType, col(s"__f_$tsCol"))
     // backward wins when it exists and (forward missing OR backward at least
     // as close); NULL arithmetic keeps missing sides out naturally
     val backWins = col(s"__b_$tsCol").isNotNull &&

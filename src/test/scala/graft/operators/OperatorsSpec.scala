@@ -850,8 +850,8 @@ class OperatorsSpec extends AnyFunSuite {
       val fwd = cand.filter(r => !r._2.before(t)).sortBy(_._2.getTime).headOption
       val pick = (back, fwd) match {
         case (Some(b), Some(f)) =>
-          val db = t.getTime / 1000 - b._2.getTime / 1000
-          val df = f._2.getTime / 1000 - t.getTime / 1000
+          val db = t.getTime - b._2.getTime // millisecond distances
+          val df = f._2.getTime - t.getTime
           if (db <= df) Some(b._3) else Some(f._3)
         case (Some(b), None) => Some(b._3)
         case (None, Some(f)) => Some(f._3)
