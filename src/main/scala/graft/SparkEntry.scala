@@ -374,7 +374,15 @@ object SparkEntry {
     // data-mixture pipeline runs: best-N-per-source under a token budget.
     "q_training_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
+      // the keeper stage below re-joins `documents` (the SQL twin's kd CTE does
+      // the same), which is only equivalent to joining the union if no planted
+      // id collides with a real one — pin the generator's doc_id < 10000
+      // contract with a LOAD-BEARING per-row guard (it computes the offset, so
+      // column pruning cannot silently drop it; a collision fails loudly)
+      val guardedOffset = when(col("doc_id") < 10000, lit(10000L))
+        .otherwise(raise_error(lit(
+          "q_training_mix planted-dupe contract violated: generator doc_id >= 10000")))
+      val dupes = docs.union(docs.select(col("doc_id") + guardedOffset, col("text")))
       val keepers = Dedup.exact(dupes, "text", "doc_id")
         .join(dupes, col("keeper_id") === col("doc_id"))
         .select(col("doc_id"), col("text"))
@@ -1378,8 +1386,8 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b " +
         "ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id"),
     // nearest twin: the two directional ASOF joins composed with the engine's
-    // tie rule — backward wins when it exists and its MILLISECOND distance
-    // (epoch_ms, mirroring unix_millis) is <= forward's. NOTE: the JOIN
+    // tie rule — backward wins when it exists and its MICROSECOND distance
+    // (epoch_us, mirroring unix_micros) is <= forward's. NOTE: the JOIN
     // USING (event_id) recomposition assumes event_id is the events table's
     // unique key (the generator's contract; every driver table keys its id)
     "q_asof_nearest" ->
@@ -1389,7 +1397,7 @@ object SparkEntry {
         "fw AS (SELECT a.event_id, f.ts AS fts, f.value AS fval FROM events a " +
         "ASOF LEFT JOIN p f ON a.user_id = f.user_id AND a.ts <= f.ts) " +
         "SELECT bk.event_id, CASE WHEN bts IS NOT NULL AND (fts IS NULL OR " +
-        "(epoch_ms(bk.ts) - epoch_ms(bts)) <= (epoch_ms(fts) - epoch_ms(bk.ts))) " +
+        "(epoch_us(bk.ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(bk.ts))) " +
         "THEN bval ELSE fval END AS asof_value " +
         "FROM bk JOIN fw USING (event_id) ORDER BY bk.event_id"),
     // the tolerance compare is SECOND-truncated on the Spark side (epoch

@@ -579,16 +579,15 @@ object PdfInfo {
     * projection, so encrypted-document metadata reads as plaintext instead of
     * ciphertext garbage.
     *
-    * Byte recovery from the parsed PStr: a ciphertext that failed strict
-    * UTF-8 was decoded byte-preserving (ISO-8859-1, ObjParser.litStr) and
-    * reverses exactly; one that strict-decoded to chars ABOVE U+00FF can only
-    * have come from the UTF-8 decode, so UTF-8 re-encode reverses it. The one
-    * ambiguous corner — random ciphertext that is VALID multibyte UTF-8 whose
-    * decoded chars all fit in U+0080..U+00FF — is unrecoverable from the
-    * String form and decrypts wrong (lossy metadata, never text; odds are a
-    * few in a million per string). Decrypted PLAINTEXT re-decodes through the
-    * same strict-UTF-8-else-byte-preserving policy as unencrypted strings, so
-    * an encrypted UTF-8 title matches its unencrypted twin exactly.
+    * Byte recovery from the parsed PStr is EXACT (round 6): under a
+    * strings-encrypting decryptor, ObjParser.litStr decodes every literal
+    * string byte-preserving (ISO-8859-1) unconditionally — ciphertext never
+    * routes through a UTF-8 decode it might accidentally survive — so
+    * `s.getBytes(ISO_8859_1)` always recovers the exact ciphertext (the old
+    * heuristic's ambiguous valid-multibyte-UTF-8 corner is gone). Decrypted
+    * PLAINTEXT re-decodes through the same strict-UTF-8-else-byte-preserving
+    * policy as unencrypted strings, so an encrypted UTF-8 title matches its
+    * unencrypted twin exactly.
     */
   def parseAt(ctx: Ctx, at: Int, obj: Int, gen: Int): PdfInfo =
     ObjParser.parseAt(ctx, at) match {
@@ -597,10 +596,9 @@ object PdfInfo {
           case Some(dec) =>
             from(d.map {
               case (k, PStr(s)) =>
-                val cipher =
-                  if (s.exists(_ > '\u00ff'))
-                    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                  else s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                // exact ciphertext: litStr decoded it byte-preserving under
+                // this ctx's strings-encrypting decryptor (see its scaladoc)
+                val cipher = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
                 (k, PStr(ObjParser.lenientStr(dec.decryptString(obj, gen, cipher))))
               case (k, PHexStr(b)) => (k, PHexStr(dec.decryptString(obj, gen, b)))
               case kv => kv

@@ -161,11 +161,24 @@ object ObjParser {
     * byte-preserving ISO-8859-1 decode instead of failing the document: an
     * ENCRYPTED document's literal strings are binary ciphertext (almost never
     * valid UTF-8), and the string decryptor needs the exact bytes back
-    * (`PStr.getBytes(ISO_8859_1)` round-trips them). Valid-UTF-8 strings
-    * decode identically in both modes.
+    * (`PStr.getBytes(ISO_8859_1)` round-trips them).
+    *
+    * When a STRINGS-ENCRYPTING decryptor is in force on this ctx (lenient,
+    * /StrF not Identity), every literal string this parser sees is ciphertext
+    * by definition — the one context that parses plaintext strings of such a
+    * document (an Info materialized out of an ObjStm, where strings are never
+    * individually encrypted) runs under a decrypt-free ctx
+    * (PdfExtract.readInfo). So ciphertext decodes byte-preserving
+    * UNCONDITIONALLY, round-6 fix: the old strict-UTF-8-first policy was
+    * ambiguous for ciphertext that happens to be valid multibyte UTF-8 whose
+    * chars all fit U+0080..U+00FF — the String form lost which decode
+    * produced it and PdfInfo's byte recovery silently decrypted wrong.
     */
   private def litStr(ctx: Ctx, bytes: Array[Byte]): String =
-    if (!ctx.lenient) Utf8.strict(bytes) else lenientStr(bytes)
+    if (!ctx.lenient) Utf8.strict(bytes)
+    else if (ctx.decrypt.exists(_.strings))
+      new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    else lenientStr(bytes)
 
   /** The lenient decode policy alone (strict UTF-8, else byte-preserving) —
     * also used to re-decode DECRYPTED string plaintext (PdfInfo), so an

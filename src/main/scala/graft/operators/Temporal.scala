@@ -16,15 +16,17 @@ object Temporal {
     case _                                => c.cast("long")
   }
 
-  /** Epoch MILLISECONDS — for distance comparisons that must not lose
-    * sub-second precision (asofNearest). NTZ routes through a cast to
+  /** Epoch MICROSECONDS — the full precision a Spark timestamp carries — for
+    * distance comparisons that must not lose sub-millisecond resolution
+    * (asofNearest; round-6 upgrade from unix_millis, which let two rows whose
+    * distances differ only below 1ms tie). NTZ routes through a cast to
     * TIMESTAMP, an identity shift under the engine's UTC sessions (every
     * SparkSession this engine builds pins spark.sql.session.timeZone=UTC).
     */
-  private def epochMs(dt: DataType, c: Column): Column = dt match {
-    case TimestampType    => unix_millis(c)
-    case TimestampNTZType => unix_millis(c.cast("timestamp"))
-    case _                => c.cast("long") * 1000
+  private def epochMicros(dt: DataType, c: Column): Column = dt match {
+    case TimestampType    => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast("timestamp"))
+    case _                => c.cast("long") * 1000000L
   }
 
   /** AS-OF join: for every left row, attach the values of the LATEST right row
@@ -98,6 +100,11 @@ object Temporal {
     require(!valueCols.contains("__rts"), "__rts is reserved for the tolerance carry field")
     toleranceSec.foreach(t => require(t >= 0, "toleranceSec must be nonnegative"))
     val leftCols = left.columns.toSeq
+    // output-name collision guard: a chained second asof pass with the same
+    // prefix would otherwise SILENTLY emit duplicate column names
+    valueCols.foreach(c => require(!leftCols.contains(s"$prefix$c"),
+      s"left already has a column named $prefix$c — pick a different prefix " +
+        "(or rename) before chaining asof passes"))
     // ONLY with a tolerance bound, the matched row's own epoch-second
     // timestamp rides as the struct's first field so the post-filter can see
     // WHICH row was attached; without one, the struct (and the whole plan)
@@ -188,9 +195,10 @@ object Temporal {
     * backward wins exact-distance ties (the conventional stale-before-future
     * preference). Composed from the two directional passes — each one the
     * time-sliced skew-proof plan — with the matched timestamps carried
-    * through `valueCols` and compared per row at MILLISECOND precision (the
-    * sub-second row must not lose to a truncation artifact); backward wins
-    * exact-millisecond ties. `toleranceSec` bounds the distance on both
+    * through `valueCols` and compared per row at MICROSECOND precision — the
+    * full resolution a Spark timestamp carries, so no truncation artifact can
+    * flip the winner; backward wins exact-microsecond ties. `toleranceSec`
+    * bounds the distance on both
     * sides (second-granular, like the directional passes). Scale shape:
     * exactly two asofJoin plans plus a narrow per-row projection, no
     * additional shuffle.
@@ -210,14 +218,17 @@ object Temporal {
     require(!left.columns.exists(c => c.startsWith("__b_") || c.startsWith("__f_")),
       "__b_*/__f_* are reserved working prefixes (chain through a rename first)")
     val leftCols = left.columns.toSeq
+    valueCols.foreach(c => require(!leftCols.contains(s"$prefix$c"),
+      s"left already has a column named $prefix$c — pick a different prefix " +
+        "(or rename) before chaining asof passes"))
     val vcs = valueCols :+ tsCol
     val back = asofJoin(left, right, key, tsCol, vcs, prefix = "__b_",
       sliceSec = sliceSec, toleranceSec = toleranceSec)
     val both = asofJoin(back, right, key, tsCol, vcs, prefix = "__f_",
       sliceSec = sliceSec, toleranceSec = toleranceSec, forward = true)
-    val sec = epochMs(left.schema(tsCol).dataType, col(tsCol))
-    val bSec = epochMs(right.schema(tsCol).dataType, col(s"__b_$tsCol"))
-    val fSec = epochMs(right.schema(tsCol).dataType, col(s"__f_$tsCol"))
+    val sec = epochMicros(left.schema(tsCol).dataType, col(tsCol))
+    val bSec = epochMicros(right.schema(tsCol).dataType, col(s"__b_$tsCol"))
+    val fSec = epochMicros(right.schema(tsCol).dataType, col(s"__f_$tsCol"))
     // backward wins when it exists and (forward missing OR backward at least
     // as close); NULL arithmetic keeps missing sides out naturally
     val backWins = col(s"__b_$tsCol").isNotNull &&

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * compacted) — the rerun guard refuses with exact instructions; after the
   * second rename only `.data_old` cleanup remains. At every instant at
   * least one full copy exists on disk.
+  *
+  * Verification reads METADATA only: the pre-swap row-parity check sums the
+  * compacted files' parquet FOOTER row counts (block metadata written by the
+  * committed tasks — exact by the format's contract) in a distributed
+  * footer-per-task pass, so the table's data pages are scanned once for the
+  * rewrite and never again.
   */
 object Compaction {
 
@@ -84,8 +90,27 @@ object Compaction {
     visibleParquets().foreach { st =>
       filesBefore += 1
       val parent = st.getPath.getParent.getName
-      if (parent.startsWith("shard=")) shardBytesM(parent.stripPrefix("shard=").toInt) += st.getLen
+      if (parent.startsWith("shard=")) {
+        val sid =
+          try parent.stripPrefix("shard=").toInt
+          catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              s"compaction: unexpected partition directory '$parent' under $dataPath — " +
+                "expected shard=<int> (is this really an extraction output dir?)", e)
+          }
+        shardBytesM(sid) += st.getLen
+      }
     }
+    // fail fast BEFORE any read: a data dir without shard= partition dirs
+    // would silently size to one bucket and then fail only at write time
+    // (partitionBy("shard")) after a full scan
+    if (filesBefore == 0L)
+      throw new IllegalArgumentException(
+        s"compaction: no parquet data files under $dataPath — nothing to compact")
+    if (shardBytesM.isEmpty)
+      throw new IllegalArgumentException(
+        s"compaction: no shard=<int> partition directories under $dataPath — " +
+          "compactOutput only operates on shard-partitioned extraction output")
     val shardBytes = shardBytesM.toMap
     val totalBytes = math.max(1L, shardBytes.values.sum)
 
@@ -109,7 +134,45 @@ object Compaction {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy("shard").parquet(tmpPath.toString)
-    val nRows = spark.read.parquet(tmpPath.toString).count()
+    // row-parity check from PARQUET FOOTERS ONLY (round 6 — replaces a third
+    // full data scan): each footer's block metadata carries exact row counts,
+    // so the verification reads a few KB per compacted file instead of the
+    // table. Distributed (one task per footer) so even a million-file table
+    // verifies at cluster width; the conf travels as a plain key-value list
+    // (hadoop Configuration is not serializable).
+    val nRows = {
+      val paths = {
+        val it = fs.listFiles(tmpPath, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath
+          if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+              !p.getName.startsWith(".") && !p.toString.contains("/_temporary/"))
+            b += p.toString
+        }
+        b.result()
+      }
+      val confEntries = {
+        val c = spark.sparkContext.hadoopConfiguration
+        val b = Seq.newBuilder[(String, String)]
+        val e = c.iterator()
+        while (e.hasNext) { val kv = e.next(); b += (kv.getKey -> kv.getValue) }
+        b.result()
+      }
+      spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+        .mapPartitions { ps =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          ps.map { p =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+            try rd.getRecordCount finally rd.close()
+          }
+        }
+        .fold(0L)(_ + _)
+    }
     if (nRows != nRowsBefore) {
       fs.delete(tmpPath, true)
       throw new IllegalStateException(

@@ -12,9 +12,9 @@ rule in either side breaks the match.
 Usage: sbt -batch "runMain graft.tools.Hash2BVectors" 2>/dev/null | \
        sed 's/^\\[info\\] //' | grep -P '^\\S+\\t' | python3 tools/hash2b_check.py
 
-Recorded agreement (2026-08-17, round 5): 8/8 OK over the full matrix —
-empty/ascii/long(127B)/binary/utf8ish passwords, zero and patterned salts,
-empty and 48-byte /U udata.
+Recorded agreement (2026-08-17, round 5): 9/9 OK over the full matrix —
+empty/ascii/long(127B)/overlong(200B, truncates to 127)/binary/utf8ish
+passwords, zero and patterned salts, empty and 48-byte /U udata.
 """
 import sys
 import hashlib
