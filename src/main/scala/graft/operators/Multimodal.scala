@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * PIXEL decode is real for every format the JDK's built-in `javax.imageio`
   * registers (PNG/JPEG/TIFF/BMP/GIF — no external codec library needed): see
   * [[decodePixels]]; AUDIO SAMPLE decode is real for WAV/PCM-16
-  * ([[decodeWavSamples]] — pure byte reads). Only MP4 FRAME decode remains
-  * stubbed (`decodeStub` — the JDK genuinely ships no video codec), standing
-  * in as a deterministic fake with the real Spark-side plumbing: binary column
-  * schema, batch-shaped partition iteration, feature output shape,
-  * partitioning.
+  * ([[decodeWavSamples]] — pure byte reads); MP4 FRAME METADATA (frame count,
+  * duration, timescale from the stsz/stts/mdhd sample tables) is real too
+  * ([[mp4FrameMeta]] — round 6). Only MP4 frame PIXEL decode (actual video
+  * decoding) remains stubbed (`decodeStub` — the JDK genuinely ships no video
+  * codec), standing in as a deterministic fake with the real Spark-side
+  * plumbing: binary column schema, batch-shaped partition iteration, feature
+  * output shape, partitioning.
   */
 object Multimodal {
 
@@ -138,28 +140,31 @@ object Multimodal {
   private def wavMeta(b: Array[Byte]): Option[(Int, Int, Int)] =
     wavChunks(b).map(c => (c.rate, c.channels, c.dataLen / c.blockAlign))
 
+  /** Find a child box named `name` inside [from, to); returns
+    * (payloadStart, payloadEnd) — shared by the tkhd dim walk and the
+    * stsz/stts frame-metadata walk.
+    */
+  private def mp4Child(b: Array[Byte], name: String, from: Int, to: Int): Option[(Int, Int)] = {
+    var pos = from
+    while (pos + 8 <= to) {
+      val size = be32(b, pos)
+      if (size < 8 || pos + size > to) return None
+      val id = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (id == name) return Some((pos + 8, pos + size))
+      pos += size
+    }
+    None
+  }
+
   /** MP4/ISO-BMFF video dims via a real box walk: moov -> trak -> tkhd, whose
     * v0/v1 payload ends in 16.16 fixed-point track width/height
-    * (ISO 14496-12 §8.3.2). frames stays 1 (frame COUNT lives in stbl sample
-    * tables — out of header-metadata scope).
+    * (ISO 14496-12 §8.3.2).
     */
   private def mp4Dims(b: Array[Byte]): Option[(Int, Int)] = {
-    // find a child box named `name` inside [from, to); returns (payloadStart, payloadEnd)
-    def child(name: String, from: Int, to: Int): Option[(Int, Int)] = {
-      var pos = from
-      while (pos + 8 <= to) {
-        val size = be32(b, pos)
-        if (size < 8 || pos + size > to) return None
-        val id = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        if (id == name) return Some((pos + 8, pos + size))
-        pos += size
-      }
-      None
-    }
     for {
-      (moovS, moovE) <- child("moov", 0, b.length)
-      (trakS, trakE) <- child("trak", moovS, moovE)
-      (tkhdS, tkhdE) <- child("tkhd", trakS, trakE)
+      (moovS, moovE) <- mp4Child(b, "moov", 0, b.length)
+      (trakS, trakE) <- mp4Child(b, "trak", moovS, moovE)
+      (tkhdS, tkhdE) <- mp4Child(b, "tkhd", trakS, trakE)
       version = u8(b, tkhdS)
       // v0: 4 flags + 20 times/ids + 8 reserved + 8 layer/group/vol + 36 matrix
       // = 76 bytes before width; v1 carries 64-bit times (+12)
@@ -169,6 +174,65 @@ object Multimodal {
       h = be32(b, wOff + 4) >>> 16
       if w > 0 && h > 0
     } yield (w, h)
+  }
+
+  /** REAL MP4 frame METADATA — no codec needed (round 6, closes the last
+    * `partial`): the frame count and total duration live in plain big-endian
+    * sample tables inside `moov -> trak -> mdia -> minf -> stbl`
+    * (ISO 14496-12):
+    *  - `stsz` §8.7.3: sample_count u32 = the track's FRAME count,
+    *  - `stts` §8.6.1.2: entry_count x (sample_count, sample_delta) u32
+    *    pairs; total duration = sum(count * delta) in media time units,
+    *  - `mdhd` §8.4.2: the media timescale (units per second), v0/v1 layouts.
+    * Only frame PIXEL decode (actual video decoding) remains behind
+    * [[decodeStub]] — the JDK ships no video codec. Structural corruption
+    * (truncated boxes, entry tables past the box end, hostile counts) returns
+    * None — bounds-checked byte reads, per the pipeline's never-fail-a-row
+    * contract.
+    */
+  final case class Mp4Frames(nFrames: Int, durationUnits: Long, timescale: Int)
+
+  def mp4FrameMeta(b: Array[Byte]): Option[Mp4Frames] = {
+    if (!isMp4(b)) return None
+    def mdhdTimescale(s: Int, e: Int): Option[Int] = {
+      val off = s + (if (u8(b, s) == 1) 20 else 12) // v1: 64-bit create/modify times
+      if (off + 4 <= e) Some(be32(b, off)).filter(_ > 0) else None
+    }
+    def sttsDuration(s: Int, e: Int): Option[Long] = {
+      if (s + 8 > e) return None
+      val entries = be32(b, s + 4)
+      // hostile entry_count: the table must FIT inside the box
+      if (entries < 0 || s + 8 + entries.toLong * 8 > e) return None
+      var total = 0L
+      var i = 0
+      while (i < entries) {
+        val cnt = be32(b, s + 8 + i * 8).toLong & 0xffffffffL
+        val delta = be32(b, s + 12 + i * 8).toLong & 0xffffffffL
+        total += cnt * delta
+        i += 1
+      }
+      Some(total)
+    }
+    def stszCount(s: Int, e: Int): Option[Int] = {
+      if (s + 12 > e) return None
+      val n = be32(b, s + 8)
+      if (n < 0) None else Some(n)
+    }
+    try {
+      for {
+        (moovS, moovE) <- mp4Child(b, "moov", 0, b.length)
+        (trakS, trakE) <- mp4Child(b, "trak", moovS, moovE)
+        (mdiaS, mdiaE) <- mp4Child(b, "mdia", trakS, trakE)
+        (mdhdS, mdhdE) <- mp4Child(b, "mdhd", mdiaS, mdiaE)
+        (minfS, minfE) <- mp4Child(b, "minf", mdiaS, mdiaE)
+        (stblS, stblE) <- mp4Child(b, "stbl", minfS, minfE)
+        (sttsS, sttsE) <- mp4Child(b, "stts", stblS, stblE)
+        (stszS, stszE) <- mp4Child(b, "stsz", stblS, stblE)
+        ts <- mdhdTimescale(mdhdS, mdhdE)
+        dur <- sttsDuration(sttsS, sttsE)
+        nf <- stszCount(stszS, stszE)
+      } yield Mp4Frames(nf, dur, ts)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Integer statistics over REAL decoded 16-bit PCM samples — audio's
@@ -222,7 +286,11 @@ object Multimodal {
         if (isPng(payload)) pngDims(payload).map { case (w, h) => (w, h, 1) }
         else if (isJpeg(payload)) jpegDims(payload).map { case (w, h) => (w, h, 1) }
         else if (isWav(payload)) wavMeta(payload)
-        else if (isMp4(payload)) mp4Dims(payload).map { case (w, h) => (w, h, 1) }
+        else if (isMp4(payload)) mp4Dims(payload).map { case (w, h) =>
+          // frame count from the stbl sample tables when the container carries
+          // them (round 6); headers without an stbl keep frames = 1
+          (w, h, mp4FrameMeta(payload).map(_.nFrames).getOrElse(1))
+        }
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     meta match {
@@ -339,6 +407,77 @@ object Multimodal {
     wbe32(8 + tail.length); tag("mdat")
     out.write(tail, 0, tail.length)
     out.toByteArray
+  }
+
+  /** MP4 envelope WITH sample tables, fixed layout (round 6): the tkhd block
+    * of [[mp4Envelope]] (dims at bytes 116/120) followed by
+    * `mdia > mdhd + minf > stbl > stts + stsz`. stts carries TWO entries so
+    * the duration walk really sums `count*delta` pairs; stsz uses a uniform
+    * nonzero sample_size, so no per-sample table follows and every field sits
+    * at a FIXED byte offset a SQL oracle can read: mdhd timescale @152,
+    * stts (n1,d1,n2,d2) @196/200/204/208, stsz sample_count @228 (all BE32);
+    * mdat starts at 232. The decoder still does the real nested box walk.
+    */
+  def mp4EnvelopeFrames(width: Int, height: Int, timescale: Int,
+                        n1: Int, d1: Int, n2: Int, d2: Int,
+                        tail: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wbe32(v: Int): Unit = { out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    wbe32(16); tag("ftyp"); tag("isom"); wbe32(0)
+    val tkhdSize = 8 + 84
+    val mdhdSize = 8 + 24
+    val sttsSize = 8 + 8 + 16 // version/flags + entry_count + 2 entries
+    val stszSize = 8 + 12
+    val stblSize = 8 + sttsSize + stszSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + mdhdSize + minfSize
+    val trakSize = 8 + tkhdSize + mdiaSize
+    val moovSize = 8 + trakSize
+    wbe32(moovSize); tag("moov")
+    wbe32(trakSize); tag("trak")
+    wbe32(tkhdSize); tag("tkhd")
+    wbe32(0x00000007) // version 0, flags: enabled|in-movie|in-preview
+    wbe32(0); wbe32(0); wbe32(1); wbe32(0); wbe32(0) // times, track 1, reserved, duration
+    wbe32(0); wbe32(0) // reserved[2]
+    wbe32(0); wbe32(0) // layer/alt-group, volume/reserved
+    wbe32(0x00010000); wbe32(0); wbe32(0)
+    wbe32(0); wbe32(0x00010000); wbe32(0)
+    wbe32(0); wbe32(0); wbe32(0x40000000)
+    wbe32(width << 16); wbe32(height << 16)
+    wbe32(mdiaSize); tag("mdia")
+    wbe32(mdhdSize); tag("mdhd")
+    wbe32(0) // version 0, flags
+    wbe32(0); wbe32(0) // creation/modification time
+    wbe32(timescale)
+    wbe32(n1 * d1 + n2 * d2) // mdhd duration (consistent with stts)
+    wbe32(0x55c40000) // language 'und', pre_defined
+    wbe32(minfSize); tag("minf")
+    wbe32(stblSize); tag("stbl")
+    wbe32(sttsSize); tag("stts")
+    wbe32(0); wbe32(2) // version/flags, entry_count
+    wbe32(n1); wbe32(d1); wbe32(n2); wbe32(d2)
+    wbe32(stszSize); tag("stsz")
+    wbe32(0); wbe32(777) // version/flags, uniform sample_size (no table)
+    wbe32(n1 + n2) // sample_count = frame count
+    wbe32(8 + tail.length); tag("mdat")
+    out.write(tail, 0, tail.length)
+    out.toByteArray
+  }
+
+  final case class Mp4FrameRow(doc_id: Long, n_frames: Int, duration_units: Long,
+                               timescale: Int)
+
+  /** Frame-metadata pipeline over a binary MP4 table: the real stsz/stts/mdhd
+    * walk per partition; rows without a readable sample table are dropped
+    * (callers route those through the header/stub path).
+    */
+  def decodeMp4Frames(media: Dataset[MediaRow]): Dataset[Mp4FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      mp4FrameMeta(r.payload).map(m =>
+        Mp4FrameRow(r.doc_id, m.nFrames, m.durationUnits, m.timescale))
+    })
   }
 
   /** Fully-decodable 8-bit GRAYSCALE PNG with pixel bytes at COMPUTABLE blob

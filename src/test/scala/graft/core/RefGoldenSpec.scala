@@ -1,0 +1,89 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** BYTE-EXACT parity against the REAL reference binary, all modes (round 6).
+  *
+  * Provenance: the sandbox previously could not build the Rust reference
+  * (crates.io unreachable, flate2 unresolvable), so goldens were limited to
+  * strings asserted inside the reference's own tests plus self-snapshots.
+  * Round 6 built the reference OFFLINE by vendoring a from-scratch RFC
+  * 1950/1951 inflate as a path-dependency stand-in for flate2 (stored + fixed
+  * + dynamic Huffman; validated against Python zlib on 160 random payloads
+  * and on all 398 zlib streams inside the five fixture PDFs — every byte
+  * identical), then captured `pdfrust --text/--chars/--font/--raw-content`
+  * stdout for every fixture. Recipe in BENCH.md round-6 notes.
+  *
+  * Captured outputs (gzipped under resources/refgolden) gate:
+  *  - Text / RawContent / CHARS: byte-exact. Chars was previously
+  *    non-goldenable on the assumption Rust float Display could not be
+  *    replicated; RustFmt.f32 now implements it exactly (shortest round-trip
+  *    decimal, ties away from zero — Num.scala), verified on ~300k formatted
+  *    matrices across these fixtures (5.2 MB of tracemonkey chars alone).
+  *  - Font: byte-exact MODULO block order. The reference iterates a Rust
+  *    HashMap whose per-process seed randomizes order (verified empirically:
+  *    three runs, three different outputs on tracemonkey), but the SET of
+  *    blank-line-separated font blocks is run-independent (verified across
+  *    reference runs); our deterministic sorted-key output matches that set
+  *    exactly.
+  *
+  * pdflatex-4-pages stays excluded: the reference binary exits 101 on it
+  * (xref-stream catalog stub), replicated by strict mode.
+  */
+class RefGoldenSpec extends AnyFunSuite {
+
+  private val dataDir = "/root/reference/data"
+  private val fixtures =
+    Seq("helloworld", "sample", "index", "002-trivial-libre-office-writer", "tracemonkey")
+
+  private def golden(name: String, kind: String): String = {
+    val in = getClass.getResourceAsStream(s"/refgolden/$name.$kind.txt.gz")
+    assert(in != null, s"missing golden resource $name.$kind")
+    val gz = new java.util.zip.GZIPInputStream(in)
+    try new String(gz.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally gz.close()
+  }
+
+  private def pdf(name: String): Pdf =
+    Pdf(Files.readAllBytes(Paths.get(dataDir, s"$name.pdf")))
+
+  // the captures are raw `println` stdout, so extract() + "\n"
+  private def out(name: String, mode: ExtractMode): String =
+    pdf(name).extract(mode) + "\n"
+
+  // The ToUnicodeCMap Debug inside a font block prints a Rust HashMap whose
+  // entry order is per-process random; normalize entries to numeric key order
+  // on both sides (our output already emits that order). Values in these
+  // fixtures are plain quoted chars — the length guard below fails loudly if
+  // a future fixture's cmap values (braces, quotes) defeat the regex.
+  private val cmapRe = """(?s)cmap: \{(.*?)\} \}""".r
+  private val entryRe = """(\d+): ('(?:\\.|[^'\\])')""".r
+  private def normalizeCmaps(s: String): String =
+    cmapRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val entries = entryRe.findAllMatchIn(body)
+        .map(e => (e.group(1).toInt, e.group(2))).toSeq
+      val rebuilt = entries.map { case (k, v) => s"$k: $v" }.mkString(", ")
+      assert(rebuilt.length == body.length, s"cmap normalizer lost content in: $body")
+      java.util.regex.Matcher.quoteReplacement(
+        "cmap: {" + entries.sortBy(_._1).map { case (k, v) => s"$k: $v" }.mkString(", ") + "} }")
+    })
+
+  fixtures.foreach { name =>
+    test(s"$name --text is byte-identical to the reference binary") {
+      assert(out(name, ExtractText) == golden(name, "text"))
+    }
+    test(s"$name --raw-content is byte-identical to the reference binary") {
+      assert(out(name, ExtractRawContent) == golden(name, "raw-content"))
+    }
+    test(s"$name --chars is byte-identical to the reference binary") {
+      assert(out(name, ExtractChars) == golden(name, "chars"))
+    }
+    test(s"$name --font matches the reference binary's font-block set") {
+      def blocks(s: String): Seq[String] = s.split("\n\n", -1).toSeq.sorted
+      assert(blocks(normalizeCmaps(out(name, ExtractFont))) ==
+        blocks(normalizeCmaps(golden(name, "font"))))
+    }
+  }
+}

@@ -542,6 +542,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decode(cutMp4) == Multimodal.decodeStub(cutMp4))
   }
 
+  test("multimodal: mp4FrameMeta walks stsz/stts/mdhd (round 6)") {
+    val tail = Array.fill(40)(0x37.toByte)
+    val b = Multimodal.mp4EnvelopeFrames(640, 360, 90000, 100, 3000, 20, 1500, tail)
+    // duration sums BOTH stts entries: 100*3000 + 20*1500
+    assert(Multimodal.mp4FrameMeta(b).contains(
+      Multimodal.Mp4Frames(120, 330000L, 90000)), s"got ${Multimodal.mp4FrameMeta(b)}")
+    // decode() now reports the stsz frame count for containers with an stbl
+    val meta = Multimodal.decode(b)
+    assert((meta.width, meta.height, meta.frames) == ((640, 360, 120)), s"decode: $meta")
+    // the tables-free envelope keeps frames = 1 (no mdia -> walk returns None)
+    assert(Multimodal.mp4FrameMeta(Multimodal.mp4Envelope(64, 48, tail)).isEmpty)
+    // v1 mdhd: 64-bit create/modify times shift the timescale by 8 bytes —
+    // patch version to 1 and splice 8 extra zero bytes into mdhd, fixing up
+    // the enclosing moov/trak/mdia/mdhd box sizes
+    val v1 = {
+      val base = b.clone()
+      def bump(off: Int): Unit = {
+        val size = java.nio.ByteBuffer.wrap(base, off, 4).getInt + 8
+        base(off) = (size >>> 24).toByte; base(off + 1) = (size >>> 16).toByte
+        base(off + 2) = (size >>> 8).toByte; base(off + 3) = size.toByte
+      }
+      bump(16); bump(24); bump(124); bump(132) // moov, trak, mdia, mdhd
+      // splice: [0,140) header, version=1 flags=0, 8-byte wide times x2 = 16,
+      // then timescale onward from the v0 layout (bytes 152..)
+      val o2 = new java.io.ByteArrayOutputStream()
+      o2.write(base, 0, 140)
+      o2.write(Array[Byte](1, 0, 0, 0), 0, 4) // version 1
+      o2.write(new Array[Byte](16), 0, 16)    // 64-bit creation/modification
+      o2.write(base, 152, base.length - 152)  // timescale..end unchanged
+      o2.toByteArray
+    }
+    assert(Multimodal.mp4FrameMeta(v1).contains(
+      Multimodal.Mp4Frames(120, 330000L, 90000)), s"v1 mdhd: ${Multimodal.mp4FrameMeta(v1)}")
+    // hostile stts entry_count (table would run past the box end) -> None, no throw
+    val poison = b.clone()
+    poison(192) = 0x7f.toByte // entry_count @192 -> huge
+    assert(Multimodal.mp4FrameMeta(poison).isEmpty)
+    // truncation never throws
+    assert(Multimodal.mp4FrameMeta(b.take(200)).isEmpty)
+  }
+
   test("multimodal: pngGray round-trips through javax.imageio pixel-exactly") {
     // the handcrafted stored-block zlib must be a VALID png for the JDK
     // decoder, and every pixel must come back bit-exact — including a
