@@ -1,0 +1,93 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** DIFFERENTIAL fuzz against the live reference binary (round 6): seeded
+  * MiniPdf documents — the same synthesizer the pipeline goldens use — run
+  * through `pdfrust --<mode>` and through our engine, outputs compared
+  * byte-exact per mode. Where RefGoldenSpec pins five fixed fixtures, this
+  * suite sweeps the synthesizer's parameter space (texts x layout variants),
+  * so a quirk divergence ANYWHERE in the strict path (lexer, escapes, flate
+  * round-trip incl. the 10x zero-pad, multi-page joins, matrix arithmetic,
+  * Rust value formatting) shows up as a concrete failing (seed, variant).
+  *
+  * Requires the offline-built reference binary (tools/refbuild/build.sh —
+  * validate the inflate stub with tools/refbuild/validate.py first). When
+  * the binary is absent the suite CANCELS (assume), never fails: the
+  * committed RefGoldenSpec goldens remain the always-on gate.
+  */
+class RefDifferentialSpec extends AnyFunSuite {
+
+  private val bin = "/tmp/refbuild/target/release/pdfrust"
+  private def binaryPresent = new java.io.File(bin).exists
+
+  private def runRef(mode: String, pdf: Array[Byte]): (Int, String) = {
+    val f = java.nio.file.Files.createTempFile("graftdiff", ".pdf")
+    java.nio.file.Files.write(f, pdf)
+    try {
+      val pb = new ProcessBuilder(bin, s"--$mode", f.toString)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+      val rc = p.waitFor()
+      (rc, out)
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  private def ours(mode: ExtractMode, pdf: Array[Byte]): String =
+    Pdf(pdf).extract(mode) + "\n" // reference main println's trailing newline
+
+  private def fontBlocks(s: String): Seq[String] = s.split("\n\n", -1).toSeq.sorted
+
+  // seeded printable-ASCII corpus, biased toward the characters the literal-
+  // string lexer treats specially is NOT included (MiniPdf writes unescaped
+  // literals); words + punctuation + digits exercise the glyph/advance path
+  private def texts: Seq[String] = {
+    val rnd = new scala.util.Random(1234)
+    val words = Seq("alpha", "Beta9", "GAMMA", "delta.", "eps,ilon", "zeta!", "x")
+    (0 until 12).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" ") +
+        (if (i % 3 == 0) "éü" else "") // Latin-1 glyphs through the byte-as-char path
+    }
+  }
+
+  private def variants(text: String): Seq[(String, Array[Byte])] = Seq(
+    "plain" -> graft.pipeline.MiniPdf.synthesize(text),
+    "multiTj" -> graft.pipeline.MiniPdf.synthesizeMultiTj(text, chunk = 7),
+    "multiPage" -> graft.pipeline.MiniPdf.synthesizeMultiPage(text, chunk = 11),
+    "flate" -> graft.pipeline.MiniPdf.synthesizeFlate(text)
+  )
+
+  test("differential sweep: text/raw-content/chars byte-exact, font modulo order") {
+    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    var checked = 0
+    texts.zipWithIndex.foreach { case (text, ti) =>
+      variants(text).foreach { case (vn, pdf) =>
+        val id = s"seed-text $ti variant $vn"
+        val (rcT, refText) = runRef("text", pdf)
+        assert(rcT == 0, s"$id: reference --text exited $rcT")
+        assert(ours(ExtractText, pdf) == refText, s"$id: --text diverges")
+        val (rcR, refRaw) = runRef("raw-content", pdf)
+        assert(rcR == 0 && ours(ExtractRawContent, pdf) == refRaw, s"$id: --raw-content diverges")
+        val (rcC, refChars) = runRef("chars", pdf)
+        assert(rcC == 0 && ours(ExtractChars, pdf) == refChars, s"$id: --chars diverges")
+        val (rcF, refFont) = runRef("font", pdf)
+        assert(rcF == 0 && fontBlocks(ours(ExtractFont, pdf)) == fontBlocks(refFont),
+          s"$id: --font diverges")
+        checked += 1
+      }
+    }
+    info(s"differential sweep: $checked PDFs x 4 modes byte-checked against the binary")
+  }
+
+  test("differential: truncated payload — reference panics, strict engine throws") {
+    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    val whole = graft.pipeline.MiniPdf.synthesize("hello truncation")
+    val cut = whole.take(whole.length / 2)
+    val (rc, _) = runRef("text", cut)
+    assert(rc != 0, "reference accepted a truncated PDF")
+    intercept[PdfParseException] { Pdf(cut).extract(ExtractText) }
+  }
+}

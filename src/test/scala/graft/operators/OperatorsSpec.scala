@@ -807,6 +807,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("a" -> Some(1.5), "b" -> None), s"got $got")
   }
 
+  test("asofJoin/asofNearest: chained pass with the same prefix fails loudly (round 6)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(20))).toDF("k", "ts")
+    val right = Seq((1L, ts(10), 1.5)).toDF("k", "ts", "v")
+    val once = Temporal.asofJoin(left, right, "k", "ts", Seq("v")) // has asof_v
+    // a second pass with the default prefix would silently emit duplicate
+    // asof_v columns — the guard refuses instead
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(once, right, "k", "ts", Seq("v"))
+    }
+    assert(e1.getMessage.contains("asof_v"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.asofNearest(once, right, "k", "ts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("asof_v"), e2.getMessage)
+    // a different prefix chains fine
+    val chained = Temporal.asofJoin(once, right, "k", "ts", Seq("v"), prefix = "asof2_")
+    assert(chained.columns.count(_ == "asof_v") == 1 && chained.columns.contains("asof2_v"))
+  }
+
   test("asofJoin: brute-force parity on a dense random set across slice boundaries") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -293,6 +293,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     gen.unpersist(); turns.unpersist()
   }
 
+  test("compaction fails fast on non-shard-partitioned or empty data dirs (round 6)") {
+    import spark.implicits._
+    // a plain parquet dir without shard= partition dirs: refuse BEFORE any
+    // read (the old behavior silently sized to 1 bucket and failed only at
+    // write time, after a full scan)
+    val flat = java.nio.file.Files.createTempDirectory("graft-flatdir").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$flat/data")
+    val e1 = intercept[IllegalArgumentException] {
+      Compaction.compactOutput(spark, flat, targetBytes = 1024L * 1024 * 1024)
+    }
+    assert(e1.getMessage.contains("no shard="), e1.getMessage)
+    // an empty data dir refuses with its own message
+    val empty = java.nio.file.Files.createTempDirectory("graft-emptydir").toString
+    new java.io.File(s"$empty/data").mkdirs()
+    val e2 = intercept[IllegalArgumentException] {
+      Compaction.compactOutput(spark, empty, targetBytes = 1024L * 1024 * 1024)
+    }
+    assert(e2.getMessage.contains("no parquet data files"), e2.getMessage)
+    // an unparseable shard=<non-int> dir name names itself in the error
+    val bad = java.nio.file.Files.createTempDirectory("graft-baddir").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$bad/data/shard=oops")
+    val e3 = intercept[IllegalArgumentException] {
+      Compaction.compactOutput(spark, bad, targetBytes = 1024L * 1024 * 1024)
+    }
+    assert(e3.getMessage.contains("shard=oops"), e3.getMessage)
+  }
+
   test("manifests written by an older engine version (no wave_id) still resume") {
     import spark.implicits._
     // a live deployment upgrades mid-job: the _manifests dir holds rows from
