@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.{ExtractText, Pdf}
+import graft.core.{ExtractChars, ExtractText, Pdf}
 import graft.functions.TextFunctions
 import graft.html.HtmlBoilerplate
 import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
@@ -78,6 +78,23 @@ object SparkEntry {
           (id, Pdf(MiniPdf.synthesize(text)).extract(ExtractText))
         })
         .toDF("doc_id", "extracted_text").orderBy("doc_id")
+    }),
+    // CHARS-mode value check (round 6 — possible now that the chars format is
+    // proven byte-exact against the reference binary, RefGoldenSpec): each doc
+    // synthesizes to a single-Tj page, so the per-glyph diagnostic line is a
+    // pure function of the character — same Type1/Helvetica font, same
+    // (1, 0, 0, 1, 70, 50) matrix — and the oracle rebuilds every line from
+    // the text alone (corpus is space+lowercase, so no Rust char escapes).
+    "q_pdf_chars" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          Pdf(MiniPdf.synthesize(text)).extract(ExtractChars)
+            .split("\n", -1).iterator.zipWithIndex.collect {
+              case (line, i) if line.nonEmpty => (id, i, line)
+            }
+        })
+        .toDF("doc_id", "pos", "line").orderBy("doc_id", "pos")
     }),
     // Full span-array contract, driver-checked on MULTI-Tj pages: each doc is
     // synthesized with one Tj per 40-char slice, and every span row (op, start,
@@ -1358,6 +1375,15 @@ object SparkEntry {
         "SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b ON a.e = b.e AND a.id < b.id ORDER BY id_a, id_b"),
     "q_pdf_roundtrip" ->
       "SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id",
+    // chars-mode twin: one diagnostic line per character of the text, rebuilt
+    // from the text alone (single-Tj page => constant font and matrix; the
+    // corpus alphabet needs no Rust char escaping)
+    "q_pdf_chars" ->
+      ("WITH c AS (SELECT doc_id, CAST(p AS INT) AS pos, " +
+        "substr(text, CAST(p AS INT) + 1, 1) AS ch " +
+        "FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS p FROM documents)) " +
+        "SELECT doc_id, pos, '''' || ch || ''', \"Type1\", \"Helvetica\", (1, 0, 0, 1, 70, 50)' AS line " +
+        "FROM c ORDER BY doc_id, pos"),
     // pages = 100-char slices, each with its leading ' '/'\n' run trimmed
     // (content.rs:950), joined with "\n" (body.rs:413-419)
     "q_pdf_multipage" ->

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.MiniPdf
 
@@ -99,18 +100,40 @@ class PropertySpec extends AnyFunSuite {
     // loudly — never garble (50 cases/revision: crypto fixtures are ~ms each)
     val genPwd = Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(1, 255)).map(_.map(_.toByte).toArray))
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    // pinned regression for the round-6 flake: user=[01] owner=[5b] makes the
+    // perturbed password (first byte ^ 0x5a) EXACTLY the owner password — it
+    // must OPEN via the owner branch (correct behavior the old property
+    // mislabeled as a failure)
     for (r <- Seq(3, 4, 6)) {
-      check(s"pwd-roundtrip-r$r", Prop.forAll(genPwd, genPwd) { (user, owner) =>
+      val pdf = MiniPdf.synthesizeEncrypted("property fuzz body", r,
+        userPwd = Array[Byte](0x01), ownerPwd = Array[Byte](0x5b))
+      assert(Pdf.lenient(pdf, Array[Byte](0x5b)).extract(ExtractText) == "property fuzz body",
+        s"r=$r: owner-coincident perturbation must open")
+    }
+    for (r <- Seq(3, 4, 6)) {
+      check(s"pwd-roundtrip-r$r", Prop.forAllNoShrink(genPwd, genPwd) { (user, owner) =>
         val text = "property fuzz body"
         val pdf = MiniPdf.synthesizeEncrypted(text, r, userPwd = user, ownerPwd = owner)
         val viaUser = Pdf.lenient(pdf, user).extract(ExtractText) == text
         // owner path only distinct when the padded forms differ
         val viaOwner = Pdf.lenient(pdf, owner).extract(ExtractText) == text
         val wrong = user.clone(); wrong(0) = (wrong(0) ^ 0x5a).toByte
-        val wrongFails =
-          try { Pdf.lenient(pdf, wrong).extract(ExtractText); false }
-          catch { case e: PdfParseException => e.getMessage.contains("password") }
-        viaUser && viaOwner && wrongFails
+        // the perturbed password can coincide with the OWNER credential
+        // (ScalaCheck drew owner == user-with-first-byte-xored — the round-6
+        // flake: rare but real, e.g. user=[01] owner=[5b]); opening via the
+        // owner branch is then CORRECT behavior, so assert success IFF the
+        // perturbation is the owner credential (legacy revisions authenticate
+        // the 32-byte-truncated padded form, so compare the first 32 bytes)
+        val wrongIsOwner =
+          if (r <= 4) wrong.take(32).sameElements(owner.take(32))
+          else wrong.sameElements(owner)
+        val wrongOk =
+          try { Pdf.lenient(pdf, wrong).extract(ExtractText) == text && wrongIsOwner }
+          catch { case e: PdfParseException => !wrongIsOwner && e.getMessage.contains("password") }
+        (viaUser && viaOwner && wrongOk) :|
+          s"r=$r viaUser=$viaUser viaOwner=$viaOwner wrongOk=$wrongOk " +
+          s"wrongIsOwner=$wrongIsOwner user=${hex(user)} owner=${hex(owner)}"
       }, n = 50)
     }
   }

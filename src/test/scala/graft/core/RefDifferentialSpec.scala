@@ -90,4 +90,35 @@ class RefDifferentialSpec extends AnyFunSuite {
     assert(rc != 0, "reference accepted a truncated PDF")
     intercept[PdfParseException] { Pdf(cut).extract(ExtractText) }
   }
+
+  /** Full BEHAVIOR-parity contract over synthesizer shapes the reference may
+    * reject: either both engines succeed with byte-identical text output, or
+    * the reference exits nonzero AND strict mode throws. Covers the shapes
+    * strict mode deliberately refuses (xref streams, text-operator pages,
+    * encrypted documents) — the parity claim "strict fails exactly where the
+    * reference fails" is checked against the live binary, not inferred.
+    */
+  test("differential: panic parity on xref-stream / text-ops / encrypted shapes") {
+    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    val text = "parity sweep text with several words"
+    val shapes: Seq[(String, Array[Byte])] = Seq(
+      "xrefStream" -> graft.pipeline.MiniPdf.synthesizeXrefStream(text),
+      "textOps" -> graft.pipeline.MiniPdf.synthesizeTextOps(text, chunk = 9),
+      "encryptedR2" -> graft.pipeline.MiniPdf.synthesizeEncrypted(text, r = 2),
+      "encryptedR3" -> graft.pipeline.MiniPdf.synthesizeEncrypted(text, r = 3)
+    )
+    shapes.foreach { case (name, pdf) =>
+      val (rc, refOut) = runRef("text", pdf)
+      val oursE = try Right(ours(ExtractText, pdf)) catch {
+        case e: PdfParseException => Left(e)
+        case e: StackOverflowError => Left(e)
+      }
+      (rc, oursE) match {
+        case (0, Right(o)) => assert(o == refOut, s"$name: both succeed but outputs diverge")
+        case (n, Left(_)) if n != 0 => () // both refuse — parity
+        case (0, Left(e)) => fail(s"$name: reference succeeds, strict throws: $e")
+        case (n, Right(o)) => fail(s"$name: reference exits $n, strict returns ${o.take(80)}")
+      }
+    }
+  }
 }
