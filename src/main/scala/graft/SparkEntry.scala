@@ -783,20 +783,26 @@ object SparkEntry {
     // v1.0.0 across n=3..100); the rank computes in INTEGER arithmetic
     // ((a*n + b - 1) DIV b), so no float index rounding can diverge where
     // p*n is integral (0.9*70 = 63.000...01 in doubles would ceil to 64).
-    // Scale shape: one window over (source) — a reporting query over
-    // per-source distributions, where per-group sort is the point.
+    // Scale shape — HISTOGRAM, not sort: a per-source row sort would put a
+    // power-law source's every row into ONE sort task; instead the table
+    // map-side-combines into a (source, n_tokens) count histogram (bounded by
+    // the value domain, not the row count), the cumulative window runs over
+    // that tiny histogram, and the quantile value at rank r is the least
+    // n_tokens whose cumulative count reaches r — exact, skew-proof, two
+    // small shuffles.
     "q_token_distribution" -> ((s, dir) => {
       val toks = t(s, dir, "documents").select(col("source"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      val ranked = toks
-        .withColumn("rn", row_number().over(
+      val hist = toks.groupBy(col("source"), col("n_tokens")).agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
           Window.partitionBy(col("source")).orderBy(col("n_tokens"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-      ranked.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50"),
-        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90"),
-        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("n_tokens"))).as("p99"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      cum.groupBy(col("source")).agg(
+        max(col("n")).as("n_docs"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_tokens"))).as("p50"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("n_tokens"))).as("p99"))
         .orderBy("source")
     }),
     // ROLLUP margins (round 6 — VERDICT #4): the per-(source, lang) training

@@ -40,13 +40,17 @@ class RefDifferentialSpec extends AnyFunSuite {
 
   private def fontBlocks(s: String): Seq[String] = s.split("\n\n", -1).toSeq.sorted
 
-  // seeded printable-ASCII corpus, biased toward the characters the literal-
-  // string lexer treats specially is NOT included (MiniPdf writes unescaped
-  // literals); words + punctuation + digits exercise the glyph/advance path
+  // seeded corpus: plain words + punctuation, Latin-1 glyphs (byte-as-char
+  // path), and ESCAPE-HEAVY texts — parens, backslashes, nested parens —
+  // driving MiniPdf.escapeLiteral through the reference's literal-string
+  // un-escaping (incl. the octal-escape quirk's neighborhood). Size scales
+  // with GRAFT_DIFF_TEXTS (default 12) for one-off deep sweeps.
   private def texts: Seq[String] = {
     val rnd = new scala.util.Random(1234)
-    val words = Seq("alpha", "Beta9", "GAMMA", "delta.", "eps,ilon", "zeta!", "x")
-    (0 until 12).map { i =>
+    val words = Seq("alpha", "Beta9", "GAMMA", "delta.", "eps,ilon", "zeta!", "x",
+      "(paren)", "back\\slash", "((nested))", "a(b", "c)d", "\\\\double", "(")
+    val nTexts = sys.env.getOrElse("GRAFT_DIFF_TEXTS", "12").toInt
+    (0 until nTexts).map { i =>
       val n = 1 + rnd.nextInt(40)
       (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" ") +
         (if (i % 3 == 0) "éü" else "") // Latin-1 glyphs through the byte-as-char path
