@@ -30,8 +30,19 @@ object MiniPdf {
   /** The document Info title is the first 24 chars of the text (escaped). */
   def titleOf(text: String): String = text.take(24)
 
-  def synthesize(text: String): Array[Byte] = {
-    val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
+  /** Single-page document around an ARBITRARY raw content stream (round 6 —
+    * the quirk-differential harness crafts operator-level constructs: octal
+    * escapes, NUL whitespace, arity quirks, TJ kerning) with the same
+    * scaffolding as [[synthesize]]. The content travels byte-preserving
+    * (ISO-8859-1), so NUL and high bytes survive.
+    */
+  def synthesizeRawContent(content: String): Array[Byte] =
+    scaffold(content, "raw content probe")
+
+  def synthesize(text: String): Array[Byte] =
+    scaffold(s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n", text)
+
+  private def scaffold(content: String, text: String): Array[Byte] = {
     val objects = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
