@@ -16,16 +16,45 @@ class QuirkDifferentialSpec extends AnyFunSuite {
   private val bin = "/tmp/refbuild/target/release/pdfrust"
   private def binaryPresent = new java.io.File(bin).exists
 
-  private def runRef(pdf: Array[Byte]): (Int, String) = {
+  private def runRef(pdf: Array[Byte], mode: String = "text"): (Int, String) = {
     val f = java.nio.file.Files.createTempFile("graftquirk", ".pdf")
     java.nio.file.Files.write(f, pdf)
     try {
-      val pb = new ProcessBuilder(bin, "--text", f.toString)
+      val pb = new ProcessBuilder(bin, s"--$mode", f.toString)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), UTF_8)
-      (p.waitFor(), out)
+      if (!p.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); fail(s"reference binary hung on a probe (--$mode)")
+      }
+      (p.exitValue(), out)
     } finally java.nio.file.Files.delete(f)
+  }
+
+  /** Strip the reference's unknown-operator println side effect (stdout
+    * diagnostic emitted during parsing, not part of the extract output —
+    * probe-verified round 6).
+    */
+  private def stripDiag(s: String): String =
+    s.split("\n", -1).filterNot(_.startsWith("Content token operator ")).mkString("\n")
+
+  /** Behavior-parity check for one synthesized document and mode: both
+    * engines succeed byte-identically (modulo the diagnostic side effect) or
+    * the reference exits nonzero and strict mode throws.
+    */
+  private def parity(name: String, pdf: Array[Byte], mode: ExtractMode, flag: String): Unit = {
+    val (rc, refOut) = runRef(pdf, flag)
+    val oursE = try Right(Pdf(pdf).extract(mode) + "\n") catch {
+      case e: PdfParseException => Left(e)
+      case e: StackOverflowError => Left(e)
+    }
+    (rc, oursE) match {
+      case (0, Right(o)) => assert(o == stripDiag(refOut),
+        s"$name --$flag: outputs diverge (ref=${stripDiag(refOut).take(60)} ours=${o.take(60)})")
+      case (n, Left(_)) if n != 0 => () // both refuse — parity
+      case (0, Left(e)) => fail(s"$name --$flag: reference succeeds, strict throws: $e")
+      case (n, Right(o)) => fail(s"$name --$flag: reference exits $n, strict returns ${o.take(60)}")
+    }
   }
 
   private val probes: Seq[(String, String)] = Seq(
@@ -73,24 +102,59 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
     probes.foreach { case (name, content) =>
       val pdf = graft.pipeline.MiniPdf.synthesizeRawContent(content)
-      val (rc, refOut0) = runRef(pdf)
-      // the reference println!s an unknown-operator DIAGNOSTIC straight to
-      // stdout during parsing ("Content token operator Ok(..) is not known,
-      // operands [..]") — a side effect interleaved before the extract
-      // output, not part of the returned string (probe-verified round 6);
-      // strip those lines so the compare targets extraction semantics
-      val refOut = refOut0.split("\n", -1)
-        .filterNot(_.startsWith("Content token operator ")).mkString("\n")
-      val oursE = try Right(Pdf(pdf).extract(ExtractText) + "\n") catch {
-        case e: PdfParseException => Left(e)
-      }
-      (rc, oursE) match {
-        case (0, Right(o)) => assert(o == refOut,
-          s"$name: outputs diverge (ref=${refOut.take(60)} ours=${o.take(60)})")
-        case (n, Left(_)) if n != 0 => () // both refuse — parity
-        case (0, Left(e)) => fail(s"$name: reference succeeds, strict throws: ${e.getMessage}")
-        case (n, Right(o)) => fail(s"$name: reference exits $n, strict returns ${o.take(60)}")
-      }
+      parity(name, pdf, ExtractText, "text")
+      parity(name, pdf, ExtractChars, "chars")
+      parity(name, pdf, ExtractRawContent, "raw-content")
+    }
+  }
+
+  /** Seeded GRAMMAR FUZZ of the content state machine: random operator
+    * streams assembled from the full instruction menu (text showing, matrix
+    * ops, state save/restore, paths, colors, unknown operators, malformed
+    * arities, stray tokens) must behave identically — output parity when the
+    * reference accepts, panic parity when it refuses. Explores interleavings
+    * the hand-written probes cannot. Size scales with GRAFT_QUIRK_FUZZ
+    * (default 60 streams x 3 modes).
+    */
+  test("grammar fuzz: random operator streams behave identically to the binary") {
+    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    val n = sys.env.getOrElse("GRAFT_QUIRK_FUZZ", "60").toInt
+    val rnd = new scala.util.Random(42)
+    def num(): String = rnd.nextInt(5) match {
+      case 0 => rnd.nextInt(200).toString
+      case 1 => (-rnd.nextInt(600)).toString
+      case 2 => f"${rnd.nextDouble() * 100}%.2f"
+      case 3 => "0"
+      case _ => f"${-rnd.nextDouble()}%.3f"
+    }
+    def str(): String = {
+      val words = Seq("fox", "Zq9", "a b", "\\101", "\\n", "x\\(y\\)", "")
+      "(" + Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.length))).mkString(" ") + ")"
+    }
+    def hexStr(): String = "<" + Seq.fill(1 + rnd.nextInt(6))("48656C"(rnd.nextInt(6))).mkString + ">"
+    def op(): String = rnd.nextInt(14) match {
+      case 0 => s"${num()} ${num()} TD\n"
+      case 1 => s"${num()} ${num()} Td\n"
+      case 2 => "/F1 12 Tf\n"
+      case 3 => s"${str()} Tj\n"
+      case 4 => s"[${str()} ${num()} ${str()}] TJ\n"
+      case 5 => s"${num()} ${num()} ${num()} ${num()} ${num()} ${num()} cm\n"
+      case 6 => "q\n"
+      case 7 => "Q\n"
+      case 8 => s"${num()} ${num()} m\n"
+      case 9 => s"${num()} ${num()} l\n"
+      case 10 => s"${num()} w\n"
+      case 11 => s"${num()} ${num()} ${num()} rg\n"
+      case 12 => s"${hexStr()} Tj\n"
+      case 13 => s"${num()} zz${rnd.nextInt(3)}\n" // unknown operator
+    }
+    (0 until n).foreach { i =>
+      val body = Seq.fill(2 + rnd.nextInt(12))(op()).mkString
+      val content = s"BT\n/F1 12 Tf\n$body ET\n"
+      val pdf = graft.pipeline.MiniPdf.synthesizeRawContent(content)
+      parity(s"fuzz-$i", pdf, ExtractText, "text")
+      parity(s"fuzz-$i", pdf, ExtractChars, "chars")
+      parity(s"fuzz-$i", pdf, ExtractRawContent, "raw-content")
     }
   }
 }
