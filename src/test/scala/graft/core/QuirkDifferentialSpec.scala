@@ -95,7 +95,16 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       "BT\n70 50 TD\n/F1 12 Tf\n(open Tj\nET\n",
     // Tw/Tz/TL through the strict unknown-op path (no forked text assembly)
     "strict text-op passthrough" ->
-      "BT\n2 Tw\n110 Tz\n14 TL\n70 50 TD\n/F1 12 Tf\n(ops) Tj\nET\n"
+      "BT\n2 Tw\n110 Tz\n14 TL\n70 50 TD\n/F1 12 Tf\n(ops) Tj\nET\n",
+    // RAW HIGH BYTES in the stream: the reference lossy-decodes the whole
+    // content to UTF-8 BEFORE lexing (body.rs:522-532) — a lone 0xE9 becomes
+    // U+FFFD, a valid UTF-8 sequence survives; both must round identically
+    "invalid utf-8 lossy" ->
+      "BT\n70 50 TD\n/F1 12 Tf\n(café raw) Tj\nET\n",
+    "valid multibyte utf-8" ->
+      "BT\n70 50 TD\n/F1 12 Tf\n(cafÃ© enc) Tj\nET\n",
+    "high-byte run" ->
+      "BT\n70 50 TD\n/F1 12 Tf\n(þÿ) Tj\nET\n"
   )
 
   test("quirk probes: crafted content streams behave byte-identically to the binary") {
