@@ -141,7 +141,7 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       "(" + Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.length))).mkString(" ") + ")"
     }
     def hexStr(): String = "<" + Seq.fill(1 + rnd.nextInt(6))("48656C"(rnd.nextInt(6))).mkString + ">"
-    def op(): String = rnd.nextInt(14) match {
+    def op(): String = rnd.nextInt(17) match {
       case 0 => s"${num()} ${num()} TD\n"
       case 1 => s"${num()} ${num()} Td\n"
       case 2 => "/F1 12 Tf\n"
@@ -156,6 +156,9 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       case 11 => s"${num()} ${num()} ${num()} rg\n"
       case 12 => s"${hexStr()} Tj\n"
       case 13 => s"${num()} zz${rnd.nextInt(3)}\n" // unknown operator
+      case 14 => s"<< /W ${num()} /H ${num()} >>\n" // inline dict — skipped wholesale
+      case 15 => "BT\n" // nested/imbalanced text objects
+      case 16 => "ET\n"
     }
     (0 until n).foreach { i =>
       val body = Seq.fill(2 + rnd.nextInt(12))(op()).mkString

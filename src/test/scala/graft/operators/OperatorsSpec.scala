@@ -923,6 +923,22 @@ class OperatorsSpec extends AnyFunSuite {
     }.toMap
     assert(gotD == expected,
       s"diff ${(gotD.toSet diff expected.toSet).take(4)} vs ${(expected.toSet diff gotD.toSet).take(4)}")
+    // MICROSECOND distances (round 6): sub-millisecond differences decide the
+    // winner — under the old unix_millis truncation both distances below
+    // floored to 0ms and backward won the phantom tie; full precision picks
+    // the closer forward row. An EXACT-microsecond tie still goes backward.
+    def tsu(sec: Long, micros: Int) = {
+      val t = new java.sql.Timestamp(sec * 1000); t.setNanos(micros * 1000); t
+    }
+    val lm = Seq((1L, 30L, tsu(1000, 500))).toDF("k", "eid", "ts")
+    val rm = Seq((1L, tsu(1000, 0), 1.0), (1L, tsu(1000, 900), 2.0)).toDF("k", "ts", "v")
+    val gotM = Temporal.asofNearest(lm, rm, "k", "ts", Seq("v"))
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(gotM == Map(30L -> Some(2.0)), s"microsecond distances: $gotM")
+    val rmT = Seq((1L, tsu(1000, 100), 1.0), (1L, tsu(1000, 900), 2.0)).toDF("k", "ts", "v")
+    val gotT = Temporal.asofNearest(lm, rmT, "k", "ts", Seq("v"))
+      .select($"eid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(gotT == Map(30L -> Some(1.0)), s"exact-microsecond tie: $gotT")
   }
 
   test("rollingAgg: parity with the plain RANGE-frame window across slice widths") {
