@@ -183,11 +183,19 @@ final class ContentDecoder(bytes: Array[Byte], lenientText: Boolean = false) {
   def next(): GInstr = {
     val buf = ArrayBuffer.empty[Tok]
 
-    def num(i: Int, op: String): Num = buf(i) match {
+    // the reference indexes buf[i] directly and PANICS when an operator
+    // arrives with too few operands (Rust index-out-of-bounds); map that
+    // panic to PdfParseException like every other panic site — a raw
+    // IndexOutOfBoundsException here would escape the per-row error
+    // discipline (found by the round-6 byte-mutation differential fuzz)
+    def tokAt(i: Int, op: String): Tok =
+      if (i < buf.length) buf(i)
+      else Err.fail(s"Operator $op expects operand ${i + 1}, buffer holds ${buf.length}")
+    def num(i: Int, op: String): Num = tokAt(i, op) match {
       case TNum(n) => n
       case t       => Err.fail(s"Operand $t is not allowed with operator $op")
     }
-    def name(i: Int, op: String): String = buf(i) match {
+    def name(i: Int, op: String): String = tokAt(i, op) match {
       case TName(n) => n
       case t        => Err.fail(s"Operand $t is not allowed with operator $op")
     }
@@ -297,7 +305,7 @@ final class ContentDecoder(bytes: Array[Byte], lenientText: Boolean = false) {
               processTd(NInt(0), graphicState.textState.tl)
               return ITStar
             case "Tj" =>
-              buf(0) match {
+              tokAt(0, "Tj") match {
                 case l: TLit => return ITjOp(l.bytes)
                 case x       => Err.fail(s"Operand $x is not allowed with operator Tj")
               }
@@ -308,7 +316,7 @@ final class ContentDecoder(bytes: Array[Byte], lenientText: Boolean = false) {
                 case TNum(n) => APos(n)
               }.toVector)
             case "Do" =>
-              buf(0) match {
+              tokAt(0, "Do") match {
                 case TName(n) => return IDo(n)
                 case x        => Err.fail(s"Operand $x is not allowed with operator Do")
               }
@@ -331,7 +339,7 @@ final class ContentDecoder(bytes: Array[Byte], lenientText: Boolean = false) {
             case "Ts" if lenientText =>
               val r = num(0, "Ts"); graphicState.textState.trise = r; return ITs(r)
             case "'" if lenientText =>
-              val b = buf(0) match {
+              val b = tokAt(0, "'") match {
                 case l: TLit => l.bytes
                 case x       => Err.fail(s"Operand $x is not allowed with operator '")
               }
@@ -339,7 +347,7 @@ final class ContentDecoder(bytes: Array[Byte], lenientText: Boolean = false) {
               return new IQuoteOp(b)
             case "\"" if lenientText =>
               val (aw, ac) = (num(0, "\""), num(1, "\""))
-              val b = buf(2) match {
+              val b = tokAt(2, "\"") match {
                 case l: TLit => l.bytes
                 case x       => Err.fail(s"Operand $x is not allowed with operator \"")
               }

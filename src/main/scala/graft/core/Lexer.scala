@@ -157,8 +157,14 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
         while (pos < n && isRegular(bytes(pos))) pos += 1
         return TName(new String(bytes, start, pos - start,
           java.nio.charset.StandardCharsets.ISO_8859_1))
-      } else if (c == '(') {
+      } else if (c == '(' || c == ')') {
         // literal string with nested parens + escapes — tokenizer.rs:287-331.
+        // BOTH parens enter this branch in the reference (Delimiter::String
+        // covers '(' AND ')'): a lone ')' starts a "string" whose scan runs
+        // to the NEXT unpaired ')' or to EOF (round-6 byte-mutation
+        // differential caught our old bareword treatment diverging — the
+        // reference swallowed a trailing " Tj\nET" into the string and
+        // extracted nothing, we kept lexing and showed text).
         // Fast path: no backslash -> slice between the balanced parens.
         val start = pos
         var opened = 1

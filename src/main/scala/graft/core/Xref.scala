@@ -104,6 +104,12 @@ final case class XrefTable(
     * with "N G obj", linear-scan for "\nN G obj" and return match+1.
     */
   def getAndFix(key: (Int, Int), bytes: Array[Byte]): Option[Int] = get(key).map { offset =>
+    // the reference slices bytes[offset..] BEFORE probing, so an offset past
+    // EOF panics instead of self-healing (Rust slice range panic) — replicate
+    // (round-6 stale-xref differential caught the divergence: we healed a
+    // delta=+1000000 entry the reference refuses)
+    if (offset > bytes.length || offset < 0)
+      Err.fail(s"xref offset $offset out of range for object ${key._1} ${key._2}")
     val pattern = s"${key._1} ${key._2} obj".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     if (startsWithAt(bytes, offset, pattern)) offset
     else {

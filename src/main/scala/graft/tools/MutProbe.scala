@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.core.{ExtractText, Pdf}
+import graft.pipeline.MiniPdf
+
+/** Dev probe: replay the byte-mutation differential's seeded mutations and
+  * dump a specific mutation index (flipped positions/values, our output, and
+  * the mutated bytes to a file for running the reference binary by hand).
+  */
+object MutProbe {
+  def main(args: Array[String]): Unit = {
+    val target = if (args.nonEmpty) args(0).toInt else 30
+    val base = MiniPdf.synthesize("mutation fuzz target with some words")
+    val rnd = new scala.util.Random(9)
+    (0 to target).foreach { i =>
+      val m = base.clone()
+      val flips = (0 to rnd.nextInt(2)).map { _ =>
+        val pos = rnd.nextInt(m.length)
+        val v = rnd.nextInt(256).toByte
+        val old = m(pos)
+        m(pos) = v
+        (pos, old, v)
+      }
+      if (i == target) {
+        println(s"mutation $i flips: " + flips.map { case (p, o, v) =>
+          f"pos=$p old=0x${o & 0xff}%02x('${(o & 0xff).toChar}') new=0x${v & 0xff}%02x"
+        }.mkString(", "))
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/mut.pdf"), m)
+        val ours = try Pdf(m).extract(ExtractText) catch { case e: Throwable => s"THROWS ${e.getMessage}" }
+        println(s"ours: '$ours'")
+        println("context: " + new String(m, math.max(0, flips.head._1 - 30),
+          math.min(70, m.length - math.max(0, flips.head._1 - 30)),
+          java.nio.charset.StandardCharsets.ISO_8859_1).replace("\n", "\\n"))
+      }
+    }
+  }
+}

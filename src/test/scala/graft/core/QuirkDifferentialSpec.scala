@@ -117,6 +117,84 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** STALE-XREF self-heal parity (xref.rs:245-268): the reference repairs a
+    * wrong xref offset by scanning for "\nN G obj" (with the leading-newline
+    * disambiguation that keeps "1 0 obj" from matching inside "11 0 obj"),
+    * and PANICS when the offset is out of range or the object is truly
+    * absent. Every corrupted-entry shape must behave identically.
+    */
+  test("stale xref offsets self-heal identically to the binary") {
+    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    val base = graft.pipeline.MiniPdf.synthesize("stale xref probe text")
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xrefAt = s.lastIndexOf("\nxref\n") // NOT "xref\n": that matches startxref
+    require(xrefAt > 0, "xref table not found in the synthesized fixture")
+    val firstEntry = s.indexOf("0000000000 65535 f \n", xrefAt) + 20
+    require(firstEntry > 20, "free entry not found after the xref header")
+    (1 to 6).foreach { obj =>
+      Seq(0, 3, 7, 1000000).foreach { delta =>
+        val mutated = base.clone()
+        val entryPos = firstEntry + (obj - 1) * 20
+        val orig = s.substring(entryPos, entryPos + 10).toInt
+        val newOff = if (delta == 0) 0 else orig + delta
+        val repl = f"$newOff%010d".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        System.arraycopy(repl, 0, mutated, entryPos, 10)
+        parity(s"stale-xref obj=$obj delta=$delta", mutated, ExtractText, "text")
+      }
+    }
+  }
+
+  /** Seeded BYTE-MUTATION fuzz: random single/double byte flips over a valid
+    * document must keep the engines in behavioral lockstep — identical
+    * output when the reference accepts, a strict throw whenever it refuses
+    * (any nonzero exit: panic, abort, stack overflow). Mutations that HANG
+    * the reference are skipped and counted (the engine's poison guards —
+    * depth caps, SOE backstop — intentionally terminate where the reference
+    * may not; a hang is not a correctness signal either way). Size scales
+    * with GRAFT_MUTATE_FUZZ (default 120).
+    */
+  test("byte-mutation fuzz: flip parity with the binary") {
+    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    val n = sys.env.getOrElse("GRAFT_MUTATE_FUZZ", "120").toInt
+    val base = graft.pipeline.MiniPdf.synthesize("mutation fuzz target with some words")
+    val rnd = new scala.util.Random(9)
+    var hung = 0
+    (0 until n).foreach { i =>
+      val m = base.clone()
+      (0 to rnd.nextInt(2)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      val f = java.nio.file.Files.createTempFile("graftmut", ".pdf")
+      java.nio.file.Files.write(f, m)
+      try {
+        val pb = new ProcessBuilder(bin, "--text", f.toString)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        val outF = scala.concurrent.Future(new String(p.getInputStream.readAllBytes(), UTF_8))(
+          scala.concurrent.ExecutionContext.global)
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); hung += 1
+        } else {
+          val rc = p.exitValue()
+          val refOut = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration(5, "s"))
+          val oursE = try Right(Pdf(m).extract(ExtractText) + "\n") catch {
+            case e: PdfParseException => Left(e)
+            case e: StackOverflowError => Left(e)
+          }
+          (rc, oursE) match {
+            case (0, Right(o)) => assert(o == stripDiag(refOut),
+              s"mutation $i: outputs diverge")
+            case (rcN, Left(_)) if rcN != 0 => ()
+            case (0, Left(e)) => fail(s"mutation $i: reference succeeds, strict throws: $e")
+            case (rcN, Right(o)) =>
+              fail(s"mutation $i: reference exits $rcN, strict returns ${o.take(60)}")
+          }
+        }
+      } finally java.nio.file.Files.delete(f)
+    }
+    info(s"$n mutations checked, $hung hung-reference skips")
+  }
+
   /** Seeded GRAMMAR FUZZ of the content state machine: random operator
     * streams assembled from the full instruction menu (text showing, matrix
     * ops, state save/restore, paths, colors, unknown operators, malformed
