@@ -522,6 +522,22 @@ object TextAssembly {
     * binary's --chars output on all five fixtures (round 6 — offline
     * reference build, BENCH.md).
     */
+  /** Escape bitmap for Rust char `{:?}` over the full BMP, generated from the
+    * actual Rust standard library (`format!("{:?}", c)` for every non-
+    * surrogate BMP codepoint — tools note in BENCH.md round 6) and validated
+    * bit-for-bit by RustFmtSpec against the committed ground truth. A
+    * hand-written category rule is NOT enough: escape_debug also escapes
+    * grapheme-extend chars (U+0301), unassigned codepoints, private use,
+    * NBSP, and line/paragraph separators — CMap'd TJ glyphs and font cmap
+    * values can be any of these (round-6 review caught the Latin-1-only
+    * rule diverging above U+00FF).
+    */
+  private lazy val rustEscapeBmp: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/rust_escape_debug_bmp.bin")
+    require(in != null, "rust_escape_debug_bmp.bin resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
   def rustCharDebug(c: Char): String = c match {
     case '\u0000' => "'\\0'"
     case '\n' => "'\\n'"
@@ -529,10 +545,43 @@ object TextAssembly {
     case '\t' => "'\\t'"
     case '\\' => "'\\\\'"
     case '\'' => "'\\''"
-    case c if c < ' ' || c == 0x7f || (c >= 0x80 && c <= 0x9f) || c == 0xad =>
+    case c if ((rustEscapeBmp(c >> 3) >> (c & 7)) & 1) == 1 =>
       f"'\\u{${c.toInt}%x}'"
     case c    => s"'$c'"
   }
 
-  def rustStrDebug(s: String): String = "\"" + s + "\""
+  /** Rust `{:?}` for String (str Debug), exact over the BMP via its own
+    * ground-truth bitmap (str escaping differs from char: `"` escapes, `'`
+    * does not; named escapes \0 \t \r \n \\ \" then `\u{x}` per the
+    * generated table). Font subtype/name/base-font values route through
+    * here for --chars and --font parity.
+    */
+  private lazy val rustEscapeStrBmp: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/rust_escape_debug_str_bmp.bin")
+    require(in != null, "rust_escape_debug_str_bmp.bin resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  def rustStrDebug(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\u0000' => sb.append("\\0")
+        case '\t'     => sb.append("\\t")
+        case '\r'     => sb.append("\\r")
+        case '\n'     => sb.append("\\n")
+        case '\\'    => sb.append("\\\\")
+        case '"'       => sb.append("\\\"")
+        case c if ((rustEscapeStrBmp(c >> 3) >> (c & 7)) & 1) == 1 =>
+          sb.append(f"\\u{${c.toInt}%x}")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+    sb.toString
+  }
 }

@@ -319,7 +319,13 @@ object Crypt {
 
   private def bytesOf(o: PdfObj, what: String): Array[Byte] = o match {
     case PHexStr(b) => b
-    case PStr(s)    => s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // literal-string /O //U /OE /UE etc: the parser's exact source bytes when
+    // carried (raw), else the byte-preserving re-encode — the raw path makes
+    // recovery exact even for ciphertext that happens to be valid multibyte
+    // UTF-8 (round-6 review)
+    case p @ PStr(s) =>
+      if (p.raw != null) p.raw
+      else s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     case other      => Err.fail(s"$what should be a string, found $other")
   }
 

@@ -606,11 +606,15 @@ object PdfInfo {
         ctx.decrypt.filter(_.strings) match {
           case Some(dec) =>
             from(d.map {
-              case (k, PStr(s)) =>
-                // exact ciphertext: litStr decoded it byte-preserving under
-                // this ctx's strings-encrypting decryptor (see its scaladoc)
-                val cipher = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-                (k, PStr(ObjParser.lenientStr(dec.decryptString(obj, gen, cipher))))
+              case (k, ps @ PStr(s)) =>
+                // exact ciphertext: the parser carries the source bytes in
+                // PStr.raw (fallback: byte-preserving re-encode — litStr
+                // decodes ISO-8859-1 under a strings-encrypting decryptor)
+                val cipher =
+                  if (ps.raw != null) ps.raw
+                  else s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                val plain = dec.decryptString(obj, gen, cipher)
+                (k, PStr(ObjParser.lenientStr(plain))(plain))
               case (k, PHexStr(b)) => (k, PHexStr(dec.decryptString(obj, gen, b)))
               case kv => kv
             })

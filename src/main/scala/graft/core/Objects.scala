@@ -9,7 +9,15 @@ final case class PDict(m: Map[String, PdfObj]) extends PdfObj
 final case class PStream(header: Map[String, PdfObj], bytes: Array[Byte]) extends PdfObj
 final case class PArr(items: Vector[PdfObj]) extends PdfObj
 final case class PName(name: String) extends PdfObj
-final case class PStr(s: String) extends PdfObj
+/** Literal/bareword string. `raw` (second parameter list: excluded from
+  * equality/patterns) carries the EXACT source bytes when known — the
+  * encrypted-document paths recover ciphertext from it instead of re-encoding
+  * the decoded String (round-6 review: a /O or /U literal whose ciphertext
+  * happens to be valid multibyte UTF-8 was mangled by the ISO re-encode,
+  * breaking key derivation; the Encrypt dict parses BEFORE any decryptor
+  * exists, so the litStr byte-preserving rule could not cover it).
+  */
+final case class PStr(s: String)(val raw: Array[Byte]) extends PdfObj
 final case class PHexStr(bytes: Array[Byte]) extends PdfObj {
   override def equals(o: Any): Boolean = o match {
     case PHexStr(b) => java.util.Arrays.equals(bytes, b)
@@ -120,7 +128,7 @@ object ObjParser {
           val value: PdfObj = lex.next() match {
             case TDictBegin     => PDict(parseDict(lex, depth + 1))
             case TArrayBegin    => PArr(parseArray(lex))
-            case l: TLit        => PStr(litStr(lex.ctx, l.bytes))
+            case l: TLit        => PStr(litStr(lex.ctx, l.bytes))(l.bytes)
             case b: TBare       => PName(Utf8.strict(b.bytes)) // coercion — object.rs:70-72
             case h: THex        => PHexStr(h.bytes)
             case TName(n)       => PName(n)
@@ -196,8 +204,8 @@ object ObjParser {
     case TArrayBegin    => PArr(Vector.empty)
     case TName(n)       => PName(n)
     case TNum(n)        => PNum(n)
-    case b: TBare       => PStr(Utf8.strict(b.bytes))
-    case l: TLit        => PStr(Utf8.strict(l.bytes))
+    case b: TBare       => PStr(Utf8.strict(b.bytes))(b.bytes)
+    case l: TLit        => PStr(Utf8.strict(l.bytes))(l.bytes)
     case h: THex        => PHexStr(h.bytes)
     case TRef(obj, gen) => TRefObj(obj, gen, ctx)
     case other          => Err.fail(s"Unexpected token found in object $other")

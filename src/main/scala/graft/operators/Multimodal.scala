@@ -156,14 +156,24 @@ object Multimodal {
     None
   }
 
+  /** The first trak's bounds — ONE moov/trak walk shared by the dim and
+    * frame-metadata parses (round-6 review: decode() used to walk it twice).
+    */
+  private def mp4Trak(b: Array[Byte]): Option[(Int, Int)] =
+    for {
+      (moovS, moovE) <- mp4Child(b, "moov", 0, b.length)
+      tr <- mp4Child(b, "trak", moovS, moovE)
+    } yield tr
+
   /** MP4/ISO-BMFF video dims via a real box walk: moov -> trak -> tkhd, whose
     * v0/v1 payload ends in 16.16 fixed-point track width/height
     * (ISO 14496-12 §8.3.2).
     */
-  private def mp4Dims(b: Array[Byte]): Option[(Int, Int)] = {
+  private def mp4Dims(b: Array[Byte]): Option[(Int, Int)] =
+    mp4Trak(b).flatMap { case (s, e) => mp4DimsIn(b, s, e) }
+
+  private def mp4DimsIn(b: Array[Byte], trakS: Int, trakE: Int): Option[(Int, Int)] = {
     for {
-      (moovS, moovE) <- mp4Child(b, "moov", 0, b.length)
-      (trakS, trakE) <- mp4Child(b, "trak", moovS, moovE)
       (tkhdS, tkhdE) <- mp4Child(b, "tkhd", trakS, trakE)
       version = u8(b, tkhdS)
       // v0: 4 flags + 20 times/ids + 8 reserved + 8 layer/group/vol + 36 matrix
@@ -194,6 +204,11 @@ object Multimodal {
 
   def mp4FrameMeta(b: Array[Byte]): Option[Mp4Frames] = {
     if (!isMp4(b)) return None
+    try mp4Trak(b).flatMap { case (s, e) => mp4FramesIn(b, s, e) }
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def mp4FramesIn(b: Array[Byte], trakS: Int, trakE: Int): Option[Mp4Frames] = {
     def mdhdTimescale(s: Int, e: Int): Option[Int] = {
       val off = s + (if (u8(b, s) == 1) 20 else 12) // v1: 64-bit create/modify times
       if (off + 4 <= e) Some(be32(b, off)).filter(_ > 0) else None
@@ -208,6 +223,11 @@ object Multimodal {
       while (i < entries) {
         val cnt = be32(b, s + 8 + i * 8).toLong & 0xffffffffL
         val delta = be32(b, s + 12 + i * 8).toLong & 0xffffffffL
+        // hostile u32 pairs can overflow Long (cnt*delta up to ~1.8e19):
+        // wrapped garbage would masquerade as a duration — refuse instead
+        // (round-6 review)
+        if (cnt != 0 && (delta > Long.MaxValue / cnt || total > Long.MaxValue - cnt * delta))
+          return None
         total += cnt * delta
         i += 1
       }
@@ -218,21 +238,17 @@ object Multimodal {
       val n = be32(b, s + 8)
       if (n < 0) None else Some(n)
     }
-    try {
-      for {
-        (moovS, moovE) <- mp4Child(b, "moov", 0, b.length)
-        (trakS, trakE) <- mp4Child(b, "trak", moovS, moovE)
-        (mdiaS, mdiaE) <- mp4Child(b, "mdia", trakS, trakE)
-        (mdhdS, mdhdE) <- mp4Child(b, "mdhd", mdiaS, mdiaE)
-        (minfS, minfE) <- mp4Child(b, "minf", mdiaS, mdiaE)
-        (stblS, stblE) <- mp4Child(b, "stbl", minfS, minfE)
-        (sttsS, sttsE) <- mp4Child(b, "stts", stblS, stblE)
-        (stszS, stszE) <- mp4Child(b, "stsz", stblS, stblE)
-        ts <- mdhdTimescale(mdhdS, mdhdE)
-        dur <- sttsDuration(sttsS, sttsE)
-        nf <- stszCount(stszS, stszE)
-      } yield Mp4Frames(nf, dur, ts)
-    } catch { case scala.util.control.NonFatal(_) => None }
+    for {
+      (mdiaS, mdiaE) <- mp4Child(b, "mdia", trakS, trakE)
+      (mdhdS, mdhdE) <- mp4Child(b, "mdhd", mdiaS, mdiaE)
+      (minfS, minfE) <- mp4Child(b, "minf", mdiaS, mdiaE)
+      (stblS, stblE) <- mp4Child(b, "stbl", minfS, minfE)
+      (sttsS, sttsE) <- mp4Child(b, "stts", stblS, stblE)
+      (stszS, stszE) <- mp4Child(b, "stsz", stblS, stblE)
+      ts <- mdhdTimescale(mdhdS, mdhdE)
+      dur <- sttsDuration(sttsS, sttsE)
+      nf <- stszCount(stszS, stszE)
+    } yield Mp4Frames(nf, dur, ts)
   }
 
   /** Integer statistics over REAL decoded 16-bit PCM samples — audio's
@@ -286,10 +302,13 @@ object Multimodal {
         if (isPng(payload)) pngDims(payload).map { case (w, h) => (w, h, 1) }
         else if (isJpeg(payload)) jpegDims(payload).map { case (w, h) => (w, h, 1) }
         else if (isWav(payload)) wavMeta(payload)
-        else if (isMp4(payload)) mp4Dims(payload).map { case (w, h) =>
-          // frame count from the stbl sample tables when the container carries
-          // them (round 6); headers without an stbl keep frames = 1
-          (w, h, mp4FrameMeta(payload).map(_.nFrames).getOrElse(1))
+        else if (isMp4(payload)) mp4Trak(payload).flatMap { case (ts, te) =>
+          // ONE moov/trak walk for both parses; frame count from the stbl
+          // sample tables when the container carries them (round 6), headers
+          // without an stbl keep frames = 1
+          mp4DimsIn(payload, ts, te).map { case (w, h) =>
+            (w, h, mp4FramesIn(payload, ts, te).map(_.nFrames).getOrElse(1))
+          }
         }
         else None
       } catch { case scala.util.control.NonFatal(_) => None }

@@ -13,9 +13,29 @@ class ObjectSpec extends AnyFunSuite {
   test("dictionary with literal-string values (object.rs:202-222)") {
     val l = lem("/Title (sample) /Author (Philip Hutchison) /Creator (Pages) >>")
     val d = ObjParser.parseDict(l)
-    assert(d("Title") == PStr("sample"))
-    assert(d("Author") == PStr("Philip Hutchison"))
-    assert(d("Creator") == PStr("Pages"))
+    assert(d("Title") == PStr("sample")(null))
+    assert(d("Author") == PStr("Philip Hutchison")(null))
+    assert(d("Creator") == PStr("Pages")(null))
+  }
+
+  test("PStr carries exact source bytes — valid-multibyte-UTF-8 ciphertext corner (round 6)") {
+    // a literal whose bytes are VALID 2-byte UTF-8 (C3 A9 = é): the decoded
+    // String has one char <= U+00FF, so the old re-encode heuristic picked
+    // ISO-8859-1 and emitted 0xE9 — dropping the 0xC3 lead byte. Key
+    // derivation over such a /O or /U then failed for the correct password.
+    // PStr.raw now carries the exact bytes regardless of decode route.
+    val cipher = Array[Byte](0xc3.toByte, 0xa9.toByte, 'x', 0xc2.toByte, 0x80.toByte)
+    val src = "/O (".getBytes("ISO-8859-1") ++ cipher ++ ") >>".getBytes("ISO-8859-1")
+    val d = ObjParser.parseDict(Lemmatizer(src, 0, new Ctx(src, XRef.default, lenient = true)))
+    d("O") match {
+      case p @ PStr(s) =>
+        assert(java.util.Arrays.equals(p.raw, cipher), "raw bytes must be the source bytes")
+        // and the old heuristic would indeed have mangled them:
+        assert(!java.util.Arrays.equals(s.getBytes("ISO-8859-1"), cipher) ||
+          s.getBytes("ISO-8859-1").length != cipher.length,
+          "corner no longer demonstrates the heuristic loss — update the fixture")
+      case o => fail(s"expected PStr, got $o")
+    }
   }
 
   test("trailer object (object.rs:225-272)") {

@@ -1,61 +1,24 @@
 package graft.core
 
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.charset.StandardCharsets.UTF_8
 
 /** QUIRK retro-validation against the live reference binary (round 6): every
   * replicated-from-source quirk the engine carries (CLAUDE.md invariants) is
-  * now CHECKED against the binary's actual behavior on crafted content
-  * streams, not just inferred from reading the Rust. Contract per probe:
-  * both engines succeed with byte-identical --text output, or the reference
-  * exits nonzero AND strict mode throws. Cancels (never fails) when the
-  * binary is absent — build it with tools/refbuild/build.sh.
+  * CHECKED against the binary's actual behavior on crafted content streams,
+  * not just inferred from reading the Rust. Contract per probe (RefBinary
+  * .parity): both engines succeed with byte-identical output, or the
+  * reference exits nonzero AND strict mode throws. Cancels (never fails)
+  * when the binary is absent — build it with tools/refbuild/build.sh.
+  *
+  * These harnesses earn their keep: their first runs surfaced three real
+  * fidelity gaps (missing-operand IndexOutOfBounds leak, past-EOF xref
+  * offsets self-healing where the reference panics, lone ')' lexed as a
+  * bareword instead of a string opener) — all fixed in round 6.
   */
 class QuirkDifferentialSpec extends AnyFunSuite {
 
-  private val bin = "/tmp/refbuild/target/release/pdfrust"
-  private def binaryPresent = new java.io.File(bin).exists
-
-  private def runRef(pdf: Array[Byte], mode: String = "text"): (Int, String) = {
-    val f = java.nio.file.Files.createTempFile("graftquirk", ".pdf")
-    java.nio.file.Files.write(f, pdf)
-    try {
-      val pb = new ProcessBuilder(bin, s"--$mode", f.toString)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
-      if (!p.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); fail(s"reference binary hung on a probe (--$mode)")
-      }
-      (p.exitValue(), out)
-    } finally java.nio.file.Files.delete(f)
-  }
-
-  /** Strip the reference's unknown-operator println side effect (stdout
-    * diagnostic emitted during parsing, not part of the extract output —
-    * probe-verified round 6).
-    */
-  private def stripDiag(s: String): String =
-    s.split("\n", -1).filterNot(_.startsWith("Content token operator ")).mkString("\n")
-
-  /** Behavior-parity check for one synthesized document and mode: both
-    * engines succeed byte-identically (modulo the diagnostic side effect) or
-    * the reference exits nonzero and strict mode throws.
-    */
-  private def parity(name: String, pdf: Array[Byte], mode: ExtractMode, flag: String): Unit = {
-    val (rc, refOut) = runRef(pdf, flag)
-    val oursE = try Right(Pdf(pdf).extract(mode) + "\n") catch {
-      case e: PdfParseException => Left(e)
-      case e: StackOverflowError => Left(e)
-    }
-    (rc, oursE) match {
-      case (0, Right(o)) => assert(o == stripDiag(refOut),
-        s"$name --$flag: outputs diverge (ref=${stripDiag(refOut).take(60)} ours=${o.take(60)})")
-      case (n, Left(_)) if n != 0 => () // both refuse — parity
-      case (0, Left(e)) => fail(s"$name --$flag: reference succeeds, strict throws: $e")
-      case (n, Right(o)) => fail(s"$name --$flag: reference exits $n, strict returns ${o.take(60)}")
-    }
-  }
+  private def check(res: Either[String, Boolean]): Unit =
+    res.left.foreach(msg => fail(msg))
 
   private val probes: Seq[(String, String)] = Seq(
     // the octal-escape BUG: the reference computes ((c*8)+d*8)+e instead of
@@ -104,16 +67,16 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     "valid multibyte utf-8" ->
       "BT\n70 50 TD\n/F1 12 Tf\n(cafÃ© enc) Tj\nET\n",
     "high-byte run" ->
-      "BT\n70 50 TD\n/F1 12 Tf\n(þÿ) Tj\nET\n"
+      "BT\n70 50 TD\n/F1 12 Tf\n(þÿ) Tj\nET\n"
   )
 
   test("quirk probes: crafted content streams behave byte-identically to the binary") {
-    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     probes.foreach { case (name, content) =>
       val pdf = graft.pipeline.MiniPdf.synthesizeRawContent(content)
-      parity(name, pdf, ExtractText, "text")
-      parity(name, pdf, ExtractChars, "chars")
-      parity(name, pdf, ExtractRawContent, "raw-content")
+      check(RefBinary.parity(name, pdf, ExtractText, "text"))
+      check(RefBinary.parity(name, pdf, ExtractChars, "chars"))
+      check(RefBinary.parity(name, pdf, ExtractRawContent, "raw-content"))
     }
   }
 
@@ -121,10 +84,12 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     * wrong xref offset by scanning for "\nN G obj" (with the leading-newline
     * disambiguation that keeps "1 0 obj" from matching inside "11 0 obj"),
     * and PANICS when the offset is out of range or the object is truly
-    * absent. Every corrupted-entry shape must behave identically.
+    * absent. Every corrupted-entry shape must behave identically. (First run
+    * caught the past-EOF divergence — getAndFix now refuses like the
+    * reference's bytes[offset..] slice panic.)
     */
   test("stale xref offsets self-heal identically to the binary") {
-    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     val base = graft.pipeline.MiniPdf.synthesize("stale xref probe text")
     val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
     val xrefAt = s.lastIndexOf("\nxref\n") // NOT "xref\n": that matches startxref
@@ -139,7 +104,7 @@ class QuirkDifferentialSpec extends AnyFunSuite {
         val newOff = if (delta == 0) 0 else orig + delta
         val repl = f"$newOff%010d".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
         System.arraycopy(repl, 0, mutated, entryPos, 10)
-        parity(s"stale-xref obj=$obj delta=$delta", mutated, ExtractText, "text")
+        check(RefBinary.parity(s"stale-xref obj=$obj delta=$delta", mutated, ExtractText, "text"))
       }
     }
   }
@@ -150,11 +115,14 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     * (any nonzero exit: panic, abort, stack overflow). Mutations that HANG
     * the reference are skipped and counted (the engine's poison guards —
     * depth caps, SOE backstop — intentionally terminate where the reference
-    * may not; a hang is not a correctness signal either way). Size scales
-    * with GRAFT_MUTATE_FUZZ (default 120).
+    * may not; a hang is not a correctness signal either way). The base stays
+    * UNCOMPRESSED: corrupt-zlib behavior would compare the vendored inflate
+    * stub against the JDK Inflater, not reference semantics. Size scales
+    * with GRAFT_MUTATE_FUZZ (default 120). (First run caught the lone-')'
+    * lexer divergence and the missing-operand exception leak.)
     */
   test("byte-mutation fuzz: flip parity with the binary") {
-    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     val n = sys.env.getOrElse("GRAFT_MUTATE_FUZZ", "120").toInt
     val base = graft.pipeline.MiniPdf.synthesize("mutation fuzz target with some words")
     val rnd = new scala.util.Random(9)
@@ -164,33 +132,11 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       (0 to rnd.nextInt(2)).foreach { _ =>
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       }
-      val f = java.nio.file.Files.createTempFile("graftmut", ".pdf")
-      java.nio.file.Files.write(f, m)
-      try {
-        val pb = new ProcessBuilder(bin, "--text", f.toString)
-        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-        val p = pb.start()
-        val outF = scala.concurrent.Future(new String(p.getInputStream.readAllBytes(), UTF_8))(
-          scala.concurrent.ExecutionContext.global)
-        if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly(); hung += 1
-        } else {
-          val rc = p.exitValue()
-          val refOut = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration(5, "s"))
-          val oursE = try Right(Pdf(m).extract(ExtractText) + "\n") catch {
-            case e: PdfParseException => Left(e)
-            case e: StackOverflowError => Left(e)
-          }
-          (rc, oursE) match {
-            case (0, Right(o)) => assert(o == stripDiag(refOut),
-              s"mutation $i: outputs diverge")
-            case (rcN, Left(_)) if rcN != 0 => ()
-            case (0, Left(e)) => fail(s"mutation $i: reference succeeds, strict throws: $e")
-            case (rcN, Right(o)) =>
-              fail(s"mutation $i: reference exits $rcN, strict returns ${o.take(60)}")
-          }
-        }
-      } finally java.nio.file.Files.delete(f)
+      RefBinary.parity(s"mutation $i", m, ExtractText, "text", hangIsSkip = true) match {
+        case Left(msg)    => fail(msg)
+        case Right(false) => hung += 1
+        case Right(true)  => ()
+      }
     }
     info(s"$n mutations checked, $hung hung-reference skips")
   }
@@ -198,13 +144,13 @@ class QuirkDifferentialSpec extends AnyFunSuite {
   /** Seeded GRAMMAR FUZZ of the content state machine: random operator
     * streams assembled from the full instruction menu (text showing, matrix
     * ops, state save/restore, paths, colors, unknown operators, malformed
-    * arities, stray tokens) must behave identically — output parity when the
-    * reference accepts, panic parity when it refuses. Explores interleavings
-    * the hand-written probes cannot. Size scales with GRAFT_QUIRK_FUZZ
-    * (default 60 streams x 3 modes).
+    * arities, stray tokens, inline dicts, BT/ET imbalance) must behave
+    * identically — output parity when the reference accepts, panic parity
+    * when it refuses. Explores interleavings the hand-written probes cannot.
+    * Size scales with GRAFT_QUIRK_FUZZ (default 60 streams x 3 modes).
     */
   test("grammar fuzz: random operator streams behave identically to the binary") {
-    assume(binaryPresent, s"reference binary not built ($bin) — run tools/refbuild/build.sh")
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     val n = sys.env.getOrElse("GRAFT_QUIRK_FUZZ", "60").toInt
     val rnd = new scala.util.Random(42)
     def num(): String = rnd.nextInt(5) match {
@@ -242,9 +188,9 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       val body = Seq.fill(2 + rnd.nextInt(12))(op()).mkString
       val content = s"BT\n/F1 12 Tf\n$body ET\n"
       val pdf = graft.pipeline.MiniPdf.synthesizeRawContent(content)
-      parity(s"fuzz-$i", pdf, ExtractText, "text")
-      parity(s"fuzz-$i", pdf, ExtractChars, "chars")
-      parity(s"fuzz-$i", pdf, ExtractRawContent, "raw-content")
+      check(RefBinary.parity(s"fuzz-$i", pdf, ExtractText, "text"))
+      check(RefBinary.parity(s"fuzz-$i", pdf, ExtractChars, "chars"))
+      check(RefBinary.parity(s"fuzz-$i", pdf, ExtractRawContent, "raw-content"))
     }
   }
 }

@@ -1,0 +1,77 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Shared harness for the live-reference differential suites (round-6 review:
+  * three near-identical spawn/compare implementations had already drifted —
+  * one had a hang guard, one read stdout on the calling thread so a silent
+  * hang would block the suite forever). ONE implementation: stdout drains on
+  * a background thread, waitFor carries the timeout, a hung binary is killed
+  * and reported as [[RefRun.Hung]] for the caller to fail or skip-and-count.
+  */
+object RefBinary {
+
+  val bin = "/tmp/refbuild/target/release/pdfrust"
+  def present: Boolean = new java.io.File(bin).exists
+
+  sealed trait RefRun
+  final case class Done(rc: Int, stdout: String) extends RefRun
+  case object Hung extends RefRun
+
+  def run(pdf: Array[Byte], mode: String = "text", timeoutSec: Long = 20): RefRun = {
+    val f = java.nio.file.Files.createTempFile("graftref", ".pdf")
+    java.nio.file.Files.write(f, pdf)
+    try {
+      val pb = new ProcessBuilder(bin, s"--$mode", f.toString)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      // drain stdout off-thread: a blocking readAllBytes on the calling
+      // thread would make the waitFor timeout below unreachable
+      val outF = scala.concurrent.Future(
+        new String(p.getInputStream.readAllBytes(), UTF_8))(
+        scala.concurrent.ExecutionContext.global)
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        Hung
+      } else Done(p.exitValue(), scala.concurrent.Await.result(
+        outF, scala.concurrent.duration.Duration(10, "s")))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  /** Strip the reference's unknown-operator println side effect (a stdout
+    * diagnostic emitted during parsing, not part of the extract output —
+    * probe-verified round 6).
+    */
+  def stripDiag(s: String): String =
+    s.split("\n", -1).filterNot(_.startsWith("Content token operator ")).mkString("\n")
+
+  /** Behavior-parity verdict for one document + mode: Right(()) on parity,
+    * Left(message) on divergence; a hung reference returns Left with a
+    * distinguishable message unless `hangIsSkip`.
+    */
+  def parity(name: String, pdf: Array[Byte], mode: ExtractMode, flag: String,
+             hangIsSkip: Boolean = false): Either[String, Boolean] = {
+    run(pdf, flag) match {
+      case Hung =>
+        if (hangIsSkip) Right(false)
+        else Left(s"$name --$flag: reference binary hung")
+      case Done(rc, refOut) =>
+        val oursE =
+          try Right(Pdf(pdf).extract(mode) + "\n")
+          catch {
+            case e: PdfParseException  => Left(e: Throwable)
+            case e: StackOverflowError => Left(e: Throwable)
+          }
+        (rc, oursE) match {
+          case (0, Right(o)) =>
+            if (o == stripDiag(refOut)) Right(true)
+            else Left(s"$name --$flag: outputs diverge " +
+              s"(ref=${stripDiag(refOut).take(60)} ours=${o.take(60)})")
+          case (n, Left(_)) if n != 0 => Right(true) // both refuse — parity
+          case (0, Left(e)) => Left(s"$name --$flag: reference succeeds, strict throws: $e")
+          case (n, Right(o)) =>
+            Left(s"$name --$flag: reference exits $n, strict returns ${o.take(60)}")
+        }
+    }
+  }
+}

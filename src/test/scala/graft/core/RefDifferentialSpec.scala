@@ -19,21 +19,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 class RefDifferentialSpec extends AnyFunSuite {
 
-  private val bin = "/tmp/refbuild/target/release/pdfrust"
-  private def binaryPresent = new java.io.File(bin).exists
+  private val bin = RefBinary.bin
+  private def binaryPresent = RefBinary.present
 
-  private def runRef(mode: String, pdf: Array[Byte]): (Int, String) = {
-    val f = java.nio.file.Files.createTempFile("graftdiff", ".pdf")
-    java.nio.file.Files.write(f, pdf)
-    try {
-      val pb = new ProcessBuilder(bin, s"--$mode", f.toString)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
-      val rc = p.waitFor()
-      (rc, out)
-    } finally java.nio.file.Files.delete(f)
-  }
+  /** Spawn via the shared hang-safe harness; a hung binary fails loudly here
+    * (these sweeps run over well-formed documents).
+    */
+  private def runRef(mode: String, pdf: Array[Byte]): (Int, String) =
+    RefBinary.run(pdf, mode) match {
+      case RefBinary.Done(rc, out) => (rc, out)
+      case RefBinary.Hung          => fail(s"reference binary hung (--$mode)")
+    }
 
   private def ours(mode: ExtractMode, pdf: Array[Byte]): String =
     Pdf(pdf).extract(mode) + "\n" // reference main println's trailing newline

@@ -1,0 +1,69 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-for-bit validation of the Rust Debug formatters against ground truth
+  * GENERATED FROM THE RUST STANDARD LIBRARY itself (round 6): /tmp rustc
+  * programs dumped `format!("{:?}", c)` for every non-surrogate BMP
+  * codepoint (char form) and `format!("{:?}", format!("x{}", c))` (str
+  * form); the committed .tsv.gz test resources are those dumps, and the
+  * 8KB runtime bitmaps under main/resources were derived from them. This
+  * spec closes the loop: every BMP codepoint's output must match Rust
+  * exactly — categories a hand rule misses (grapheme extend, unassigned,
+  * private use, NBSP, U+2028/9) included.
+  */
+class RustFmtSpec extends AnyFunSuite {
+
+  private def lines(resource: String): Iterator[String] = {
+    val in = getClass.getResourceAsStream(resource)
+    assert(in != null, s"missing $resource")
+    val gz = new java.util.zip.GZIPInputStream(in)
+    scala.io.Source.fromInputStream(gz, "UTF-8").getLines()
+  }
+
+  test("rustCharDebug matches Rust char {:?} on every non-surrogate BMP codepoint") {
+    var n = 0
+    lines("/escdbg.tsv.gz").foreach { line =>
+      val Array(cpS, expected) = line.split("\t", 2)
+      val c = cpS.toInt.toChar
+      assert(TextAssembly.rustCharDebug(c) == expected,
+        f"U+${cpS.toInt}%04X: ours=${TextAssembly.rustCharDebug(c)} rust=$expected")
+      n += 1
+    }
+    assert(n == 63488, s"expected full BMP minus surrogates, saw $n")
+  }
+
+  test("rustStrDebug matches Rust str {:?} on every non-surrogate BMP codepoint") {
+    var n = 0
+    lines("/escstr.tsv.gz").foreach { line =>
+      val Array(cpS, expected) = line.split("\t", 2)
+      val c = cpS.toInt.toChar
+      assert(TextAssembly.rustStrDebug("x" + c) == expected,
+        f"U+${cpS.toInt}%04X: ours=${TextAssembly.rustStrDebug("x" + c)} rust=$expected")
+      n += 1
+    }
+    assert(n == 63488, s"expected full BMP minus surrogates, saw $n")
+  }
+
+  test("RustFmt.f32 shortest-round-trip sweep (integers, ties, randoms)") {
+    // ties away from zero (the JDK-divergent class the reference fixtures hit)
+    assert(RustFmt.f32(215.890625f) == "215.89063")
+    assert(RustFmt.f32(-215.890625f) == "-215.89063")
+    assert(RustFmt.f32(332.078125f) == "332.07813")
+    // integers bare, negative zero signed, plain notation
+    assert(RustFmt.f32(70f) == "70" && RustFmt.f32(-3f) == "-3")
+    assert(RustFmt.f32(-0.0f) == "-0" && RustFmt.f32(0.0f) == "0")
+    assert(RustFmt.f32(0.5f) == "0.5")
+    // round-trip property over randoms: parse(f32(v)) == v, no exponent form
+    val rnd = new scala.util.Random(5)
+    (0 until 20000).foreach { _ =>
+      val v = java.lang.Float.intBitsToFloat(rnd.nextInt())
+      if (!v.isNaN && !v.isInfinite) {
+        val s = RustFmt.f32(v)
+        assert(java.lang.Float.parseFloat(s) == v || (v == 0f && s.stripPrefix("-") == "0"),
+          s"round-trip broke: $v -> $s")
+        assert(!s.contains("E") && !s.contains("e"), s"exponent form leaked: $s")
+      }
+    }
+  }
+}

@@ -265,13 +265,50 @@ pub mod inflate {
         }
     }
 
+    fn adler32(data: &[u8]) -> u32 {
+        let mut a: u32 = 1;
+        let mut b: u32 = 0;
+        for chunk in data.chunks(5552) {
+            for &x in chunk {
+                a += x as u32;
+                b += a;
+            }
+            a %= 65521;
+            b %= 65521;
+        }
+        (b << 16) | a
+    }
+
     pub fn zlib_inflate(data: &[u8]) -> Result<Vec<u8>, String> {
-        if data.len() < 2 {
+        // full RFC 1950 envelope validation, matching real flate2/zlib-ng
+        // strictness (round-6 review: without these checks the stub-built
+        // reference would ACCEPT corrupt streams the true reference rejects,
+        // poisoning differential verdicts on compressed documents)
+        if data.len() < 6 {
             return Err("zlib stream too short".into());
+        }
+        if data[0] & 0x0f != 8 {
+            return Err("zlib CM is not deflate".into());
+        }
+        if (data[0] as u16 * 256 + data[1] as u16) % 31 != 0 {
+            return Err("zlib FCHECK failed".into());
         }
         if data[1] & 0x20 != 0 {
             return Err("FDICT not supported".into());
         }
-        inflate_raw(&data[2..])
+        let out = inflate_raw(&data[2..])?;
+        // the trailing 4 bytes after the deflate stream are the big-endian
+        // Adler-32 of the decompressed data; inflate_raw does not report how
+        // many input bytes it consumed, so read the checksum from the stream
+        // TAIL (valid zlib carries nothing after it)
+        let n = data.len();
+        let stored = ((data[n - 4] as u32) << 24)
+            | ((data[n - 3] as u32) << 16)
+            | ((data[n - 2] as u32) << 8)
+            | (data[n - 1] as u32);
+        if stored != adler32(&out) {
+            return Err("zlib adler32 mismatch".into());
+        }
+        Ok(out)
     }
 }
