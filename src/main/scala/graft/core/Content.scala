@@ -514,14 +514,6 @@ object TextAssembly {
     ExtractResult(text, shifted)
   }
 
-  /** Rust `{:?}` for char (escape_debug), exact over the byte-to-char range
-    * the engine produces (U+0000..U+00FF): `\t`/`\n`/`\r`/`\'`/`\\` named
-    * escapes, other C0 controls + DEL + C1 controls (U+0080..U+009F) + the
-    * soft hyphen U+00AD as `\u{x}` (lowercase, minimal digits), every other
-    * Latin-1 char literally. Verified byte-exact against the reference
-    * binary's --chars output on all five fixtures (round 6 — offline
-    * reference build, BENCH.md).
-    */
   /** Escape bitmap for Rust char `{:?}` over the full BMP, generated from the
     * actual Rust standard library (`format!("{:?}", c)` for every non-
     * surrogate BMP codepoint — tools note in BENCH.md round 6) and validated

@@ -446,11 +446,18 @@ object Lenient {
     case _                   => None
   }
 
-  /** First /ID element bytes (hex strings in practice; literal tolerated). */
+  /** First /ID element bytes (hex strings in practice; literal tolerated).
+    * Literal recovery prefers the parser's exact source bytes (PStr.raw) —
+    * the same valid-multibyte-UTF-8 corner fixed for /O //U applies here:
+    * /ID feeds file-key derivation and the trailer parses before any
+    * decryptor exists (round-6 review #2).
+    */
   private def idOf(d: Map[String, PdfObj]): Option[Array[Byte]] = d.get("ID") match {
     case Some(PArr(items)) => items.headOption.collect {
       case PHexStr(b) => b
-      case PStr(s)    => s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case p @ PStr(s) =>
+        if (p.raw != null) p.raw
+        else s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     }
     case _ => None
   }

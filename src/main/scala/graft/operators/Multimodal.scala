@@ -210,6 +210,7 @@ object Multimodal {
 
   private def mp4FramesIn(b: Array[Byte], trakS: Int, trakE: Int): Option[Mp4Frames] = {
     def mdhdTimescale(s: Int, e: Int): Option[Int] = {
+      if (s >= e || e > b.length) return None // empty box at buffer end: no version byte
       val off = s + (if (u8(b, s) == 1) 20 else 12) // v1: 64-bit create/modify times
       if (off + 4 <= e) Some(be32(b, off)).filter(_ > 0) else None
     }
@@ -305,9 +306,15 @@ object Multimodal {
         else if (isMp4(payload)) mp4Trak(payload).flatMap { case (ts, te) =>
           // ONE moov/trak walk for both parses; frame count from the stbl
           // sample tables when the container carries them (round 6), headers
-          // without an stbl keep frames = 1
+          // without an stbl keep frames = 1. The frame walk gets its OWN
+          // containment: a corrupt sample table must degrade to frames = 1,
+          // not discard the already-parsed dims through the outer catch
+          // (round-6 review #3)
           mp4DimsIn(payload, ts, te).map { case (w, h) =>
-            (w, h, mp4FramesIn(payload, ts, te).map(_.nFrames).getOrElse(1))
+            val nf =
+              try mp4FramesIn(payload, ts, te).map(_.nFrames).getOrElse(1)
+              catch { case scala.util.control.NonFatal(_) => 1 }
+            (w, h, nf)
           }
         }
         else None

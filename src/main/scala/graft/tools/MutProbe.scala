@@ -6,6 +6,13 @@ import graft.pipeline.MiniPdf
 /** Dev probe: replay the byte-mutation differential's seeded mutations and
   * dump a specific mutation index (flipped positions/values, our output, and
   * the mutated bytes to a file for running the reference binary by hand).
+  *
+  * SYNC CONTRACT (round-6 review): the generator below must consume the RNG
+  * byte-for-byte like QuirkDifferentialSpec's "byte-mutation fuzz" loop —
+  * same seed (9), same base text, same `(0 to nextInt(2))` flip count, same
+  * nextInt(length)/nextInt(256) order. If you change the spec's mutation
+  * scheme, change THIS file in the same commit or the probe dumps the wrong
+  * document (its one job). Lives in tools/ per the repo's probe convention.
   */
 object MutProbe {
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,25 @@ class RustFmtSpec extends AnyFunSuite {
     assert(n == 63488, s"expected full BMP minus surrogates, saw $n")
   }
 
+  test("rustStrDebug: STRING-INITIAL position escapes identically (no positional rule)") {
+    // the std doc for the escape_debug METHOD says grapheme-extend escapes
+    // only at the string start, but Debug for str (what the reference's
+    // {:?} uses) escapes position-independently — verified by dumping
+    // format!("{:?}", format!("{}x", c)) for every BMP codepoint and
+    // diffing against the mid-string table: ZERO positional differences
+    // (round-6 review #2, refuted empirically). This gate keeps the claim
+    // pinned against the committed initial-position dump.
+    var n = 0
+    lines("/escstr_initial.tsv.gz").foreach { line =>
+      val Array(cpS, expected) = line.split("\t", 2)
+      val c = cpS.toInt.toChar
+      assert(TextAssembly.rustStrDebug(c + "x") == expected,
+        f"U+${cpS.toInt}%04X initial: ours=${TextAssembly.rustStrDebug(c + "x")} rust=$expected")
+      n += 1
+    }
+    assert(n == 63488)
+  }
+
   test("RustFmt.f32 shortest-round-trip sweep (integers, ties, randoms)") {
     // ties away from zero (the JDK-divergent class the reference fixtures hit)
     assert(RustFmt.f32(215.890625f) == "215.89063")

@@ -579,8 +579,20 @@ class OperatorsSpec extends AnyFunSuite {
     val poison = b.clone()
     poison(192) = 0x7f.toByte // entry_count @192 -> huge
     assert(Multimodal.mp4FrameMeta(poison).isEmpty)
+    // hostile stts values: u32 count*delta pairs that overflow Long -> None
+    val ovf = b.clone()
+    for (off <- Seq(196, 200, 204, 208); i <- 0 until 4) ovf(off + i) = 0xff.toByte
+    assert(Multimodal.mp4FrameMeta(ovf).isEmpty, "Long-overflow stts must refuse")
     // truncation never throws
     assert(Multimodal.mp4FrameMeta(b.take(200)).isEmpty)
+    // a corrupt FRAME table must degrade decode() to frames = 1, never
+    // discard the already-parsed dims through the outer catch (review #3):
+    // truncate right after the tkhd so mdia is absent -> dims survive
+    val dimsOnly = Multimodal.mp4Envelope(320, 200, Array[Byte](1, 2, 3))
+    val d2 = Multimodal.decode(dimsOnly)
+    assert((d2.width, d2.height, d2.frames) == ((320, 200, 1)))
+    val m2 = Multimodal.decode(ovf) // readable dims + refusing sample table
+    assert((m2.width, m2.height, m2.frames) == ((640, 360, 1)), s"got $m2")
   }
 
   test("multimodal: pngGray round-trips through javax.imageio pixel-exactly") {

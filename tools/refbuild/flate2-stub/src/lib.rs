@@ -166,7 +166,7 @@ pub mod inflate {
         }
     }
 
-    pub fn inflate_raw(data: &[u8]) -> Result<Vec<u8>, String> {
+    pub fn inflate_raw(data: &[u8]) -> Result<(Vec<u8>, usize), String> {
         let mut b = Bits::new(data);
         let mut out = Vec::new();
         loop {
@@ -260,7 +260,10 @@ pub mod inflate {
                 _ => return Err("bad block type".into()),
             }
             if bfinal == 1 {
-                return Ok(out);
+                // consumed byte count: the deflate stream ends mid-byte for
+                // Huffman blocks — round up to the next byte boundary
+                let consumed = if b.bit != 0 { b.byte + 1 } else { b.byte };
+                return Ok((out, consumed));
             }
         }
     }
@@ -296,16 +299,19 @@ pub mod inflate {
         if data[1] & 0x20 != 0 {
             return Err("FDICT not supported".into());
         }
-        let out = inflate_raw(&data[2..])?;
-        // the trailing 4 bytes after the deflate stream are the big-endian
-        // Adler-32 of the decompressed data; inflate_raw does not report how
-        // many input bytes it consumed, so read the checksum from the stream
-        // TAIL (valid zlib carries nothing after it)
-        let n = data.len();
-        let stored = ((data[n - 4] as u32) << 24)
-            | ((data[n - 3] as u32) << 16)
-            | ((data[n - 2] as u32) << 8)
-            | (data[n - 1] as u32);
+        let (out, consumed) = inflate_raw(&data[2..])?;
+        // the 4 bytes FOLLOWING the deflate stream are the big-endian
+        // Adler-32 of the decompressed data; like real zlib, anything after
+        // the checksum is ignored (round-6 review: a tail read would falsely
+        // reject streams whose declared length includes trailing bytes)
+        let a = 2 + consumed;
+        if a + 4 > data.len() {
+            return Err("zlib stream truncated before adler32".into());
+        }
+        let stored = ((data[a] as u32) << 24)
+            | ((data[a + 1] as u32) << 16)
+            | ((data[a + 2] as u32) << 8)
+            | (data[a + 3] as u32);
         if stored != adler32(&out) {
             return Err("zlib adler32 mismatch".into());
         }
