@@ -244,6 +244,14 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
           // dominated small-PDF extraction cost. Accept/reject byte-wise first.
           val t = parseNum(start, len)
           if (t != null) return t
+          // reference quirk (tokenizer.rs:350-351): a vacuously-numeric run
+          // (the FIRST byte is never tested by is_numeric) is
+          // from_utf8().unwrap()'d BEFORE the numeric parse — so a lone high
+          // byte like 0xA3 in a corrupted xref entry PANICS there, even
+          // though the bytes would otherwise fall through to the bareword
+          // path untouched (non-numeric barewords carry raw bytes with no
+          // UTF-8 check at all). Found by the 1,500-mutation differential.
+          Utf8.strict(Arrays.copyOfRange(bytes, start, pos))
         }
         return keywordOrBare(Arrays.copyOfRange(bytes, start, pos))
       }
