@@ -94,7 +94,13 @@ object SparkEntry {
               case (line, i) if line.nonEmpty => (id, i, line)
             }
         })
-        .toDF("doc_id", "pos", "line").orderBy("doc_id", "pos")
+        // Scale hygiene (VERDICT r6 §5): the driver's hash compare sorts rows
+        // before hashing, so a global orderBy of the exploded glyph table buys
+        // nothing but a full range-shuffle sort — repartition by doc and sort
+        // within the partition instead (deterministic per-doc line order, no
+        // global Exchange[RANGE]).
+        .toDF("doc_id", "pos", "line")
+        .repartition(col("doc_id")).sortWithinPartitions("doc_id", "pos")
     }),
     // Full span-array contract, driver-checked on MULTI-Tj pages: each doc is
     // synthesized with one Tj per 40-char slice, and every span row (op, start,
@@ -560,8 +566,14 @@ object SparkEntry {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
         .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
     }),
+    // The probe dumps its exact candidate universe (query_id, candidate_id)
+    // to a fixed path so the DuckDB twin can recompute exact top-k cosine over
+    // exactly those pairs — the ranking stage (heaps + merge + row_number) is
+    // value-checked, while WHICH cells get probed stays guarded by the
+    // recall->=0.9 spec in OperatorsSpec (approximate by design).
     "q_ann_ivf" -> ((s, dir) => {
-      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5,
+          candidatesOut = Some(IvfCandidatesPath))
         .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
     }),
     "q_cosine_near_dup" -> ((s, dir) => {
@@ -1140,12 +1152,18 @@ object SparkEntry {
     */
   val Mp4PayloadPath = "/tmp/graft-oracle/mp4_payloads"
 
-  /** DuckDB oracles — every query except q_ann_ivf is value-checked.
-    * q_ann_ivf is approximate BY DESIGN (coarse-quantized ANN), so no exact SQL
-    * twin exists; its recall is spec-gated against the brute-force oracle in
-    * OperatorsSpec and it gets the driver's rows-only check. Wrapping 64-bit
-    * hash loops (FNV-1a, splitmix64, simhash) are re-expressed exactly via
-    * HUGEINT mod-2^64 arithmetic (see the helpers above).
+  /** Fixed path for q_ann_ivf's probed candidate universe — the oracle computes
+    * exact top-k cosine over exactly these (query_id, candidate_id) pairs.
+    */
+  val IvfCandidatesPath = "/tmp/graft-oracle/ivf_candidates"
+
+  /** DuckDB oracles — every query is value-checked, including q_ann_ivf:
+    * the IVF probe is approximate BY DESIGN (coarse-quantized ANN), but its
+    * ranking stage is exact over the deterministic probed-candidate universe,
+    * which the query dumps to [[IvfCandidatesPath]] for the twin to replay;
+    * recall stays spec-gated against the brute-force oracle in OperatorsSpec.
+    * Wrapping 64-bit hash loops (FNV-1a, splitmix64, simhash) are re-expressed
+    * exactly via HUGEINT mod-2^64 arithmetic (see the helpers above).
     */
   private val normSql =
     "trim(regexp_replace(lower(%s), '\\s+', ' ', 'g'))"
@@ -1517,6 +1535,17 @@ object SparkEntry {
         "'\\+?[0-9]{7,15}', '<PHONE>', 'g') AS redacted FROM q ORDER BY doc_id"),
     "q_ann_brute" ->
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5 ORDER BY query_id, rank",
+    // Exact top-k cosine over EXACTLY the probe's dumped candidate universe
+    // (same DOUBLE[] cosine + row_number tie-break as the brute twin); which
+    // cells were probed is the approximate part and is spec-gated, not here.
+    "q_ann_ivf" ->
+      (s"WITH c AS (SELECT query_id, candidate_id FROM read_parquet('$IvfCandidatesPath/*.parquet')), " +
+        "s AS (SELECT c.query_id, c.candidate_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) AS sim " +
+        "FROM c JOIN embeddings qe ON qe.vec_id = c.query_id JOIN embeddings ne ON ne.vec_id = c.candidate_id) " +
+        "SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
     // Header parse re-expressed over the SAME payload bytes: PNG IHDR w/h are
     // the big-endian u32s at byte offsets 16/20 (hex offsets 33/41); the JPEG
     // envelope pins SOF0 at byte offset 20, so h/w sit at hex offsets 51/55;

@@ -358,6 +358,17 @@ object Similarity {
     * ONE task's input, and duplicates must not evict a distinct true top-k
     * entry — the cross-partition duplicates are removed by the distinct() on
     * the tiny merged set. Recall < 1 by design.
+    *
+    * `candidatesOut`: when set, the exact candidate universe the probe scored —
+    * every distinct (query_id, candidate_id) pair whose candidate sits in one
+    * of that query's probed cells (self excluded, spill duplicates collapsed)
+    * — is also written as parquet to that path. The probe's result is by
+    * construction the EXACT top-k over this universe (the k*spill heaps never
+    * evict a distinct true entry), so an external engine can value-check the
+    * whole ranking stage by recomputing exact top-k cosine over exactly these
+    * pairs; approximation quality (which cells got probed) stays guarded by
+    * the recall spec. Dev/verification only — it adds one extra pass over the
+    * pruned scan, so production probes leave it None.
     */
   def ivfProbe(
       spark: SparkSession,
@@ -365,7 +376,8 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nprobe: Int = 4,
-      maxSpill: Int = -1
+      maxSpill: Int = -1,
+      candidatesOut: Option[String] = None
   ): DataFrame = {
     import spark.implicits._
     val spill =
@@ -397,6 +409,15 @@ object Similarity {
       .where(col("cell").isin(allCells: _*)) // partition-pruned scan
       .select(col("id"), col("vec"), col("cell"))
       .as[(Long, Array[Float], Int)]
+    candidatesOut.foreach { path =>
+      val bcP = spark.sparkContext.broadcast(probeCells)
+      pruned.flatMap { case (id, _, cell) =>
+        bcP.value.iterator.collect {
+          case (qid, cells) if qid != id && cells.contains(cell) => (qid, id)
+        }
+      }.toDF("query_id", "candidate_id").distinct()
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
     val candidates = partitionTopK(spark, pruned, queries, k * spill, Some(probeCells))
       .distinct() // spilled assignment: a vector can appear in 2 probed cells
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -420,7 +441,8 @@ object Similarity {
       nprobe: Int = 4,
       spill: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      candidatesOut: Option[String] = None
   ): DataFrame = {
     val spark = embeddings.sparkSession
     require(spark.sparkContext.isLocal,
@@ -433,7 +455,8 @@ object Similarity {
       rm(dir.toFile)
     }))
     ivfBuildIndex(embeddings, dir.toString, nCells, spill, idCol, vecCol)
-    ivfProbe(spark, dir.toString, queryIds, k, nprobe, maxSpill = spill)
+    ivfProbe(spark, dir.toString, queryIds, k, nprobe, maxSpill = spill,
+      candidatesOut = candidatesOut)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= threshold,

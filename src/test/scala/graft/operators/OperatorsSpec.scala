@@ -138,6 +138,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("ivfProbe candidate dump: universe matches probed cells; probe = exact top-k over it") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cand").toString
+    val queryIds = 0L until 10L
+    val k = 5
+    Similarity.ivfBuildIndex(emb, dir, nCells = 8, spill = 2)
+    val got = Similarity.ivfProbe(spark, dir, queryIds, k = k, nprobe = 4,
+        candidatesOut = Some(s"$dir/cand"))
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val cand = spark.read.parquet(s"$dir/cand")
+      .as[(Long, Long)].collect().toSeq
+    // 1. dump invariants: distinct pairs, no self-pairs, every candidate's
+    //    assigned cell set intersects the query's probed cell set (re-derive
+    //    probe cells from the index's own centroids, exactly like ivfProbe)
+    assert(cand.distinct.size == cand.size, "duplicate candidate pairs in dump")
+    assert(cand.forall { case (q, c) => q != c }, "self-pair in candidate dump")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val byId = emb.select(org.apache.spark.sql.functions.col("vec_id").cast("long"), org.apache.spark.sql.functions.col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val probeCells: Map[Long, Set[Int]] = queryIds.map { qid =>
+      qid -> centroids.map { case (ci, cv) => (ci, Similarity.cosine(cv, byId(qid))) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(4).map(_._1).toSet
+    }.toMap
+    val cellsOf: Map[Long, Set[Int]] = spark.read.parquet(s"$dir/data")
+      .select(org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.col("cell")).as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    cand.foreach { case (q, c) =>
+      assert((cellsOf(c) & probeCells(q)).nonEmpty, s"candidate $c not in $q's probed cells")
+    }
+    // completeness: every indexed id whose cells hit the probe set IS in the dump
+    queryIds.foreach { q =>
+      val expectedUniverse = cellsOf.collect {
+        case (id, cells) if id != q && (cells & probeCells(q)).nonEmpty => id
+      }.toSet
+      val dumped = cand.filter(_._1 == q).map(_._2).toSet
+      assert(dumped == expectedUniverse, s"query $q universe mismatch")
+    }
+    // 2. the oracle contract: exact top-k cosine over exactly the dumped pairs
+    //    equals the probe output, ranks and sims included
+    queryIds.foreach { q =>
+      val exact = cand.filter(_._1 == q).map(_._2)
+        .map(c => (c, Similarity.cosine(byId(q), byId(c))))
+        .sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+      assert(got(q) == exact, s"query $q: probe != exact top-k over dumped universe")
+    }
+  }
+
   test("ann IVF on a clustered corpus: recall >= 0.9 while probing a strict cell fraction") {
     import spark.implicits._
     // the driver's embeddings are uniform-random, where NO coarse quantizer can
