@@ -20,6 +20,34 @@ class QuirkDifferentialSpec extends AnyFunSuite {
   private def check(res: Either[String, Boolean]): Unit =
     res.left.foreach(msg => fail(msg))
 
+  /** Span-sidecar invariant (SURVEY §7.5, VERDICT r6 #7), asserted over every
+    * fuzz document the strict engine accepts so spans inherit the living-fuzzer
+    * coverage: spans are in-bounds, disjoint and monotone (emitted in
+    * instruction order over the append-only output), and every character of
+    * the final text NOT covered by a span is one of the engine-inserted '\n'
+    * separators (ty-change newlines and page joins belong to no span — the
+    * shown bytes themselves are always span-covered).
+    */
+  private def checkSpans(name: String, pdf: Array[Byte]): Unit = {
+    val r =
+      try Pdf(pdf).extractResult(ExtractText)
+      catch { case _: PdfParseException | _: StackOverflowError => return }
+    var prevEnd = 0
+    r.spans.foreach { s =>
+      assert(s.start >= 0 && s.start <= s.end && s.end <= r.text.length,
+        s"$name: out-of-bounds span $s (len=${r.text.length})")
+      assert(s.start >= prevEnd, s"$name: overlapping/unordered span $s (prevEnd=$prevEnd)")
+      prevEnd = s.end
+    }
+    val covered = new Array[Boolean](r.text.length)
+    r.spans.foreach(s => (s.start until s.end).foreach(covered(_) = true))
+    r.text.indices.foreach { i =>
+      if (!covered(i))
+        assert(r.text.charAt(i) == '\n',
+          s"$name: uncovered non-newline char ${r.text.charAt(i).toInt} at $i")
+    }
+  }
+
   private val probes: Seq[(String, String)] = Seq(
     // the octal-escape BUG: the reference computes ((c*8)+d*8)+e instead of
     // ((c*8)+d)*8+e (tokenizer quirk) — \101\102\103 must land wherever the
@@ -67,7 +95,29 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     "valid multibyte utf-8" ->
       "BT\n70 50 TD\n/F1 12 Tf\n(cafÃ© enc) Tj\nET\n",
     "high-byte run" ->
-      "BT\n70 50 TD\n/F1 12 Tf\n(þÿ) Tj\nET\n"
+      "BT\n70 50 TD\n/F1 12 Tf\n(þÿ) Tj\nET\n",
+    // INLINE IMAGES (BI/ID/EI, VERDICT r6 #2): not in the reference's
+    // instruction enum (content.rs:46-98), so BI/ID/EI and the dict keys ride
+    // the unknown-operator path and the binary payload after ID is LEXED AS
+    // ORDINARY TOKENS over the lossy-decoded stream — whatever desync that
+    // produces must be byte-identical in both engines. Payload shapes chosen
+    // to hit every lexer special case: plain bytes, high bytes (lossy U+FFFD),
+    // '(' swallowing EI into a string scan, a lone ')' opening the reference's
+    // Delimiter::String scan, '%' eating to EOL, '<'/'>' hex-string framing.
+    "inline image plain" ->
+      "BT\n/F1 12 Tf\nBI /W 2 /H 2 /CS /G /BPC 8 ID ÿþ EI\n70 50 TD\n(after) Tj\nET\n",
+    "inline image high bytes" ->
+      "BI /W 1 /H 1 ID éÃ© EI\nBT\n70 50 TD\n/F1 12 Tf\n(hb) Tj\nET\n",
+    "inline image open paren payload" ->
+      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID ( EI\n70 50 TD\n(x) Tj\nET\n",
+    "inline image close paren payload" ->
+      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID ) EI\n70 50 TD\n(y) Tj\nET\n",
+    "inline image percent payload" ->
+      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID %ª» EI\n70 50 TD\n(z) Tj\nET\n",
+    "inline image hex framing payload" ->
+      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID <41 42> EI\n70 50 TD\n(h) Tj\nET\n",
+    "inline image balanced paren payload" ->
+      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID (EI inside) EI\n70 50 TD\n(b) Tj\nET\n"
   )
 
   test("quirk probes: crafted content streams behave byte-identically to the binary") {
@@ -77,6 +127,7 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       check(RefBinary.parity(name, pdf, ExtractText, "text"))
       check(RefBinary.parity(name, pdf, ExtractChars, "chars"))
       check(RefBinary.parity(name, pdf, ExtractRawContent, "raw-content"))
+      checkSpans(name, pdf)
     }
   }
 
@@ -165,7 +216,7 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       "(" + Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.length))).mkString(" ") + ")"
     }
     def hexStr(): String = "<" + Seq.fill(1 + rnd.nextInt(6))("48656C"(rnd.nextInt(6))).mkString + ">"
-    def op(): String = rnd.nextInt(17) match {
+    def op(): String = rnd.nextInt(18) match {
       case 0 => s"${num()} ${num()} TD\n"
       case 1 => s"${num()} ${num()} Td\n"
       case 2 => "/F1 12 Tf\n"
@@ -183,6 +234,10 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       case 14 => s"<< /W ${num()} /H ${num()} >>\n" // inline dict — skipped wholesale
       case 15 => "BT\n" // nested/imbalanced text objects
       case 16 => "ET\n"
+      case 17 => // inline image: BI/ID/EI ride the unknown-op path; the payload
+        // after ID is lexed as ordinary tokens over the lossy-decoded stream
+        val payloads = Seq("ÿþ", "AB", "é", "%x", "<41>", "(p)", "*")
+        s"BI /W ${1 + rnd.nextInt(4)} /H 1 ID ${payloads(rnd.nextInt(payloads.length))} EI\n"
     }
     (0 until n).foreach { i =>
       val body = Seq.fill(2 + rnd.nextInt(12))(op()).mkString
@@ -191,6 +246,54 @@ class QuirkDifferentialSpec extends AnyFunSuite {
       check(RefBinary.parity(s"fuzz-$i", pdf, ExtractText, "text"))
       check(RefBinary.parity(s"fuzz-$i", pdf, ExtractChars, "chars"))
       check(RefBinary.parity(s"fuzz-$i", pdf, ExtractRawContent, "raw-content"))
+      checkSpans(s"fuzz-$i", pdf)
+    }
+  }
+
+  /** DEEP-NESTING grammar fuzz (VERDICT r6 #3): the flat menu above reaches
+    * q/Q//BT/ET only as isolated random ops, so deep save/restore stacks and
+    * structured BT..ET blocks with injected imbalance stay unexplored. This
+    * generator builds RECURSIVE block structure — q..Q and BT..ET blocks
+    * nested to depth ~8 with text-showing bodies — then randomly drops an
+    * opener or closer (~1/3 of streams), which drives the reference's
+    * graphics-stack pop-on-empty panic (content.rs:127-132) and the tm/tlm
+    * reset interaction of re-entered BT. Output parity when the reference
+    * accepts, panic parity when it refuses, span invariant on every accepted
+    * stream. Size scales with GRAFT_DEEP_FUZZ (default 80 streams x 3 modes).
+    */
+  test("deep-nesting fuzz: nested q/Q + BT/ET imbalance behaves identically to the binary") {
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
+    val n = sys.env.getOrElse("GRAFT_DEEP_FUZZ", "80").toInt
+    val rnd = new scala.util.Random(77)
+    def leaf(): String = rnd.nextInt(4) match {
+      case 0 => s"(${"deep" + rnd.nextInt(100)}) Tj\n"
+      case 1 => s"${rnd.nextInt(100)} ${rnd.nextInt(100) - 50} TD\n"
+      case 2 => s"${rnd.nextInt(3)} ${rnd.nextInt(3)} ${rnd.nextInt(3)} ${rnd.nextInt(3)} ${rnd.nextInt(40)} ${rnd.nextInt(40)} cm\n"
+      case _ => "/F1 12 Tf\n"
+    }
+    def block(depth: Int): String = {
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => "q\n" + Seq.fill(1 + rnd.nextInt(2))(block(depth - 1)).mkString + "Q\n"
+        case 1 => "BT\n/F1 12 Tf\n" + Seq.fill(1 + rnd.nextInt(2))(block(depth - 1)).mkString + "ET\n"
+        case _ => leaf() + (if (rnd.nextBoolean()) block(depth - 1) else "")
+      }
+    }
+    (0 until n).foreach { i =>
+      var content = "BT\n/F1 12 Tf\n(top) Tj\nET\n" + block(3 + rnd.nextInt(5))
+      // imbalance injection: drop ONE random opener or closer occurrence
+      if (rnd.nextInt(3) == 0) {
+        val tok = Seq("q\n", "Q\n", "BT\n", "ET\n")(rnd.nextInt(4))
+        val at = content.indexOf(tok)
+        if (at >= 0) content = content.substring(0, at) + content.substring(at + tok.length)
+      }
+      // or prepend a bare closer: pops the empty stack immediately
+      if (rnd.nextInt(5) == 0) content = "Q\n" + content
+      val pdf = graft.pipeline.MiniPdf.synthesizeRawContent(content)
+      check(RefBinary.parity(s"deep-$i", pdf, ExtractText, "text"))
+      check(RefBinary.parity(s"deep-$i", pdf, ExtractChars, "chars"))
+      check(RefBinary.parity(s"deep-$i", pdf, ExtractRawContent, "raw-content"))
+      checkSpans(s"deep-$i", pdf)
     }
   }
 }
