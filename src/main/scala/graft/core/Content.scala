@@ -537,6 +537,13 @@ object TextAssembly {
     case '\t' => "'\\t'"
     case '\\' => "'\\\\'"
     case '\'' => "'\\''"
+    // UTF-16 surrogate code units are UNREPRESENTABLE in Rust's char, so the
+    // reference can never reach its Debug formatter with one — every ingress
+    // (cmap values, CMap.utf16Char) already fails like char::decode_utf16
+    // (cmap.rs:74), and the ground-truth bitmap has no defined bits here.
+    // Fail loudly rather than render generator-dependent garbage (ADVICE r6).
+    case c if c >= '\ud800' && c <= '\udfff' =>
+      Err.fail(f"surrogate code unit U+${c.toInt}%04X has no Rust char Debug form")
     case c if ((rustEscapeBmp(c >> 3) >> (c & 7)) & 1) == 1 =>
       f"'\\u{${c.toInt}%x}'"
     case c    => s"'$c'"
@@ -567,6 +574,10 @@ object TextAssembly {
         case '\n'     => sb.append("\\n")
         case '\\'    => sb.append("\\\\")
         case '"'       => sb.append("\\\"")
+        // same surrogate guard as rustCharDebug: Rust str cannot hold one,
+        // the bitmap bits are undefined there — fail instead of guessing
+        case c if c >= '\ud800' && c <= '\udfff' =>
+          Err.fail(f"surrogate code unit U+${c.toInt}%04X has no Rust str Debug form")
         case c if ((rustEscapeStrBmp(c >> 3) >> (c & 7)) & 1) == 1 =>
           sb.append(f"\\u{${c.toInt}%x}")
         case c => sb.append(c)

@@ -147,11 +147,23 @@ object Multimodal {
   private def mp4Child(b: Array[Byte], name: String, from: Int, to: Int): Option[(Int, Int)] = {
     var pos = from
     while (pos + 8 <= to) {
-      val size = be32(b, pos)
-      if (size < 8 || pos + size > to) return None
+      val size32 = be32(b, pos)
       val id = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (id == name) return Some((pos + 8, pos + size))
-      pos += size
+      // ISO 14496-12 §4.2 size escapes (ADVICE r6): size==0 means "extends to
+      // the end of the enclosing scope" (common for a trailing mdat), size==1
+      // means the real length is the 64-bit largesize field after the id —
+      // both are well-formed, not corruption; only then does a too-small or
+      // overrunning size make the walk bail to the caller's fallback.
+      val (size: Long, header: Int) =
+        if (size32 == 0) ((to - pos).toLong, 8)
+        else if (size32 == 1) {
+          if (pos + 16 > to) return None
+          val hi = (be32(b, pos + 8) & 0xffffffffL) << 32
+          (hi | (be32(b, pos + 12) & 0xffffffffL), 16)
+        } else ((size32 & 0xffffffffL, 8))
+      if (size < header || pos + size > to) return None
+      if (id == name) return Some((pos + header, (pos + size).toInt))
+      pos += size.toInt
     }
     None
   }

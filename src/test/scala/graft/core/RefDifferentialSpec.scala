@@ -57,7 +57,15 @@ class RefDifferentialSpec extends AnyFunSuite {
     "plain" -> graft.pipeline.MiniPdf.synthesize(text),
     "multiTj" -> graft.pipeline.MiniPdf.synthesizeMultiTj(text, chunk = 7),
     "multiPage" -> graft.pipeline.MiniPdf.synthesizeMultiPage(text, chunk = 11),
-    "flate" -> graft.pipeline.MiniPdf.synthesizeFlate(text)
+    "flate" -> graft.pipeline.MiniPdf.synthesizeFlate(text),
+    // chunk-size sweep (round 7, TODO r6): chunk=1 puts EVERY glyph in its own
+    // Tj (maximum span/matrix churn), chunk=3 and page-chunk=5 hit the odd
+    // split boundaries the fixed 7/11 chunks step over
+    "multiTj1" -> graft.pipeline.MiniPdf.synthesizeMultiTj(text, chunk = 1),
+    "multiTj3" -> graft.pipeline.MiniPdf.synthesizeMultiTj(text, chunk = 3),
+    "multiPage5" -> graft.pipeline.MiniPdf.synthesizeMultiPage(text, chunk = 5),
+    // and the new incremental-update shape rides the seeded text sweep too
+    "incr2" -> graft.pipeline.MiniPdf.synthesizeIncremental(Seq(text.reverse, text))
   )
 
   test("differential sweep: text/raw-content/chars byte-exact, font modulo order") {

@@ -45,6 +45,17 @@ class RustFmtSpec extends AnyFunSuite {
     assert(n == 63488, s"expected full BMP minus surrogates, saw $n")
   }
 
+  test("surrogate code units fail loudly in both Debug formatters (ADVICE r6)") {
+    // Rust's char/str cannot hold a surrogate, so the reference fails at the
+    // ingress (char::decode_utf16, cmap.rs:74) — mirrored by CMap.utf16Char.
+    // The formatters' ground-truth bitmaps have no defined bits in
+    // U+D800-DFFF; a hostile value reaching them must throw, never render
+    // generator-dependent garbage.
+    intercept[PdfParseException] { TextAssembly.rustCharDebug('\ud800') }
+    intercept[PdfParseException] { TextAssembly.rustCharDebug('\udfff') }
+    intercept[PdfParseException] { TextAssembly.rustStrDebug("x\ud934y") }
+  }
+
   test("rustStrDebug: STRING-INITIAL position escapes identically (no positional rule)") {
     // the std doc for the escape_debug METHOD says grapheme-extend escapes
     // only at the string start, but Debug for str (what the reference's

@@ -593,6 +593,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decode(cutMp4) == Multimodal.decodeStub(cutMp4))
   }
 
+  test("mp4 box-size escapes: largesize mdat before moov; trailing size==0 mdat (ADVICE r6)") {
+    def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val tail = Array.fill(24)(0x07.toByte)
+    val env = Multimodal.mp4Envelope(320, 240, tail)
+    val moovSize = be32(env, 16)
+    // non-faststart layout: a LARGESIZE mdat (size==1 + 64-bit length field,
+    // the >4GB convention) sits AHEAD of moov — the walk must skip it by its
+    // largesize, not bail to the stub at the size<8 guard
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
+      bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
+    }
+    bos.write(env, 0, 16) // ftyp
+    w32(1); bos.write("mdat".getBytes("US-ASCII"), 0, 4); w32(0); w32(16 + tail.length)
+    bos.write(tail, 0, tail.length)
+    bos.write(env, 16, moovSize) // moov after the data
+    val reordered = bos.toByteArray
+    val m = Multimodal.decode(reordered)
+    assert((m.width, m.height) == ((320, 240)), s"largesize-mdat layout degraded: $m")
+    // trailing mdat with size==0 (extends to end of file): metadata stays
+    // real and the top-level walk terminates cleanly
+    val fr = Multimodal.mp4EnvelopeFrames(64, 48, 1000, 3, 100, 2, 200, Array.fill(8)(1.toByte))
+    (232 until 236).foreach(i => fr(i) = 0) // mdat size field at fixed offset 232
+    assert(Multimodal.mp4FrameMeta(fr).contains(Multimodal.Mp4Frames(5, 700L, 1000)))
+    val meta = Multimodal.decode(fr)
+    assert((meta.width, meta.height, meta.frames) == ((64, 48, 5)), s"size==0 mdat: $meta")
+  }
+
   test("multimodal: mp4FrameMeta walks stsz/stts/mdhd (round 6)") {
     val tail = Array.fill(40)(0x37.toByte)
     val b = Multimodal.mp4EnvelopeFrames(640, 360, 90000, 100, 3000, 20, 1500, tail)

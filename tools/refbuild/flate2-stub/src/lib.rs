@@ -88,6 +88,17 @@ pub mod inflate {
                 counts[l as usize] += 1;
             }
             counts[0] = 0;
+            // zlib-style completeness check: an oversubscribed code-length
+            // histogram (more codes at some length than the tree can hold)
+            // must be a clean error, not a later out-of-bounds panic in
+            // decode() — real flate2 rejects such streams too (ADVICE r6)
+            let mut left: i32 = 1;
+            for l in 1..16 {
+                left = (left << 1) - counts[l] as i32;
+                if left < 0 {
+                    return Err("oversubscribed huffman code lengths".into());
+                }
+            }
             // offsets per length for canonical ordering
             let mut offs = [0u16; 16];
             for l in 1..16 {
@@ -111,7 +122,15 @@ pub mod inflate {
                 code |= b.bit()? as i32;
                 let count = self.counts[len] as i32;
                 if code - first < count {
-                    return Ok(self.symbols[(index + (code - first)) as usize]);
+                    let at = (index + (code - first)) as usize;
+                    // defense in depth alongside the build() completeness
+                    // check: never index past the symbol table on a stream
+                    // whose histogram slipped through (incomplete codes are
+                    // legal; a code pointing past the populated symbols is not)
+                    return match self.symbols.get(at) {
+                        Some(&s) => Ok(s),
+                        None => Err("huffman code outside symbol table".into()),
+                    };
                 }
                 index += count;
                 first = (first + count) << 1;

@@ -42,4 +42,28 @@ for name in ["tracemonkey", "sample", "index", "002-trivial-libre-office-writer"
         r = subprocess.run([bin_], input=blob, capture_output=True)
         if r.returncode == 0 and r.stdout == want: good += 1
 print(f"fixture streams: {good}/{tot} identical")
+
+# Targeted corruption class (ADVICE r6): an OVERSUBSCRIBED code-length
+# histogram (all 19 CL codes claiming length 1) must be a clean rejection in
+# both engines — before the Huff::build completeness check, the stub could
+# index its symbol table out of bounds and abort instead of erroring.
+def bitstream(bits):
+    out = bytearray(); acc = 0; nb = 0
+    for b in bits:
+        acc |= (b & 1) << nb; nb += 1
+        if nb == 8: out.append(acc); acc = 0; nb = 0
+    if nb: out.append(acc)
+    return bytes(out)
+bits = [1, 0, 1]               # BFINAL=1, BTYPE=10 (dynamic), LSB first
+bits += [0]*5 + [0]*5 + [1]*4  # HLIT=0 (257), HDIST=0 (1), HCLEN=15 (19)
+bits += [1, 0, 0] * 19         # every CL code length = 1 -> oversubscribed
+over = b"\x78\x01" + bitstream(bits) + b"\x00\x00\x00\x00"
+try:
+    zlib.decompress(over); zfail = False
+except Exception:
+    zfail = True
+r = subprocess.run([bin_], input=over, capture_output=True)
+assert zfail and r.returncode != 0, \
+    ("oversubscribed-histogram verdicts differ", zfail, r.returncode)
+print("oversubscribed code-length stream: both engines reject")
 sys.exit(0 if (ok == 160 and good == tot) else 1)
