@@ -572,6 +572,7 @@ object SparkEntry {
     // value-checked, while WHICH cells get probed stays guarded by the
     // recall->=0.9 spec in OperatorsSpec (approximate by design).
     "q_ann_ivf" -> ((s, dir) => {
+      tagOracle(dir)
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5,
           candidatesOut = Some(IvfCandidatesPath))
         .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
@@ -692,6 +693,7 @@ object SparkEntry {
     // are driver-checked.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
+      tagOracle(dir)
       val media = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, text) =>
           val tail = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -773,6 +775,7 @@ object SparkEntry {
     // layout bug would misalign the two and break the hash).
     "q_mp4_frames" -> ((s, dir) => {
       import s.implicits._
+      tagOracle(dir)
       val media = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, text) =>
           val tail = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1125,7 +1128,9 @@ object SparkEntry {
     // DuckDB oracle reads back via read_parquet — so every turn's extracted text is
     // value-checked end to end through scan -> salted repartition -> mapPartitions
     // extract -> sort.
-    "q_extract_pipeline" -> ((s, _) => {
+    "q_extract_pipeline" -> ((s, dir) => {
+      tagOracle(dir) // dump is input-independent, but it must live under the
+      // same per-dir root the rendered oracle SQL will point at
       val gen = SynthGen.generate(s, nConvs = 120, turnsPerConv = 5, longConvs = 2, longTurns = 300)
       gen.toDF().select(col("conv_id"), col("turn_idx"), col("tool"), col("expected_text"))
         .coalesce(1).write.mode("overwrite").parquet(PipelineExpectedPath)
@@ -1137,25 +1142,42 @@ object SparkEntry {
     })
   )
 
-  /** Fixed path for the flagship's generator-authored expectations (the oracle SQL
-    * must be a static string, so the path cannot vary per run).
+  /** Oracle side-dump root, KEYED BY THE ACTIVE INPUT DIR (round-7 fix): four
+    * queries write payload/expectation parquet to a path the DuckDB twin reads
+    * back, and the path must be stable within one Verify process yet distinct
+    * across scale factors — a Bench or ExplainAudit run at another SF would
+    * otherwise clobber the shared fixed paths between Verify's dump and the
+    * driver's DuckDB compare and silently zero the round's correctness (found
+    * locally exactly that way). Every dump-writing query stamps the tag from
+    * its own `dir` argument; `oracleSql` renders the paths AFTER Verify has run
+    * the queries, and each process runs all queries against a single dir, so
+    * the rendered SQL always points at the dumps that process just wrote.
     */
-  val PipelineExpectedPath = "/tmp/graft-oracle/pipeline_expected"
+  @volatile private var oracleTag: String = "default"
+  private def tagOracle(dir: String): Unit =
+    oracleTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_") match {
+      case "" => "default"
+      case t  => t
+    }
+  def oracleRoot: String = s"/tmp/graft-oracle/$oracleTag"
 
-  /** Fixed path for q_multimodal_meta's payload blobs — the oracle re-parses the
+  /** Path for the flagship's generator-authored expectations. */
+  def PipelineExpectedPath: String = s"$oracleRoot/pipeline_expected"
+
+  /** Path for q_multimodal_meta's payload blobs — the oracle re-parses the
     * image headers from these exact bytes.
     */
-  val MultimodalPayloadPath = "/tmp/graft-oracle/multimodal_payloads"
+  def MultimodalPayloadPath: String = s"$oracleRoot/multimodal_payloads"
 
-  /** Fixed path for q_mp4_frames' payload blobs — the oracle re-reads the
+  /** Path for q_mp4_frames' payload blobs — the oracle re-reads the
     * stsz/stts/mdhd fields from these exact bytes at fixed hex offsets.
     */
-  val Mp4PayloadPath = "/tmp/graft-oracle/mp4_payloads"
+  def Mp4PayloadPath: String = s"$oracleRoot/mp4_payloads"
 
-  /** Fixed path for q_ann_ivf's probed candidate universe — the oracle computes
+  /** Path for q_ann_ivf's probed candidate universe — the oracle computes
     * exact top-k cosine over exactly these (query_id, candidate_id) pairs.
     */
-  val IvfCandidatesPath = "/tmp/graft-oracle/ivf_candidates"
+  def IvfCandidatesPath: String = s"$oracleRoot/ivf_candidates"
 
   /** DuckDB oracles — every query is value-checked, including q_ann_ivf:
     * the IVF probe is approximate BY DESIGN (coarse-quantized ANN), but its

@@ -28,9 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val Knuth = 2654435761L
-  private val Space = 4294967296L // 2^32
-  private val Fold = 2147483648L // 2^31: (Fold-1) * Knuth < 2^63 — overflow-free
+  private[operators] val Knuth = 2654435761L
+  private[operators] val Space = 4294967296L // 2^32
+  private[operators] val Fold = 2147483648L // 2^31: (Fold-1) * Knuth < 2^63 — overflow-free
 
   /** The sampling hash of a BIGINT id column, in [0, 2^32). */
   def idHash(id: Column): Column =
