@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.{ExtractChars, ExtractText, Pdf}
 import graft.functions.TextFunctions
 import graft.html.HtmlBoilerplate
-import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
+import graft.operators.{Chunking, Dedup, Multimodal, Similarity, Temporal}
 import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -559,6 +559,53 @@ object SparkEntry {
       val bench = docs.where(col("doc_id") < 5).select(col("text"))
       Dedup.decontaminate(docs, "text", "doc_id", bench, "text", k = 8)
         .orderBy("doc_id")
+    }),
+
+    // Unigram-surprisal quality scoring: the corpus IS the language model —
+    // integer bit-length surprisal (no floating log), vocab = top-256 words,
+    // OOV costs one bit more than the rarest possible in-vocab word. Two
+    // map-side-combined shuffles + a bounded top-V + broadcast joins.
+    "q_surprisal" -> ((s, dir) => {
+      graft.operators.Quality.unigramSurprisal(
+        t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
+        .orderBy("doc_id")
+    }),
+    // Deterministic 80/10/10 split assignment — the reproducible form of
+    // randomSplit(): label is a pure function of (doc_id, salt), salted so the
+    // split decorrelates from the sampling draws on the same ids.
+    "q_split_assign" -> ((s, dir) => {
+      graft.operators.Sampling.splitAssign(
+        t(s, dir, "documents"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 7L)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- chunking, deterministic shuffle, sequence packing --------------------------
+    // Fixed-size overlapping token windows — the preprocessing cut between
+    // curation and packing. Wholly codegen'd column math (split -> chunk-count
+    // arithmetic -> posexplode -> slice), NARROW: chunking happens inside the
+    // scan stage, no shuffle, no UDF.
+    "q_chunk_docs" -> ((s, dir) => {
+      Chunking.chunkDocs(t(s, dir, "documents"), "text", "doc_id", maxTokens = 64, overlap = 8)
+        // same scale hygiene as q_pdf_chars: the driver's hash compare is
+        // order-normalized, so skip the global range sort of what is a
+        // corpus-sized table at scale
+        .repartition(col("doc_id")).sortWithinPartitions("doc_id", "chunk_idx")
+    }),
+    // chunk -> deterministic corpus shuffle (pos = pure hash of doc_id+seed, so
+    // a rerun/resume lands the SAME training order regardless of layout) ->
+    // shard-local concat-then-split packing at a 256-token capacity. The only
+    // shuffle is the hash exchange on `shard` that materializing the training
+    // order needs anyway; the window cumsum is per-shard, never global.
+    "q_pack_sequences" -> ((s, dir) => {
+      val chunks = Chunking.chunkDocs(t(s, dir, "documents"), "text", "doc_id", 64, 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      val sharded = Chunking.deterministicShuffle(chunks, "doc_id", seed = 42L, nShards = 8)
+      Chunking.packSequences(sharded, "doc_id", "chunk_idx", "n_tokens", capacity = 256)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("shard"),
+          col("pos"), col("tokens_before"), col("seq_id"))
+        .repartition(col("doc_id")).sortWithinPartitions("doc_id", "chunk_idx")
     }),
 
     // ---- similarity search ----------------------------------------------------------
@@ -1415,6 +1462,69 @@ object SparkEntry {
         "h AS (SELECT e.doc_id, count(*) AS hits FROM e JOIN b USING (g) GROUP BY e.doc_id) " +
         "SELECT n.doc_id, CAST(coalesce(h.hits, 0) AS INT) AS n_contaminated " +
         "FROM n LEFT JOIN h USING (doc_id) ORDER BY n.doc_id"),
+    // surprisal twin: the whole integer pipeline replays — vocab counts, the
+    // deterministic top-256 cut (ORDER BY c DESC, word ASC), bit-length
+    // surprisal via bin() (both engines print minimal binary), OOV = corpus
+    // bit-length + 1, per-doc integer sums; left join keeps zero-token docs
+    "q_surprisal" ->
+      ("WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "ww AS (SELECT word FROM w WHERE length(word) > 0), " +
+        "c AS (SELECT word, count(*) AS c FROM ww GROUP BY word), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c), " +
+        "v AS (SELECT word, length(bin(n_total // c)) AS bits FROM c, tot ORDER BY c DESC, word ASC LIMIT 256), " +
+        "dt AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "dd AS (SELECT doc_id, word FROM dt WHERE length(word) > 0), " +
+        "sc AS (SELECT dd.doc_id, CASE WHEN v.bits IS NULL THEN (SELECT length(bin(n_total)) + 1 FROM tot) ELSE v.bits END AS tb, " +
+        "CASE WHEN v.bits IS NULL THEN 1 ELSE 0 END AS oov FROM dd LEFT JOIN v USING (word)), " +
+        "g AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(tb) AS BIGINT) AS surprisal_bits FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "coalesce(g.n_oov, 0) AS n_oov, coalesce(g.surprisal_bits, 0) AS surprisal_bits " +
+        "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // split twin: the TWO-ROUND salted hash (Knuth round -> xor-shift fold ->
+    // xxhash-prime round — one linear round merely rotates under a salt, see
+    // Sampling.saltedHash), then cumulative thresholds round(0.8 * 2^32) =
+    // 3435973837 and round(0.9 * 2^32) = 3865470566, last range open-ended
+    // (the Spark side pins the final boundary to 2^32)
+    "q_split_assign" ->
+      ("WITH p AS (SELECT doc_id, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 7) % 2147483648 AS s0 FROM documents), " +
+        "h AS (SELECT doc_id, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
+        "m AS (SELECT doc_id, xor(h1, h1 >> 16) AS m1 FROM h), " +
+        "q AS (SELECT doc_id, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m) " +
+        "SELECT doc_id, CASE WHEN hv < 3435973837 THEN 'train' WHEN hv < 3865470566 THEN 'val' " +
+        "ELSE 'test' END AS split FROM q ORDER BY doc_id"),
+    // chunk twin: same whitespace-split token convention as q_token_count,
+    // same window arithmetic (stride 56 = 64 - 8; nChunks = 1 + ceil(max(0,
+    // n-64)/56) spelled as integer division); list_slice clamps past the end
+    // exactly like Spark's slice
+    "q_chunk_docs" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT doc_id, w, len(w) AS n, 1 + (greatest(len(w) - 64, 0) + 55) // 56 AS k FROM t), " +
+        "e AS (SELECT doc_id, w, n, unnest(range(k)) AS ci FROM c) " +
+        "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, " +
+        "array_to_string(list_slice(w, CAST(ci * 56 + 1 AS INT), CAST(ci * 56 + 64 AS INT)), ' ') AS chunk_text, " +
+        "CAST(least(n - ci * 56, 64) AS INT) AS n_tokens " +
+        "FROM e ORDER BY doc_id, chunk_idx"),
+    // pack twin: replays the chunk CTE, then the two-round multiply-fold-xor
+    // shuffle position (pmod spelled ((x % m) + m) % m; every product under
+    // 2^63 by the 2^31 pre-fold), then the shard-local cumulative-sum packing
+    // window — SUM over ROWS UNBOUNDED PRECEDING TO 1 PRECEDING, order
+    // (pos, doc_id, chunk_idx), integer-divided by the 256-token capacity
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT doc_id, len(w) AS n, 1 + (greatest(len(w) - 64, 0) + 55) // 56 AS k FROM t), " +
+        "e AS (SELECT doc_id, n, unnest(range(k)) AS ci FROM c), " +
+        "x AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx, CAST(least(n - ci * 56, 64) AS INT) AS n_tokens FROM e), " +
+        "p AS (SELECT *, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 42) % 2147483648 AS s0 FROM x), " +
+        "h AS (SELECT *, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
+        "m AS (SELECT *, xor(h1, h1 >> 16) AS m1 FROM h), " +
+        "q AS (SELECT doc_id, chunk_idx, n_tokens, ((m1 % 2147483648) * 2246822519) % 4294967296 AS pos FROM m), " +
+        "r AS (SELECT *, CAST(pos % 8 AS INT) AS shard FROM q), " +
+        "f AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard " +
+        "ORDER BY pos, doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM r) " +
+        "SELECT doc_id, chunk_idx, n_tokens, shard, pos, tokens_before, tokens_before // 256 AS seq_id " +
+        "FROM f ORDER BY doc_id, chunk_idx"),
     "q_cosine_near_dup" ->
       ("WITH u AS (SELECT vec_id AS id, embedding AS e FROM embeddings " +
         "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings) " +

@@ -36,6 +36,26 @@ object Sampling {
   def idHash(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(Fold)) * lit(Knuth), lit(Space))
 
+  private[operators] val K2 = 2246822519L // xxhash PRIME32_2; (2^31-1) * K2 < 2^63
+
+  /** SALTED two-round hash of (id, salt), in [0, 2^32): Knuth round ->
+    * xor-shift fold -> second multiply round. The single Knuth round is LINEAR
+    * in (id + salt) — `(id+s)*K = id*K + s*K mod 2^32` — so salting it only
+    * ROTATES the hash circle: two 50% threshold sets under different salts can
+    * overlap anywhere from 0 to 100% (measured 42% on sequential ids), which
+    * is not decorrelation. The xor-shift between the rounds breaks the
+    * linearity; distinct salts then behave as near-independent draws. Every
+    * product stays under 2^63 via the 2^31 pre-folds (ANSI-safe); exactly
+    * replayable in SQL (pmod spelled ((x%m)+m)%m, xor/>> as in the
+    * splitmix64 twins).
+    */
+  def saltedHash(id: Column, salt: Long): Column = {
+    val s = pmod(pmod(id.cast("long"), lit(Fold)) + lit(salt % Fold), lit(Fold))
+    val h1 = pmod(s * lit(Knuth), lit(Space))
+    val m1 = h1.bitwiseXOR(shiftrightunsigned(h1, 16))
+    pmod(pmod(m1, lit(Fold)) * lit(K2), lit(Space))
+  }
+
   private def threshold(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
     math.round(fraction * Space)
@@ -62,6 +82,41 @@ object Sampling {
     val p = when(wd.isNaN, lit(null).cast("double"))
       .otherwise(least(greatest(wd, lit(0.0)), lit(1.0)))
     df.where(idHash(col(idCol)) < round(p * lit(Space.toDouble)))
+  }
+
+  /** Deterministic train/val/test SPLIT ASSIGNMENT: every row gets exactly one
+    * label, chosen by which cumulative-fraction hash range its id falls in —
+    * the reproducible form of the dataset split (randomSplit() draws depend on
+    * partitioning and re-deal rows on rerun; this is a pure function of
+    * (id, salt), so a resumed shard, another engine, or next month's rerun
+    * agree row for row). `salt` decorrelates the split from any OTHER decision
+    * keyed on the same id — via the nonlinear [[saltedHash]], NOT a shifted
+    * idHash (see there: shifting a linear hash does not decorrelate).
+    * Boundaries are round(cumFraction * 2^32) with the last pinned
+    * to 2^32 — no rounding hole can leave a row unlabeled. One codegen'd CASE
+    * in the scan stage; no shuffle, no UDF; SQL-replayable.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: Long = 0L,
+      labelCol: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0), s"negative split fraction in $splits")
+    val totalF = splits.map(_._2).sum
+    require(math.abs(totalF - 1.0) < 1e-9, s"split fractions sum to $totalF, not 1")
+    val h = saltedHash(col(idCol), salt)
+    val bounds = splits.scanLeft(0.0) { case (cum, (_, f)) => cum + f }.tail
+      .dropRight(1).map(threshold) :+ Space // pin the last boundary: no hole
+      // (dropRight BEFORE threshold: FP accumulation can push the final
+      // cumulative to 1+1e-16, which threshold correctly rejects)
+    val label = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, b)) =>
+        when(h < lit(b), lit(name)).otherwise(acc)
+      }
+    df.withColumn(labelCol, label)
   }
 
   /** Stratified sampling: a per-stratum fraction (strata not listed take

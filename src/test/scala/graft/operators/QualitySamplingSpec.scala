@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.SparkTestSession
+
+/** Gates for unigram surprisal scoring and deterministic split assignment that
+  * the DuckDB twins (q_surprisal / q_split_assign) don't cover: hand-derived
+  * expectations on a controlled corpus, vocab-cut and OOV-cost contracts,
+  * split coverage/fraction/decorrelation properties.
+  */
+class QualitySamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Independent re-derivation of the surprisal contract in plain Scala. */
+  private def expectedSurprisal(
+      docs: Seq[(Long, String)], vocabSize: Int): Map[Long, (Long, Long, Long)] = {
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap { case (_, t) => toks(t) }
+    val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = counts.values.sum
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(vocabSize).toMap
+    def bits(c: Long): Long = java.lang.Long.toBinaryString(nTotal / c).length.toLong
+    val oovBits = java.lang.Long.toBinaryString(nTotal).length.toLong + 1
+    docs.map { case (id, t) =>
+      val ws = toks(t)
+      val oov = ws.count(w => !vocab.contains(w)).toLong
+      val s = ws.map(w => vocab.get(w).map(bits).getOrElse(oovBits)).sum
+      id -> ((ws.size.toLong, oov, s))
+    }.toMap
+  }
+
+  test("unigramSurprisal matches an independent re-derivation, incl. OOV and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog  ate THE homework"), // double space + case folding
+      (3L, "zyzzyva the"),
+      (4L, "   "), // zero tokens: must report (0,0,0), not vanish
+      (5L, "cat dog cat"))
+    for (v <- Seq(3, 5, 100)) {
+      val got = Quality.unigramSurprisal(docs.toDF("doc_id", "text"), "text", "doc_id", v)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expectedSurprisal(docs, v), s"vocabSize=$v")
+    }
+  }
+
+  test("unigramSurprisal contracts: OOV costs max+1 bits; shrinking vocab never lowers a doc's score") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"common common rare_$i")).toDF("doc_id", "text")
+    val wide = Quality.unigramSurprisal(docs, "text", "doc_id", 1000)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val narrow = Quality.unigramSurprisal(docs, "text", "doc_id", 1)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._3, r._4))
+    // vocab=1 keeps only "common": every rare_<i> token is OOV at the fixed cost
+    val nTotal = 150L // 50 docs x 3 tokens
+    val oovBits = java.lang.Long.toBinaryString(nTotal).length.toLong + 1
+    val commonBits = java.lang.Long.toBinaryString(nTotal / 100).length.toLong
+    narrow.foreach { case (id, oov, s) =>
+      assert(oov == 1L, s"doc $id")
+      assert(s == 2 * commonBits + oovBits, s"doc $id score $s")
+      assert(s >= wide(id), s"doc $id: narrowing vocab lowered the score")
+    }
+  }
+
+  test("splitAssign: total coverage, target fractions, layout invariance") {
+    import spark.implicits._
+    val n = 20000L
+    val ids = (0L until n).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def labels(parts: Int): Map[Long, String] =
+      Sampling.splitAssign(ids.repartition(parts), "doc_id", splits, salt = 7L)
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val a = labels(1)
+    assert(a.size == n && a == labels(11), "labels must cover every row and ignore layout")
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") / n.toDouble - 0.8) < 0.01, s"train ${byLabel("train")}")
+    assert(math.abs(byLabel("val") / n.toDouble - 0.1) < 0.01, s"val ${byLabel("val")}")
+    // rerun stability is the point: same ids, same labels, forever
+    assert(labels(1) == a)
+  }
+
+  test("splitAssign: salt decorrelates; invalid fractions fail loudly") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("doc_id")
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    def setA(salt: Long) =
+      Sampling.splitAssign(ids, "doc_id", splits, salt)
+        .where($"split" === "a").select($"doc_id").as[Long].collect().toSet
+    val s0 = setA(0); val s9 = setA(9001)
+    // independent 50% draws overlap ~25% of the universe; identical draws 50%
+    val overlap = (s0 & s9).size / 10000.0
+    assert(overlap > 0.15 && overlap < 0.35, s"salts failed to decorrelate: $overlap")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, "doc_id", Seq("a" -> 1.1, "b" -> -0.1))
+    }
+  }
+}
