@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   * engines' libm.
   *
   * Scale shape: ONE shuffle on word for the vocabulary count (map-side
-  * combined), a driver-bounded top-V `TakeOrderedAndProject` (V rows by
-  * construction — the same bounded-collect contract as IVF centroids), the
-  * corpus side then BROADCAST-joins the tiny vocab (never shuffles on word
-  * again), and the per-doc rollup shuffles on doc_id with partial
-  * aggregation. A 100 TB corpus pays two map-side-combined shuffles and no
-  * global sort.
+  * combined), a 1-row total + driver-bounded top-V `TakeOrderedAndProject`
+  * (V+1 rows by construction — the same bounded-collect contract as IVF
+  * centroids), the corpus side then BROADCAST-joins the tiny vocab (never
+  * shuffles on word again), and the per-doc rollup shuffles on doc_id with
+  * partial aggregation. A 100 TB corpus pays two map-side-combined shuffles
+  * and no global sort.
   */
 object Quality {
 
@@ -46,26 +46,30 @@ object Quality {
       .where(length(col("word")) > 0)
     val counts = words.groupBy("word").agg(count(lit(1)).as("c"))
     // total BEFORE the top-V cut: N is the corpus token count, so OOV cost and
-    // in-vocab bits stay comparable however small vocabSize is
-    val total = counts.agg(sum(col("c")).as("n_total"))
+    // in-vocab bits stay comparable however small vocabSize is. Collected as a
+    // SINGLE row (bounded by construction — the same driver-collect contract
+    // as IVF centroids) and inlined as a literal: attaching a 1-row scalar via
+    // crossJoin(broadcast(...)) plans as a BroadcastNestedLoopJoin, which the
+    // engine bans outright rather than whitelisting benign shapes.
+    val nTotal: Long = {
+      val r = counts.agg(sum(col("c"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val oovBits = java.lang.Long.toBinaryString(nTotal).length.toLong + 1
     val vocab = counts
       .orderBy(col("c").desc, col("word").asc)
       .limit(vocabSize)
-      .crossJoin(broadcast(total))
       .select(
         col("word"),
-        length(bin(expr("n_total DIV c"))).as("bits"))
+        length(bin(expr(s"CAST($nTotal AS BIGINT) DIV c"))).as("bits"))
     val docTokens = df
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
-    // oovBits depends only on N — ship it on every vocab row is wasteful;
-    // instead broadcast the 1-row total alongside and coalesce per token
     val scored = docTokens
       .join(broadcast(vocab), Seq("word"), "left")
-      .crossJoin(broadcast(total.select(length(bin(col("n_total"))).as("max_bits"))))
       .select(
         col(idCol),
-        coalesce(col("bits"), col("max_bits") + lit(1)).as("tok_bits"),
+        coalesce(col("bits"), lit(oovBits)).as("tok_bits"),
         when(col("bits").isNull, 1L).otherwise(0L).as("is_oov"))
       .groupBy(col(idCol))
       .agg(
