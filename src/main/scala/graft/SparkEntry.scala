@@ -459,6 +459,14 @@ object SparkEntry {
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
       Dedup.exact(dupes, "text", "doc_id").orderBy("text_hash")
     }),
+    // C4-style span dedup, token-segment analog: an 8-token segment occurring
+    // in >= 2 distinct documents keeps only its globally-first occurrence
+    // (min (doc_id, seg_idx)); documents reassemble from surviving segments.
+    // The sf corpus carries ~150 naturally-repeated segments at this width.
+    "q_dedup_segments" -> ((s, dir) => {
+      Dedup.dedupSegments(t(s, dir, "documents"), "text", "doc_id", segTokens = 8, minDocs = 2)
+        .orderBy("doc_id")
+    }),
     // Near-dup queries run at exact-duplicate thresholds so a SQL oracle exists
     // (expected pairs = identical-shingle-set / identical-simhash pairs, incl.
     // the planted +10000 copies); the loose-threshold near-dup behavior is
@@ -1596,6 +1604,27 @@ object SparkEntry {
       "SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct, len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], w))) AS n_stop FROM documents ORDER BY doc_id",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) GROUP BY md5(text) ORDER BY text_hash",
+    // span-dedup twin: same 8-token segmentation (ceil via integer division),
+    // distinct-doc counts, keeper = global first occurrence replayed as
+    // row_number over (doc_id, seg_idx) — identical to Spark's min(struct) —
+    // and ordered string_agg reassembly (skips removed-segment NULLs exactly
+    // like collect_list); zero-token docs come back via the left join
+    "q_dedup_segments" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT doc_id, w, (len(w) + 7) // 8 AS k FROM t), " +
+        "seg AS (SELECT doc_id, CAST(ci AS INT) AS seg_idx, " +
+        "array_to_string(list_slice(w, CAST(ci * 8 + 1 AS INT), CAST(ci * 8 + 8 AS INT)), ' ') AS s " +
+        "FROM c, unnest(range(k)) AS u(ci)), " +
+        "st AS (SELECT s, count(DISTINCT doc_id) AS nd FROM seg GROUP BY s), " +
+        "rk AS (SELECT doc_id, seg_idx, s, row_number() OVER (PARTITION BY s ORDER BY doc_id, seg_idx) AS rn FROM seg), " +
+        "m AS (SELECT rk.doc_id, rk.seg_idx, rk.s, (st.nd >= 2 AND rk.rn > 1) AS rm FROM rk JOIN st USING (s)), " +
+        "g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments, " +
+        "CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS INT) AS n_removed, " +
+        "string_agg(CASE WHEN NOT rm THEN s END, ' ' ORDER BY seg_idx) AS text_clean FROM m GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(g.text_clean, '') AS text_clean, " +
+        "coalesce(g.n_segments, 0) AS n_segments, coalesce(g.n_removed, 0) AS n_removed " +
+        "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
     // training-mix twin: the keeper stage is REPLAYED (min doc_id per text
     // hash over the planted-dupe union — no uniqueness assumption about the
     // generator's texts), score/tokens from the exact integer formulas with a

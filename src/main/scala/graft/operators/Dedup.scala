@@ -474,4 +474,77 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** C4-style SPAN deduplication, adapted to the corpus's delimiter-free
+    * token streams: cut each document into consecutive non-overlapping
+    * `segTokens`-token segments (C4's unit is the three-sentence span; this
+    * corpus has no sentence delimiters, so the fixed-width token segment is
+    * the faithful analog — swap the segmenter for a sentence splitter on
+    * punctuated text), and for every segment whose exact text occurs in at
+    * least `minDocs` DISTINCT documents, keep only its GLOBALLY FIRST
+    * occurrence (min (doc_id, seg_idx) — C4 keeps one occurrence of each
+    * duplicated span) and delete every other one, then reassemble each
+    * document from its surviving segments in order.
+    *
+    * Output: (idCol, text_clean, n_segments, n_removed) — one row per input
+    * row; zero-token docs report ('', 0, 0).
+    *
+    * Scale shape: segment explode is NARROW (inside the scan stage); the
+    * per-segment stats are ONE map-side-combined groupBy on segment text
+    * (count-distinct via the (seg, doc) distinct pre-step, keeper via
+    * min(struct) — partial-merge aggregates, so a boilerplate segment in
+    * millions of docs never serializes a task); dup marking is a hash join on
+    * segment text (NOT broadcast — the duplicated-segment set is
+    * corpus-sized at 100 TB; AQE's skew split handles mega-hot boilerplate);
+    * reassembly groups by doc_id, bounded by document size. No windows over
+    * unbounded partitions, no driver materialization.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(segTokens > 0, s"segTokens $segTokens must be positive")
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would delete every segment)")
+    val words = split(trim(col(textCol)), "\\s+")
+    val nSegs = floor((size(words) + lit(segTokens - 1)).cast("double") / lit(segTokens.toDouble)).cast("int")
+    val seg = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), words.as("w"), nSegs.as("k"))
+      .select(col(idCol), posexplode(sequence(lit(0), col("k") - 1)).as(Seq("seg_idx", "_c")), col("w"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(slice(col("w"), col("seg_idx") * segTokens + 1, lit(segTokens)), " ").as("seg_text"))
+    // distinct-doc counting without countDistinct's two-shuffle expansion on
+    // the exploded table: first collapse to one (seg_text, doc) row per doc
+    // (map-side combined), then count; keeper needs the full occurrence set,
+    // so it aggregates the exploded rows directly (min(struct) partial-merges)
+    val perDoc = seg.groupBy(col("seg_text"), col(idCol)).agg(count(lit(1)).as("_n"))
+    val docCounts = perDoc.groupBy(col("seg_text")).agg(count(lit(1)).as("n_docs"))
+    val keepers = seg.groupBy(col("seg_text"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("keeper"))
+    val stats = docCounts.join(keepers, Seq("seg_text"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("seg_text"), col(s"keeper.$idCol").as("_kdoc"), col("keeper.seg_idx").as("_kidx"))
+    val marked = seg.join(stats, Seq("seg_text"), "left")
+      .select(col(idCol), col("seg_idx"), col("seg_text"),
+        (col("_kdoc").isNotNull &&
+          !(col(idCol) === col("_kdoc") && col("seg_idx") === col("_kidx"))).as("rm"))
+    val rebuilt = marked.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_segments"),
+        sum(when(col("rm"), 1L).otherwise(0L)).cast("int").as("n_removed"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(!col("rm"), struct(col("seg_idx"), col("seg_text"))))),
+            x => x.getField("seg_text")),
+          " ").as("text_clean"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_segments"), lit(0)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"))
+  }
 }

@@ -1305,4 +1305,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.length == 8 && f.forall(v => v >= 0f && v <= 1f))
     assert(Multimodal.sampleFrames(meta, 1).length == meta.frames)
   }
+
+  /** Independent re-derivation of the C4-style segment-dedup contract. */
+  private def expectedSegDedup(
+      docs: Seq[(Long, String)], w: Int, minDocs: Int): Map[Long, (String, Int, Int)] = {
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def segsOf(t: String) =
+      toks(t).grouped(w).map(_.mkString(" ")).zipWithIndex.map { case (s, i) => (i, s) }.toSeq
+    val all = docs.flatMap { case (id, t) => segsOf(t).map { case (i, s) => (id, i, s) } }
+    val keeper = all.groupBy(_._3).collect {
+      case (s, occ) if occ.map(_._1).distinct.size >= minDocs =>
+        s -> occ.map(o => (o._1, o._2)).min
+    }
+    docs.map { case (id, t) =>
+      val own = segsOf(t)
+      val kept = own.filter { case (i, s) => keeper.get(s).forall(_ == (id, i)) }
+      id -> ((kept.map(_._2).mkString(" "), own.size, own.size - kept.size))
+    }.toMap
+  }
+
+  test("dedupSegments: planted duplicates — keeper survives, later occurrences removed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // keeper of "a b c"
+      (2L, "a b c x y z"), // cross-doc dup: removed here
+      (3L, "a b c a b c q"), // BOTH later occurrences removed (global keeper rule)
+      (4L, "   "), // zero tokens -> ('', 0, 0)
+      (5L, "p q r p q r"), // intra-doc repetition only: 1 distinct doc -> kept
+      (6L, "unique tokens entirely of their own making"))
+    val got = Dedup.dedupSegments(docs.toDF("doc_id", "text"), "text", "doc_id", 3, 2)
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expectedSegDedup(docs, 3, 2))
+    assert(got(1L) == (("a b c d e f", 2, 0)))
+    assert(got(2L) == (("x y z", 2, 1)))
+    assert(got(3L) == (("q", 3, 2)))
+    assert(got(4L) == (("", 0, 0)))
+    assert(got(5L) == (("p q r p q r", 2, 0)))
+  }
+
+  test("dedupSegments: randomized corpus matches the re-derivation; minDocs=3 loosens removal") {
+    import spark.implicits._
+    // tiny vocab forces natural segment collisions, like the sf corpus
+    val vocab = Vector("red", "blue", "green", "gold")
+    val docs = (0L until 60L).map { i =>
+      val n = 5 + (i % 13).toInt
+      (i, (0 until n).map(j => vocab(((i * 31 + j * 7) % 4).toInt)).mkString(" "))
+    }
+    for (minDocs <- Seq(2, 3)) {
+      val got = Dedup.dedupSegments(docs.toDF("doc_id", "text"), "text", "doc_id", 2, minDocs)
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expectedSegDedup(docs, 2, minDocs), s"minDocs=$minDocs")
+    }
+    // the tiny vocab must actually exercise removal, or the test is vacuous
+    val got2 = Dedup.dedupSegments(docs.toDF("doc_id", "text"), "text", "doc_id", 2, 2)
+      .as[(Long, String, Int, Int)].collect()
+    assert(got2.map(_._4).sum > 20, "corpus failed to produce cross-doc duplicate segments")
+  }
 }
