@@ -578,6 +578,16 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
         .orderBy("doc_id")
     }),
+    // CCNet-style perplexity bucketing composed from verified pieces:
+    // surprisal -> integer milli-bits/token -> exact corpus terciles (the
+    // histogram rank rule) -> head/middle/tail label -> deterministic
+    // per-bucket keep (two-round salted hash; head 1.0 / middle 0.5 /
+    // tail 0.1).
+    "q_perplexity_buckets" -> ((s, dir) => {
+      graft.operators.Quality.perplexityBuckets(
+        t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
+        .orderBy("doc_id")
+    }),
     // Deterministic 80/10/10 split assignment — the reproducible form of
     // randomSplit(): label is a pure function of (doc_id, salt), salted so the
     // split decorrelates from the sampling draws on the same ids.
@@ -1488,6 +1498,39 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
         "coalesce(g.n_oov, 0) AS n_oov, coalesce(g.surprisal_bits, 0) AS surprisal_bits " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // perplexity-bucket twin: the q_surprisal CTE chain, integer
+    // milli-bits/token, exact terciles via the q_token_distribution rank rule
+    // over the bpt histogram, CASE bucket, then the two-round salt-11 hash
+    // against round(f * 2^32) thresholds (head 4294967296 / middle 2147483648
+    // / tail 429496730)
+    "q_perplexity_buckets" ->
+      ("WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "ww AS (SELECT word FROM w WHERE length(word) > 0), " +
+        "c AS (SELECT word, count(*) AS c FROM ww GROUP BY word), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c), " +
+        "v AS (SELECT word, length(bin(n_total // c)) AS bits FROM c, tot ORDER BY c DESC, word ASC LIMIT 256), " +
+        "dt AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "dd AS (SELECT doc_id, word FROM dt WHERE length(word) > 0), " +
+        "sc AS (SELECT dd.doc_id, CASE WHEN v.bits IS NULL THEN (SELECT length(bin(n_total)) + 1 FROM tot) ELSE v.bits END AS tb " +
+        "FROM dd LEFT JOIN v USING (word)), " +
+        "g AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(tb) AS BIGINT) AS sb FROM sc GROUP BY doc_id), " +
+        "b AS (SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN coalesce(g.n_tokens, 0) > 0 THEN (g.sb * 1000) // g.n_tokens END AS bpt_milli " +
+        "FROM documents d LEFT JOIN g USING (doc_id)), " +
+        "hh AS (SELECT bpt_milli, count(*) AS c2 FROM b WHERE n_tokens > 0 GROUP BY bpt_milli), " +
+        "cw AS (SELECT bpt_milli, sum(c2) OVER (ORDER BY bpt_milli) AS cum, sum(c2) OVER () AS n FROM hh), " +
+        "tt AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN bpt_milli END) AS t33, " +
+        "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN bpt_milli END) AS t66 FROM cw), " +
+        "p2 AS (SELECT b.*, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 11) % 2147483648 AS s0 FROM b), " +
+        "h2 AS (SELECT *, (s0 * 2654435761) % 4294967296 AS h1 FROM p2), " +
+        "m2 AS (SELECT *, xor(h1, h1 >> 16) AS m1 FROM h2), " +
+        "q2 AS (SELECT doc_id, n_tokens, bpt_milli, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m2), " +
+        "f AS (SELECT q2.*, CASE WHEN n_tokens = 0 THEN 'empty' WHEN bpt_milli <= tt.t33 THEN 'head' " +
+        "WHEN bpt_milli <= tt.t66 THEN 'middle' ELSE 'tail' END AS bucket FROM q2, tt) " +
+        "SELECT doc_id, n_tokens, bpt_milli, bucket, " +
+        "CASE WHEN bucket = 'empty' THEN false WHEN bucket = 'head' THEN hv < 4294967296 " +
+        "WHEN bucket = 'middle' THEN hv < 2147483648 ELSE hv < 429496730 END AS keep " +
+        "FROM f ORDER BY doc_id"),
     // split twin: the TWO-ROUND salted hash (Knuth round -> xor-shift fold ->
     // xxhash-prime round — one linear round merely rotates under a salt, see
     // Sampling.saltedHash), then cumulative thresholds round(0.8 * 2^32) =

@@ -84,4 +84,69 @@ object Quality {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"))
   }
+
+  /** CCNet-style PERPLEXITY BUCKETING + per-bucket retention, composed from
+    * the engine's verified pieces: per-doc [[unigramSurprisal]] normalized to
+    * integer MILLI-BITS PER TOKEN (`bpt_milli = surprisal_bits*1000 DIV
+    * n_tokens` — no float division, engine-exact), corpus-wide EXACT discrete
+    * terciles over the bounded bpt histogram (the q_token_distribution rank
+    * rule: least value whose cumulative count reaches ceil(p*n), integer
+    * arithmetic), bucket = head (lowest perplexity, CCNet's best tier) /
+    * middle / tail / empty, and a DETERMINISTIC per-bucket keep decision via
+    * the two-round salted hash (rerun/layout-invariant, like splitAssign).
+    *
+    * Scale shape: surprisal's two map-side-combined shuffles, then a
+    * histogram groupBy BOUNDED BY THE VALUE DOMAIN (bpt_milli tops out at
+    * ~1000x the OOV bit cost) whose unpartitioned cumulative window runs over
+    * that tiny histogram only — never the corpus; the two tercile scalars are
+    * a 1-row bounded driver collect inlined as literals (the BNLJ-free scalar
+    * attach, see [[unigramSurprisal]]'s total). Labeling is then one
+    * codegen'd CASE in the scan of the scored table.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabSize: Int,
+      keepHead: Double = 1.0,
+      keepMiddle: Double = 0.5,
+      keepTail: Double = 0.1,
+      salt: Long = 11L
+  ): DataFrame = {
+    for ((n, f) <- Seq("keepHead" -> keepHead, "keepMiddle" -> keepMiddle, "keepTail" -> keepTail))
+      require(f >= 0.0 && f <= 1.0, s"$n $f out of [0,1]")
+    val scored = unigramSurprisal(df, textCol, idCol, vocabSize)
+      .withColumn("bpt_milli",
+        when(col("n_tokens") > 0, expr("surprisal_bits * 1000 DIV n_tokens")))
+    val hist = scored.where(col("n_tokens") > 0)
+      .groupBy(col("bpt_milli")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bpt_milli"))))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // exact 1-based ranks ceil(n/3), ceil(2n/3) in integer arithmetic
+    val tRow = cum.agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("bpt_milli"))).as("t33"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("bpt_milli"))).as("t66"))
+      .collect()(0)
+    val (t33, t66) =
+      if (tRow.isNullAt(0)) (0L, 0L) // empty / all-empty corpus: everything non-empty is head
+      else (tRow.getLong(0), tRow.getLong(1))
+    val space = 4294967296L
+    def thr(f: Double): Long = math.round(f * space)
+    val h = Sampling.saltedHash(col(idCol), salt)
+    scored
+      .withColumn("bucket",
+        when(col("n_tokens") === 0, lit("empty"))
+          .when(col("bpt_milli") <= t33, lit("head"))
+          .when(col("bpt_milli") <= t66, lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("keep",
+        when(col("bucket") === "empty", lit(false))
+          .when(col("bucket") === "head", h < thr(keepHead))
+          .when(col("bucket") === "middle", h < thr(keepMiddle))
+          .otherwise(h < thr(keepTail)))
+      .select(col(idCol), col("n_tokens"), col("bpt_milli"), col("bucket"), col("keep"))
+  }
 }

@@ -82,6 +82,58 @@ class QualitySamplingSpec extends AnyFunSuite {
     assert(labels(1) == a)
   }
 
+  /** Plain-Scala replica of Sampling.saltedHash for independent checking. */
+  private def saltedHashScala(id: Long, salt: Long): Long = {
+    val F = 2147483648L; val S = 4294967296L
+    val s = ((((id % F) + F) % F) + (salt % F)) % F
+    val h1 = (s * 2654435761L) % S
+    val m1 = h1 ^ (m1Shift(h1))
+    ((m1 % F) * 2246822519L) % S
+  }
+  private def m1Shift(h1: Long): Long = h1 >>> 16
+
+  test("perplexityBuckets matches an independent re-derivation, incl. terciles, empty docs and keep") {
+    import spark.implicits._
+    // rare_<i> tokens push per-doc surprisal up with i's repetition profile:
+    // a spread of bits/token values so the terciles cut somewhere real
+    val docs = (0L until 60L).map { i =>
+      val common = Seq.fill(3 + (i % 5).toInt)("common")
+      val rare = (0 until (i % 7).toInt).map(j => s"rare_${i}_$j")
+      (i, (common ++ rare).mkString(" "))
+    } ++ Seq((60L, "   "), (61L, "")) // empty docs -> bucket 'empty', keep false
+    val got = Quality.perplexityBuckets(docs.toDF("doc_id", "text"), "text", "doc_id", 256)
+      .as[(Long, Long, Option[Long], String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    // independent derivation: surprisal -> bpt -> exact-rank terciles -> keep
+    val sur = expectedSurprisal(docs, 256)
+    val bpt = sur.collect { case (id, (nt, _, sb)) if nt > 0 => id -> (sb * 1000 / nt) }
+    val sorted = bpt.values.toSeq.sorted
+    val n = sorted.size
+    val t33 = sorted((n + 2) / 3 - 1); val t66 = sorted((2 * n + 2) / 3 - 1)
+    docs.foreach { case (id, _) =>
+      val (nt, b, bucket, keep) = got(id)
+      assert(nt == sur(id)._1, s"doc $id n_tokens")
+      if (sur(id)._1 == 0) {
+        assert(b.isEmpty && bucket == "empty" && !keep, s"doc $id empty contract")
+      } else {
+        assert(b.contains(bpt(id)), s"doc $id bpt")
+        val exp = if (bpt(id) <= t33) "head" else if (bpt(id) <= t66) "middle" else "tail"
+        assert(bucket == exp, s"doc $id bucket $bucket != $exp (bpt ${bpt(id)} t33 $t33 t66 $t66)")
+        val hv = saltedHashScala(id, 11L)
+        val expKeep = bucket match {
+          case "head" => true
+          case "middle" => hv < 2147483648L
+          case _ => hv < 429496730L
+        }
+        assert(keep == expKeep, s"doc $id keep")
+      }
+    }
+    // the corpus must actually populate all three buckets or the test is weak
+    val byBucket = got.values.map(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet), s"buckets: $byBucket")
+  }
+
   test("splitAssign: salt decorrelates; invalid fractions fail loudly") {
     import spark.implicits._
     val ids = (0L until 10000L).toDF("doc_id")
