@@ -578,6 +578,16 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
         .orderBy("doc_id")
     }),
+    // Vocabulary tokenization: words -> integer ids against the corpus's own
+    // top-16 vocab (id = rank in the total (count desc, word asc) order,
+    // OOV = one past the vocab) — vocabSize 16 so the sf corpus's ~30-word
+    // vocabulary actually produces OOV ids; the lookup is a literal-map
+    // expression, join-free and explode-free on the corpus side.
+    "q_tokenize_vocab" -> ((s, dir) => {
+      graft.operators.Quality.tokenizeWithVocab(
+        t(s, dir, "documents"), "text", "doc_id", vocabSize = 16)
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity bucketing composed from verified pieces:
     // surprisal -> integer milli-bits/token -> exact corpus terciles (the
     // histogram rank rule) -> head/middle/tail label -> deterministic
@@ -1497,6 +1507,26 @@ object SparkEntry {
         "g AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(tb) AS BIGINT) AS surprisal_bits FROM sc GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
         "coalesce(g.n_oov, 0) AS n_oov, coalesce(g.surprisal_bits, 0) AS surprisal_bits " +
+        "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // tokenize twin: vocab ids via row_number over the same total order
+    // (count desc, word asc), OOV id = actual vocab row count; per-doc ids
+    // rebuilt by ordinal-preserving unnest + ordered array_agg; empty docs
+    // come back as empty INT lists via the left join
+    "q_tokenize_vocab" ->
+      ("WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "ww AS (SELECT word FROM w WHERE length(word) > 0), " +
+        "c AS (SELECT word, count(*) AS c FROM ww GROUP BY word), " +
+        "v AS (SELECT word, CAST(row_number() OVER (ORDER BY c DESC, word ASC) - 1 AS INT) AS tid " +
+        "FROM c ORDER BY c DESC, word ASC LIMIT 16), " +
+        "vs AS (SELECT CAST(count(*) AS INT) AS vsz FROM v), " +
+        "tok AS (SELECT doc_id, arr[CAST(i AS INT)] AS word, i AS ord FROM " +
+        "(SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS arr " +
+        "FROM documents) t, unnest(range(1, len(arr) + 1)) AS u(i)), " +
+        "j AS (SELECT tok.doc_id, tok.ord, coalesce(v.tid, (SELECT vsz FROM vs)) AS tid FROM tok LEFT JOIN v USING (word)), " +
+        "g AS (SELECT doc_id, array_agg(tid ORDER BY ord) AS token_ids, CAST(count(*) AS INT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN tid = (SELECT vsz FROM vs) THEN 1 ELSE 0 END) AS INT) AS n_oov FROM j GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(g.token_ids, CAST([] AS INT[])) AS token_ids, " +
+        "coalesce(g.n_tokens, 0) AS n_tokens, coalesce(g.n_oov, 0) AS n_oov " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
     // perplexity-bucket twin: the q_surprisal CTE chain, integer
     // milli-bits/token, exact terciles via the q_token_distribution rank rule

@@ -85,6 +85,52 @@ object Quality {
         coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"))
   }
 
+  /** VOCABULARY TOKENIZATION: map each document's words to integer token ids
+    * against the corpus's own top-`vocabSize` vocabulary — the id-ification
+    * step between chunking and sequence packing in a training pipeline
+    * (real BPE needs a learned merges table; the word-level vocab is its
+    * deterministic, engine-exact stand-in and shares the id-assignment
+    * contract: id = rank in (count desc, word asc) order, OOV = one id past
+    * the vocabulary).
+    *
+    * Output: (idCol, token_ids array<int>, n_tokens, n_oov); empty docs get
+    * an empty array. Ids are STABLE across reruns/engines because the vocab
+    * cut is a total order.
+    *
+    * Scale shape: one map-side-combined word count, a driver-bounded top-V
+    * collect (same contract as IVF centroids), then the lookup is a LITERAL
+    * MAP expression (`element_at` on a map literal — codegen'd, NO join and
+    * NO explode: the corpus side is one narrow projection in the scan
+    * stage). Sized for dictionary vocabs (<= ~64k entries); a BPE-scale
+    * vocab would swap the literal for a broadcast join without changing the
+    * contract.
+    */
+  def tokenizeWithVocab(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabSize: Int
+  ): DataFrame = {
+    require(vocabSize > 0 && vocabSize <= 65536,
+      s"vocabSize $vocabSize out of (0, 65536] — larger vocabs need the broadcast-join variant")
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val vocab: Array[String] = words.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(vocabSize)
+      .select(col("word")).collect().map(_.getString(0))
+    val oovId = vocab.length // may be < vocabSize on a small corpus
+    val idMap = typedLit(vocab.zipWithIndex.toMap)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val ids = transform(toks, w => coalesce(element_at(idMap, w), lit(oovId)))
+    df.select(
+      col(idCol),
+      ids.as("token_ids"),
+      size(ids).as("n_tokens"),
+      size(filter(ids, i => i === oovId)).as("n_oov"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETING + per-bucket retention, composed from
     * the engine's verified pieces: per-doc [[unigramSurprisal]] normalized to
     * integer MILLI-BITS PER TOKEN (`bpt_milli = surprisal_bits*1000 DIV

@@ -64,6 +64,30 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizeWithVocab: rank-order ids, OOV id, empty docs, round-trip through the vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "zyzzyva the unknown"),
+      (3L, "   "),
+      (4L, "cat CAT Cat")) // case folding: all three are the same word
+    // corpus counts: the=4, cat=5 (3 from doc4 + 2 doc1), sat/on/mat/zyzzyva/unknown=1
+    val got = Quality.tokenizeWithVocab(docs.toDF("doc_id", "text"), "text", "doc_id", 4)
+      .as[(Long, Seq[Int], Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // vocab (count desc, word asc), V=4: cat=0, the=1, mat=2, on=3; OOV id=4
+    assert(got(1L) == ((Seq(1, 0, 4, 3, 1, 2, 1, 0), 8, 1))) // sat is OOV
+    assert(got(2L) == ((Seq(4, 1, 4), 3, 2)))
+    assert(got(3L) == ((Seq(), 0, 0)))
+    assert(got(4L) == ((Seq(0, 0, 0), 3, 0)))
+    // oversized vocab: every word in-vocab, ids still rank-ordered, zero OOV
+    val full = Quality.tokenizeWithVocab(docs.toDF("doc_id", "text"), "text", "doc_id", 100)
+      .as[(Long, Seq[Int], Int, Int)].collect()
+    assert(full.map(_._4).sum == 0)
+    intercept[IllegalArgumentException] {
+      Quality.tokenizeWithVocab(docs.toDF("doc_id", "text"), "text", "doc_id", 100000)
+    }
+  }
+
   test("splitAssign: total coverage, target fractions, layout invariance") {
     import spark.implicits._
     val n = 20000L
