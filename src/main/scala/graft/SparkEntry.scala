@@ -578,6 +578,18 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
         .orderBy("doc_id")
     }),
+    // Gopher duplicate-n-gram metrics: top-2/3-gram char mass + overlap-once
+    // duplicated-5-gram coverage. 349/500 sf docs carry natural duplicate
+    // bigrams but none a duplicate 5-gram, so the input plants doubled docs
+    // (text || ' ' || text, +10000 ids — the q_dedup_exact pattern) whose
+    // every 5-gram repeats, exercising the coverage-union path.
+    "q_gopher_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.select(col("doc_id") + 10000,
+        concat(col("text"), lit(" "), col("text")).as("text")))
+      graft.operators.Quality.gopherRepetition(planted, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Vocabulary tokenization: words -> integer ids against the corpus's own
     // top-16 vocab (id = rank in the total (count desc, word asc) order,
     // OOV = one past the vocab) — vocabSize 16 so the sf corpus's ~30-word
@@ -1508,6 +1520,34 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
         "coalesce(g.n_oov, 0) AS n_oov, coalesce(g.surprisal_bits, 0) AS surprisal_bits " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // gopher twin: identical gram builds (space-joined slices), per-doc
+    // counts, top pick replayed as row_number over (c DESC, gram ASC),
+    // coverage union as DISTINCT (doc, pos) over range-expanded duplicated
+    // 5-gram occurrences joined to per-position token lengths
+    "q_gopher_repetition" ->
+      ("WITH d0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text || ' ' || text FROM documents), " +
+        "t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w FROM d0), " +
+        "b AS (SELECT doc_id, w, len(w) AS m FROM t), " +
+        "nch AS (SELECT doc_id, CAST(coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS INT) AS n_chars_tok FROM b), " +
+        "g2 AS (SELECT doc_id, array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+2 AS INT)), ' ') AS gr FROM b, unnest(range(m - 1)) u(i) WHERE m >= 2), " +
+        "c2 AS (SELECT doc_id, gr, count(*) AS c FROM g2 GROUP BY doc_id, gr), " +
+        "r2 AS (SELECT doc_id, c, gr, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gr ASC) AS rn FROM c2 WHERE c >= 2), " +
+        "t2 AS (SELECT doc_id, CAST(c AS INT) AS top2_count, CAST(c * length(gr) AS INT) AS top2_chars FROM r2 WHERE rn = 1), " +
+        "g3 AS (SELECT doc_id, array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+3 AS INT)), ' ') AS gr FROM b, unnest(range(m - 2)) u(i) WHERE m >= 3), " +
+        "c3 AS (SELECT doc_id, gr, count(*) AS c FROM g3 GROUP BY doc_id, gr), " +
+        "r3 AS (SELECT doc_id, c, gr, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gr ASC) AS rn FROM c3 WHERE c >= 2), " +
+        "t3 AS (SELECT doc_id, CAST(c AS INT) AS top3_count, CAST(c * length(gr) AS INT) AS top3_chars FROM r3 WHERE rn = 1), " +
+        "g5 AS (SELECT doc_id, i, array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+5 AS INT)), ' ') AS gr FROM b, unnest(range(m - 4)) u(i) WHERE m >= 5), " +
+        "c5 AS (SELECT doc_id, gr FROM g5 GROUP BY doc_id, gr HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT g5.doc_id, g5.i + j AS pos FROM g5 JOIN c5 USING (doc_id, gr), unnest(range(5)) v(j)), " +
+        "tl AS (SELECT doc_id, i AS pos, length(w[CAST(i+1 AS INT)]) AS l FROM b, unnest(range(m)) u(i)), " +
+        "d5 AS (SELECT cov.doc_id, CAST(sum(tl.l) AS INT) AS dup5_chars FROM cov JOIN tl USING (doc_id, pos) GROUP BY cov.doc_id) " +
+        "SELECT d0.doc_id, nch.n_chars_tok, coalesce(t2.top2_count, 0) AS top2_count, " +
+        "coalesce(t2.top2_chars, 0) AS top2_chars, coalesce(t3.top3_count, 0) AS top3_count, " +
+        "coalesce(t3.top3_chars, 0) AS top3_chars, coalesce(d5.dup5_chars, 0) AS dup5_chars " +
+        "FROM d0 JOIN nch USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) " +
+        "LEFT JOIN d5 USING (doc_id) ORDER BY d0.doc_id"),
     // tokenize twin: vocab ids via row_number over the same total order
     // (count desc, word asc), OOV id = actual vocab row count; per-doc ids
     // rebuilt by ordinal-preserving unnest + ordered array_agg; empty docs

@@ -85,6 +85,68 @@ object Quality {
         coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"))
   }
 
+  /** Gopher-family DUPLICATE-N-GRAM repetition metrics — the canonical
+    * "fraction of characters in duplicate n-grams" filters, as EXACT INTEGER
+    * masses (fractions are the consumer's one division):
+    *
+    *   - `top2_count`/`top2_chars`, `top3_count`/`top3_chars`: occurrences
+    *     and character mass (occurrences x gram length, the gram rendered
+    *     space-joined so length = token lengths + separators) of the MOST
+    *     FREQUENT duplicated 2-/3-gram (ties broken by gram ascending — total
+    *     order; 0s when no gram repeats);
+    *   - `dup5_chars`: characters covered by ALL duplicated 5-grams with
+    *     overlapping coverage counted ONCE (token-position union; separator
+    *     chars not counted — documented deviation from raw-text offsets);
+    *   - `n_chars_tok`: total token character mass, the denominator.
+    *
+    * Tokens are lowercased whitespace words (the dedup-matching convention).
+    *
+    * Scale shape: gram explode is NARROW (slice over the in-row token
+    * array); every aggregation keys on (doc, gram) or doc — map-side
+    * combined, bounded by document size, never corpus-keyed; the top pick is
+    * a partial-merge min(struct) (no per-doc window over exploded rows); dup
+    * marking joins exploded grams to the tiny per-doc duplicated-gram set on
+    * (doc, gram). No UDF anywhere — the whole chain is column expressions.
+    */
+  def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val base = df.select(col(idCol), toks.as("w")).withColumn("m", size(col("w")))
+    val nch = base.select(col(idCol),
+      aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).as("n_chars_tok"))
+    def grams(k: Int) = base.where(col("m") >= k)
+      .select(col(idCol), explode(sequence(lit(0), col("m") - k)).as("start"), col("w"))
+      .select(col(idCol), col("start"),
+        array_join(slice(col("w"), col("start") + 1, lit(k)), " ").as("gram"))
+    def counts(k: Int) = grams(k).groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+    def top(k: Int) = counts(k).where(col("c") >= 2)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("t"))
+      .select(col(idCol),
+        (-col("t.nc")).cast("int").as(s"top${k}_count"),
+        (-col("t.nc") * length(col("t.g"))).cast("int").as(s"top${k}_chars"))
+    val c5 = counts(5)
+    val dup5Set = c5.where(col("c") >= 2).select(col(idCol), col("gram"))
+    val cov = grams(5).join(dup5Set, Seq(idCol, "gram"))
+      .select(col(idCol), explode(sequence(col("start"), col("start") + 4)).as("pos"))
+      .distinct()
+    val tokLen = base
+      .select(col(idCol), posexplode(col("w")).as(Seq("pos", "tk")))
+      .select(col(idCol), col("pos"), length(col("tk")).as("l"))
+    val dup5 = cov.join(tokLen, Seq(idCol, "pos"))
+      .groupBy(col(idCol)).agg(sum(col("l")).cast("int").as("dup5_chars"))
+    df.select(col(idCol))
+      .join(nch, Seq(idCol))
+      .join(top(2), Seq(idCol), "left")
+      .join(top(3), Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars_tok"),
+        coalesce(col("top2_count"), lit(0)).as("top2_count"),
+        coalesce(col("top2_chars"), lit(0)).as("top2_chars"),
+        coalesce(col("top3_count"), lit(0)).as("top3_count"),
+        coalesce(col("top3_chars"), lit(0)).as("top3_chars"),
+        coalesce(col("dup5_chars"), lit(0)).as("dup5_chars"))
+  }
+
   /** VOCABULARY TOKENIZATION: map each document's words to integer token ids
     * against the corpus's own top-`vocabSize` vocabulary — the id-ification
     * step between chunking and sequence packing in a training pipeline

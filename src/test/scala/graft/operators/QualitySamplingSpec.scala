@@ -64,6 +64,66 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent re-derivation of the Gopher duplicate-n-gram contract. */
+  private def expectedGopher(docs: Seq[(Long, String)]): Map[Long, (Int, Int, Int, Int, Int, Int)] = {
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def top(ws: Seq[String], k: Int): (Int, Int) = {
+      val grams = ws.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      val dup = grams.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2)
+      if (dup.isEmpty) (0, 0)
+      else {
+        val (g, c) = dup.toSeq.minBy { case (g, c) => (-c, g) }
+        (c, c * g.length)
+      }
+    }
+    def dup5(ws: Seq[String]): Int = {
+      val occ = ws.sliding(5).filter(_.size == 5).zipWithIndex
+        .map { case (g, i) => (g.mkString(" "), i) }.toSeq
+      val dup = occ.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val covered = occ.filter(o => dup(o._1)).flatMap(o => o._2 until o._2 + 5).distinct
+      covered.map(p => ws(p).length).sum
+    }
+    docs.map { case (id, t) =>
+      val ws = toks(t)
+      val (c2, ch2) = top(ws, 2); val (c3, ch3) = top(ws, 3)
+      id -> ((ws.map(_.length).sum, c2, ch2, c3, ch3, dup5(ws)))
+    }.toMap
+  }
+
+  test("gopherRepetition: hand-derived masses incl. the overlap-once coverage rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // top2 = ("a b", 2) -> 6 chars; no dup tri/5-gram
+      (2L, "x y z w v x y z w v"), // doubled 5 tokens: dup5 covers ALL 10
+      (3L, "   "), // empty -> all zero
+      (4L, "q r s"), // nothing repeats
+      (5L, "a a a a a a")) // two overlapping "a a a a a" -> 6 covered, NOT 10
+    val got = Quality.gopherRepetition(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expectedGopher(docs))
+    assert(got(1L) == ((5, 2, 6, 0, 0, 0)))
+    assert(got(2L) == ((10, 2, 6, 2, 10, 10))) // top2 tie -> "w v"; top3 -> "x y z"
+    assert(got(3L) == ((0, 0, 0, 0, 0, 0)))
+    assert(got(5L) == ((6, 5, 15, 4, 20, 6))) // overlap counted once
+  }
+
+  test("gopherRepetition: randomized small-vocab corpus matches the re-derivation") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc")
+    val base = (0L until 40L).map { i =>
+      val n = 6 + (i % 9).toInt
+      (i, (0 until n).map(j => vocab(((i * 17 + j * 5) % 3).toInt)).mkString(" "))
+    }
+    // doubled docs guarantee duplicated 5-grams flow through the union path
+    val docs = base ++ base.take(8).map { case (id, t) => (id + 100, s"$t $t") }
+    val got = Quality.gopherRepetition(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expectedGopher(docs))
+    assert(got.values.count(_._6 > 0) >= 8, "dup5 path not exercised")
+  }
+
   test("tokenizeWithVocab: rank-order ids, OOV id, empty docs, round-trip through the vocab") {
     import spark.implicits._
     val docs = Seq(
