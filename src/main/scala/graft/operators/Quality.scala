@@ -101,32 +101,55 @@ object Quality {
     *
     * Tokens are lowercased whitespace words (the dedup-matching convention).
     *
-    * Scale shape: gram explode is NARROW (slice over the in-row token
-    * array); every aggregation keys on (doc, gram) or doc — map-side
-    * combined, bounded by document size, never corpus-keyed; the top pick is
-    * a partial-merge min(struct) (no per-doc window over exploded rows); dup
-    * marking joins exploded grams to the tiny per-doc duplicated-gram set on
-    * (doc, gram). No UDF anywhere — the whole chain is column expressions.
+    * Scale shape: ONE narrow gram explode (slice over the in-row token
+    * array) emits all three gram widths, so a single map-side-combined
+    * (doc, k, gram) count shuffle serves every metric; the top picks are
+    * partial-merge min(struct) aggregates widened per doc (no per-doc window
+    * over exploded rows); dup marking joins exploded 5-grams to the per-doc
+    * duplicated-gram set on (doc, gram). Everything keys on doc or
+    * (doc, gram) — bounded by document size, never corpus-keyed. No UDF
+    * anywhere — the whole chain is column expressions.
     */
   def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ks = Seq(2, 3, 5)
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
     val base = df.select(col(idCol), toks.as("w")).withColumn("m", size(col("w")))
     val nch = base.select(col(idCol),
       aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).as("n_chars_tok"))
-    def grams(k: Int) = base.where(col("m") >= k)
-      .select(col(idCol), explode(sequence(lit(0), col("m") - k)).as("start"), col("w"))
+    // ONE narrow explode emits every (k, gram) pair per start position (a
+    // start past m-k yields a null struct that explode passes and the filter
+    // drops) — one scan and one count shuffle cover all three gram widths
+    // instead of one per width
+    val gramsAll = base.where(col("m") >= ks.min)
+      .select(col(idCol), col("w"), col("m"),
+        explode(sequence(lit(0), col("m") - ks.min)).as("start"))
       .select(col(idCol), col("start"),
-        array_join(slice(col("w"), col("start") + 1, lit(k)), " ").as("gram"))
-    def counts(k: Int) = grams(k).groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
-    def top(k: Int) = counts(k).where(col("c") >= 2)
-      .groupBy(col(idCol))
+        explode(array(ks.map(k =>
+          when(col("start") <= col("m") - k,
+            struct(lit(k).as("k"),
+              array_join(slice(col("w"), col("start") + 1, lit(k)), " ").as("gram")))): _*)).as("kg"))
+      .where(col("kg").isNotNull)
+      .select(col(idCol), col("start"), col("kg.k").as("k"), col("kg.gram").as("gram"))
+    val counts = gramsAll.groupBy(col(idCol), col("k"), col("gram")).agg(count(lit(1)).as("c"))
+    // both top picks in one (id, k) aggregate, widened to columns by a second
+    // tiny per-id aggregate (two rows max per id) — one join instead of two
+    val topWide = counts.where(col("c") >= 2 && col("k").isin(2, 3))
+      .groupBy(col(idCol), col("k"))
       .agg(min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("t"))
-      .select(col(idCol),
-        (-col("t.nc")).cast("int").as(s"top${k}_count"),
-        (-col("t.nc") * length(col("t.g"))).cast("int").as(s"top${k}_chars"))
-    val c5 = counts(5)
-    val dup5Set = c5.where(col("c") >= 2).select(col(idCol), col("gram"))
-    val cov = grams(5).join(dup5Set, Seq(idCol, "gram"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("k") === 2, -col("t.nc"))).cast("int").as("top2_count"),
+        max(when(col("k") === 2, -col("t.nc") * length(col("t.g")))).cast("int").as("top2_chars"),
+        max(when(col("k") === 3, -col("t.nc"))).cast("int").as("top3_count"),
+        max(when(col("k") === 3, -col("t.nc") * length(col("t.g")))).cast("int").as("top3_chars"))
+    val dup5Set = counts.where(col("k") === 5 && col("c") >= 2).select(col(idCol), col("gram"))
+    // dedicated 5-gram builder for the coverage branch: filtering gramsAll on
+    // k would still compute the 2-/3-gram strings per row before the explode
+    val gram5 = base.where(col("m") >= 5)
+      .select(col(idCol), explode(sequence(lit(0), col("m") - 5)).as("start"), col("w"))
+      .select(col(idCol), col("start"),
+        array_join(slice(col("w"), col("start") + 1, lit(5)), " ").as("gram"))
+    val cov = gram5.join(dup5Set, Seq(idCol, "gram"))
       .select(col(idCol), explode(sequence(col("start"), col("start") + 4)).as("pos"))
       .distinct()
     val tokLen = base
@@ -136,8 +159,7 @@ object Quality {
       .groupBy(col(idCol)).agg(sum(col("l")).cast("int").as("dup5_chars"))
     df.select(col(idCol))
       .join(nch, Seq(idCol))
-      .join(top(2), Seq(idCol), "left")
-      .join(top(3), Seq(idCol), "left")
+      .join(topWide, Seq(idCol), "left")
       .join(dup5, Seq(idCol), "left")
       .select(col(idCol), col("n_chars_tok"),
         coalesce(col("top2_count"), lit(0)).as("top2_count"),
