@@ -517,14 +517,16 @@ object Dedup {
       .select(col(idCol), col("seg_idx"),
         array_join(slice(col("w"), col("seg_idx") * segTokens + 1, lit(segTokens)), " ").as("seg_text"))
     // distinct-doc counting without countDistinct's two-shuffle expansion on
-    // the exploded table: first collapse to one (seg_text, doc) row per doc
-    // (map-side combined), then count; keeper needs the full occurrence set,
-    // so it aggregates the exploded rows directly (min(struct) partial-merges)
-    val perDoc = seg.groupBy(col("seg_text"), col(idCol)).agg(count(lit(1)).as("_n"))
-    val docCounts = perDoc.groupBy(col("seg_text")).agg(count(lit(1)).as("n_docs"))
-    val keepers = seg.groupBy(col("seg_text"))
-      .agg(min(struct(col(idCol), col("seg_idx"))).as("keeper"))
-    val stats = docCounts.join(keepers, Seq("seg_text"))
+    // the exploded table: first collapse to one (seg_text, doc) row carrying
+    // the doc's MIN position (map-side combined), then one aggregate yields
+    // both the distinct-doc count and the global keeper — min (doc, idx) over
+    // per-doc minima IS the global minimum (lexicographic order, doc first),
+    // so the exploded table is aggregated exactly once
+    val perDoc = seg.groupBy(col("seg_text"), col(idCol))
+      .agg(min(col("seg_idx")).as("_min_idx"))
+    val stats = perDoc.groupBy(col("seg_text"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col(idCol), col("_min_idx").as("seg_idx"))).as("keeper"))
       .where(col("n_docs") >= minDocs)
       .select(col("seg_text"), col(s"keeper.$idCol").as("_kdoc"), col("keeper.seg_idx").as("_kidx"))
     val marked = seg.join(stats, Seq("seg_text"), "left")
