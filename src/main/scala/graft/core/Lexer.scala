@@ -84,6 +84,14 @@ object CharClass {
 final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
   import CharClass._
 
+  // The reference slices `bytes[curr_idx..]` at construction (tokenizer.rs:169),
+  // which panics when the index exceeds the buffer — including xref offsets that
+  // lexed negative and wrapped through `as usize` (xref.rs:171). Replicate the
+  // panic here so a poisoned offset fails the row instead of escaping as a raw
+  // ArrayIndexOutOfBoundsException later in next() (round-7 40k-mutation find).
+  if (pos < 0 || pos > bytes.length)
+    Err.fail(s"range start index $pos out of range for slice of length ${bytes.length}")
+
   def copyCursor: PdfTokenizer = new PdfTokenizer(bytes, pos)
 
   /** Raw read used for stream bodies — tokenizer.rs:173-185: skip leading whitespace

@@ -16,6 +16,7 @@ import graft.pipeline.MiniPdf
   */
 object MutProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("scan")) { scan(args(1).toInt); return }
     val target = if (args.nonEmpty) args(0).toInt else 30
     val base = MiniPdf.synthesize("mutation fuzz target with some words")
     val rnd = new scala.util.Random(9)
@@ -40,5 +41,29 @@ object MutProbe {
           java.nio.charset.StandardCharsets.ISO_8859_1).replace("\n", "\\n"))
       }
     }
+  }
+
+  /** Scan mode (`MutProbe scan <n>`): replay the first n seeded mutations and
+    * report every index whose strict extract escapes with a RAW throwable
+    * (anything but PdfParseException) — the class of engine bug the 40k sweep
+    * caught in round 7 (negative xref offset -> raw AIOOBE in the lexer).
+    */
+  private def scan(n: Int): Unit = {
+    val base = MiniPdf.synthesize("mutation fuzz target with some words")
+    val rnd = new scala.util.Random(9)
+    var raw = 0
+    (0 until n).foreach { i =>
+      val m = base.clone()
+      (0 to rnd.nextInt(2)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      try { Pdf(m).extract(ExtractText); () } catch {
+        case _: graft.core.PdfParseException => ()
+        case e: Throwable =>
+          raw += 1
+          println(s"RAW THROW at mutation $i: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    println(s"scanned $n mutations, $raw raw throws")
   }
 }

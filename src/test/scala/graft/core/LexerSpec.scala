@@ -166,6 +166,18 @@ class NumericParseSpec extends AnyFunSuite {
     assert(tok("2147483647 ").next() == TNum(NInt(Int.MaxValue)))
   }
 
+  test("tokenizer construction past the buffer fails strict (tokenizer.rs:169 slice panic)") {
+    // The reference slices bytes[curr_idx..] at construction; a negative xref
+    // offset wraps through `as usize` (xref.rs:171) and panics there. Our
+    // constructor must raise PdfParseException — never a raw AIOOBE from
+    // next() later (round-7 40k-mutation find, index 32291: xref-entry
+    // newline flipped to '-', offset lexed as -9).
+    val bytes = "1 0 obj".getBytes("ISO-8859-1")
+    intercept[PdfParseException](new PdfTokenizer(bytes, -9))
+    intercept[PdfParseException](new PdfTokenizer(bytes, bytes.length + 1))
+    assert(new PdfTokenizer(bytes, bytes.length).next() == null) // == len is the empty slice, legal
+  }
+
   test("i32 overflow falls back to f32 (parseInt-NFE parity)") {
     assert(tok("2147483648 ").next() == TNum(NReal(2147483648f)))
     assert(tok("99999999999999 ").next() == TNum(NReal(99999999999999f)))

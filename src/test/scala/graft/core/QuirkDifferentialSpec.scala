@@ -160,6 +160,26 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** NEGATIVE xref offset (round-7 40k-mutation find, index 32291): flipping
+    * the newline after the free entry to '-' makes the first in-use entry's
+    * offset lex as a negative integer. The reference wraps it through
+    * `as usize` (xref.rs:171) and panics at the Tokenizer::new slice
+    * (tokenizer.rs:169); our tokenizer constructor must refuse identically
+    * instead of escaping with a raw AIOOBE from next().
+    */
+  test("negative xref offset panics identically to the binary") {
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
+    val base = graft.pipeline.MiniPdf.synthesize("negative offset probe text")
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val freeEnd = s.indexOf("0000000000 65535 f \n") + 19 // the '\n' slot
+    require(freeEnd > 19, "free entry not found")
+    for (b <- Seq('-', '+')) { // '+0000000009' stays positive — accept parity
+      val mutated = base.clone()
+      mutated(freeEnd) = b.toByte
+      check(RefBinary.parity(s"xref-entry sign '$b'", mutated, ExtractText, "text"))
+    }
+  }
+
   /** Seeded BYTE-MUTATION fuzz: random single/double byte flips over a valid
     * document must keep the engines in behavioral lockstep — identical
     * output when the reference accepts, a strict throw whenever it refuses
