@@ -7,19 +7,42 @@ import graft.pipeline.MiniPdf
   * dump a specific mutation index (flipped positions/values, our output, and
   * the mutated bytes to a file for running the reference binary by hand).
   *
-  * SYNC CONTRACT (round-6 review): the generator below must consume the RNG
-  * byte-for-byte like QuirkDifferentialSpec's "byte-mutation fuzz" loop —
-  * same seed (9), same base text, same `(0 to nextInt(2))` flip count, same
-  * nextInt(length)/nextInt(256) order. If you change the spec's mutation
-  * scheme, change THIS file in the same commit or the probe dumps the wrong
-  * document (its one job). Lives in tools/ per the repo's probe convention.
+  * SYNC CONTRACT (round-6 review): QuirkDifferentialSpec's "byte-mutation
+  * fuzz" loop and this probe must consume the RNG byte-for-byte — both sides
+  * use `bases` below (name, seed, document), the same `(0 to nextInt(2))`
+  * flip count, and the same nextInt(length)/nextInt(256) order, so a failing
+  * index reported by either is replayable by the other. Lives in tools/ per
+  * the repo's probe convention.
   */
 object MutProbe {
+
+  /** The mutation-fuzz base menu. All bases are UNCOMPRESSED on purpose:
+    * corrupt-zlib behavior would compare the vendored inflate stub against
+    * the JDK Inflater, not reference semantics. Seeds are distinct so each
+    * base explores an independent flip stream. "plain" keeps the historic
+    * seed 9 (round-6/7 finds — lone-')', past-EOF heal, negative offset —
+    * stay at their recorded indices).
+    */
+  val bases: Seq[(String, Int, () => Array[Byte])] = Seq(
+    ("plain", 9, () => MiniPdf.synthesize("mutation fuzz target with some words")),
+    ("multitj", 10, () => MiniPdf.synthesizeMultiTj("mutation fuzz target with some words", 7)),
+    ("multipage", 11, () => MiniPdf.synthesizeMultiPage("mutation fuzz page text for the sweep", 9)),
+    ("incremental", 12, () => MiniPdf.synthesizeIncremental(
+      Seq("mutation fuzz base revision", "second revision text", "third revision words")))
+  )
+
+  private def baseFor(name: String): (Array[Byte], scala.util.Random) =
+    bases.find(_._1 == name) match {
+      case Some((_, seed, mk)) => (mk(), new scala.util.Random(seed))
+      case None => sys.error(s"unknown base '$name' — one of ${bases.map(_._1).mkString(", ")}")
+    }
+
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("scan")) { scan(args(1).toInt); return }
+    if (args.headOption.contains("scan")) {
+      scan(args(1).toInt, if (args.length > 2) args(2) else "plain"); return
+    }
     val target = if (args.nonEmpty) args(0).toInt else 30
-    val base = MiniPdf.synthesize("mutation fuzz target with some words")
-    val rnd = new scala.util.Random(9)
+    val (base, rnd) = baseFor(if (args.length > 1) args(1) else "plain")
     (0 to target).foreach { i =>
       val m = base.clone()
       val flips = (0 to rnd.nextInt(2)).map { _ =>
@@ -43,14 +66,16 @@ object MutProbe {
     }
   }
 
-  /** Scan mode (`MutProbe scan <n>`): replay the first n seeded mutations and
-    * report every index whose strict extract escapes with a RAW throwable
-    * (anything but PdfParseException) — the class of engine bug the 40k sweep
-    * caught in round 7 (negative xref offset -> raw AIOOBE in the lexer).
+  /** Scan mode (`MutProbe scan <n> [base]`): replay the first n seeded
+    * mutations of a base and report every index whose strict extract escapes
+    * with a RAW throwable (anything but PdfParseException) — the class of
+    * engine bug the 40k sweep caught in round 7 (negative xref offset -> raw
+    * AIOOBE in the lexer). StackOverflowError is exempt: the engine's
+    * recursion backstop intentionally lets it surface to extractTurn's
+    * per-row catch where the reference recurses without a guard.
     */
-  private def scan(n: Int): Unit = {
-    val base = MiniPdf.synthesize("mutation fuzz target with some words")
-    val rnd = new scala.util.Random(9)
+  private def scan(n: Int, baseName: String): Unit = {
+    val (base, rnd) = baseFor(baseName)
     var raw = 0
     (0 until n).foreach { i =>
       val m = base.clone()
@@ -59,11 +84,12 @@ object MutProbe {
       }
       try { Pdf(m).extract(ExtractText); () } catch {
         case _: graft.core.PdfParseException => ()
+        case _: StackOverflowError => ()
         case e: Throwable =>
           raw += 1
-          println(s"RAW THROW at mutation $i: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          println(s"RAW THROW at $baseName mutation $i: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    println(s"scanned $n mutations, $raw raw throws")
+    println(s"scanned $n '$baseName' mutations, $raw raw throws")
   }
 }

@@ -195,21 +195,29 @@ class QuirkDifferentialSpec extends AnyFunSuite {
   test("byte-mutation fuzz: flip parity with the binary") {
     assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     val n = sys.env.getOrElse("GRAFT_MUTATE_FUZZ", "120").toInt
-    val base = graft.pipeline.MiniPdf.synthesize("mutation fuzz target with some words")
-    val rnd = new scala.util.Random(9)
+    // Base menu shared with the MutProbe replay tool (SYNC CONTRACT there):
+    // four uncompressed document shapes — plain, multi-Tj spans, a kids-array
+    // page tree, and a /Prev-chained incremental chain — so flips reach the
+    // page-tree walk and the Prev recursion, not just the single-page path
+    // (round-7: the plain base alone needed 32k mutations to surface the
+    // negative-offset find; shape variety beats depth).
     var hung = 0
-    (0 until n).foreach { i =>
-      val m = base.clone()
-      (0 to rnd.nextInt(2)).foreach { _ =>
-        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
-      }
-      RefBinary.parity(s"mutation $i", m, ExtractText, "text", hangIsSkip = true) match {
-        case Left(msg)    => fail(msg)
-        case Right(false) => hung += 1
-        case Right(true)  => ()
+    graft.tools.MutProbe.bases.foreach { case (name, seed, mk) =>
+      val base = mk()
+      val rnd = new scala.util.Random(seed)
+      (0 until n).foreach { i =>
+        val m = base.clone()
+        (0 to rnd.nextInt(2)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        RefBinary.parity(s"$name mutation $i", m, ExtractText, "text", hangIsSkip = true) match {
+          case Left(msg)    => fail(msg)
+          case Right(false) => hung += 1
+          case Right(true)  => ()
+        }
       }
     }
-    info(s"$n mutations checked, $hung hung-reference skips")
+    info(s"${n * graft.tools.MutProbe.bases.length} mutations checked (${graft.tools.MutProbe.bases.length} bases), $hung hung-reference skips")
   }
 
   /** Seeded GRAMMAR FUZZ of the content state machine: random operator
