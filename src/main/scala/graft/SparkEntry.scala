@@ -523,6 +523,22 @@ object SparkEntry {
         k = 5, bands = 10, bandSize = 2, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
+    // INCREMENTAL dedup (the nightly-crawl shape): offsets {0,1,2,3} of each
+    // planted group are the fingerprinted corpus (minhashIndex — stored, text
+    // never re-read), offsets {4,6,9} arrive as the new slice and probe it.
+    // Matches per group: new off 4 vs corpus 1/2/3 (J = 26/32, 27/31, 28/30)
+    // and off 6 vs 3 (26/32); off 9 is a planted true negative (min delta 6,
+    // J = 23/35 < 0.8). The oracle computes exact Jaccard for EVERY
+    // (new, corpus) pair independently of the hashing, so it also proves the
+    // index probe missed no pair above the threshold.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val all = plantedOverlapCorpus(s)
+      val corpus = all.where(col("doc_id") % 7 < 4)
+      val fresh = all.where(col("doc_id") % 7 >= 4)
+      val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+      Dedup.minhashProbe(fresh, index, corpus, "text", "doc_id", threshold = 0.8)
+        .orderBy("id_new", "id_corpus")
+    }),
 
     // Keeper selection over the pair graph: cluster the minhash near-dup pairs
     // of a TRIPLED corpus (planted 3-member duplicate families) into connected
@@ -1427,6 +1443,21 @@ object SparkEntry {
         "SELECT id_a, id_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard " +
         "FROM inter JOIN cnt ca ON ca.doc_id = inter.id_a JOIN cnt cb ON cb.doc_id = inter.id_b " +
         "WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.8 ORDER BY id_a, id_b"),
+    // Incremental twin: exact Jaccard over every (new-slice, corpus) cross
+    // pair of the planted corpus — no hashing, no index — filtered at the
+    // same 0.8. Green means the verify stage is exact AND the band-key index
+    // probe surfaced every qualifying pair. (Groups never share shingles:
+    // starts are 1000 apart, words span at most start+37.)
+    "q_dedup_incremental" ->
+      (plantedCorpusSql +
+        "sh AS (SELECT DISTINCT doc_id, 'w'||(strt+j)||' w'||(strt+j+1)||' w'||(strt+j+2) AS s " +
+        "FROM docs CROSS JOIN (SELECT unnest(range(0,27)) AS j) u), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT n.doc_id AS id_new, x.doc_id AS id_corpus, count(*) AS i " +
+        "FROM sh n JOIN sh x ON n.s = x.s AND n.doc_id % 7 >= 4 AND x.doc_id % 7 < 4 GROUP BY 1, 2) " +
+        "SELECT id_new, id_corpus, CAST(i AS DOUBLE)/(cn.c + cx.c - i) AS jaccard " +
+        "FROM inter JOIN cnt cn ON cn.doc_id = inter.id_new JOIN cnt cx ON cx.doc_id = inter.id_corpus " +
+        "WHERE CAST(i AS DOUBLE)/(cn.c + cx.c - i) >= 0.8 ORDER BY id_new, id_corpus"),
     // The banded bottom-m sketch has POSITIONAL candidate recall (one extra
     // small hash shifts every later sketch position, so P(candidate) at
     // J=0.82 is ~0.86, not ~1 — measured 621/720 against an all-pairs twin),

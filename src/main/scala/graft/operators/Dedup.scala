@@ -146,20 +146,7 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = nPerm / bands
-    val withSig = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sig = minhashSignature(shingles(text, shingleK), nPerm)
-        val bandKeys = (0 until bands).map { b =>
-          var h = 0xcbf29ce484222325L ^ b
-          var r = 0
-          while (r < rows) { h = TextFunctions.mix(h ^ sig(b * rows + r)); r += 1 }
-          h
-        }.toArray
-        (id, bandKeys)
-      }
-      .toDF("id", "band_keys")
+    val withSig = bandKeys(df, textCol, idCol, shingleK, nPerm, bands)
 
     val buckets = withSig
       .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
@@ -182,6 +169,113 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .where(col("jaccard") >= threshold)
     verified
+  }
+
+  /** Per-doc banded MinHash signature: (id, band_keys[bands]) via a narrow
+    * map (shingle -> nPerm-permutation signature -> per-band key fold). The
+    * shared fingerprinting stage of batch near-dup, the stored index, and
+    * incremental probes — all three MUST hash identically or index lookups
+    * silently miss.
+    */
+  private def bandKeys(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, nPerm: Int, bands: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = nPerm / bands
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sig = minhashSignature(shingles(text, shingleK), nPerm)
+        val keys = (0 until bands).map { b =>
+          var h = 0xcbf29ce484222325L ^ b
+          var r = 0
+          while (r < rows) { h = TextFunctions.mix(h ^ sig(b * rows + r)); r += 1 }
+          h
+        }.toArray
+        (id, keys)
+      }
+      .toDF("id", "band_keys")
+  }
+
+  // --- incremental near-dup screening (new crawl slice vs a stored index) ------
+
+  /** Banded MinHash signature index over a corpus: one (id, band, bkey) row
+    * per band. The PERSISTED side of incremental dedup — fingerprint the
+    * corpus once (a narrow map over its text), store the index (ideally
+    * bucketed by (band, bkey) so probe-time grouping is shuffle-free), and
+    * screen each new crawl slice with [[minhashProbe]] without ever
+    * re-reading corpus text. Parameters must match the probe's exactly.
+    */
+  def minhashIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, nPerm: Int = 128, bands: Int = 32
+  ): DataFrame =
+    bandKeys(df, textCol, idCol, shingleK, nPerm, bands)
+      .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
+
+  /** Screen NEW documents against an existing [[minhashIndex]] — the nightly
+    * crawl shape: the corpus is fingerprinted once; each incoming slice is
+    * hashed, candidates come from band-key collisions with the index, and
+    * only candidates fetch corpus text (by id join) for the exact
+    * shingle-Jaccard verify. Returns (id_new, id_corpus, jaccard) with
+    * jaccard >= threshold.
+    *
+    * Scale shape: the new slice is small relative to the store, so its
+    * DISTINCT band keys broadcast into a semi join that prunes the index
+    * scan before anything shuffles; only surviving index rows aggregate into
+    * candidate buckets, capped at `maxBucket` ids with the truncation count
+    * observable (`truncated_buckets`/`buckets`, same convention as the batch
+    * near-dup paths) — a pathological key degrades recall measurably, never
+    * melts a task. Within-slice duplicates are deliberately out of scope
+    * (that is the batch [[minhashNearDups]] job over the slice alone).
+    */
+  def minhashProbe(
+      newDocs: DataFrame,
+      corpusIndex: DataFrame,
+      corpusTexts: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      nPerm: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000,
+      obs: Option[Observation] = None
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val newSig = bandKeys(newDocs, textCol, idCol, shingleK, nPerm, bands)
+      .select(col("id").as("id_new"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
+    val probeKeys = newSig.select(col("band"), col("bkey")).distinct()
+    val hits = corpusIndex.join(broadcast(probeKeys), Seq("band", "bkey"), "left_semi")
+    val buckets0 = hits.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("truncated", size(col("ids")) > maxBucket)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    val truncExprs = Seq(
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("truncated_buckets"),
+      count(lit(1)).as("buckets"))
+    val buckets = obs match {
+      case Some(o) => buckets0.observe(o, truncExprs.head, truncExprs.tail: _*)
+      case None    => buckets0.observe("graft.dedup.minhash_probe", truncExprs.head, truncExprs.tail: _*)
+    }
+    val cands = newSig.join(buckets, Seq("band", "bkey"))
+      .select(col("id_new"), explode(col("ids")).as("id_corpus"))
+      .distinct()
+    val newTexts = newDocs.select(col(idCol).cast("long").as("id_new"), col(textCol).as("text_new"))
+    val corp = corpusTexts.select(col(idCol).cast("long").as("id_corpus"), col(textCol).as("text_corpus"))
+    cands
+      .join(newTexts, "id_new")
+      .join(corp, "id_corpus")
+      .select("id_new", "id_corpus", "text_new", "text_corpus") // pin before positional encode
+      .as[(Long, Long, String, String)]
+      .map { case (n, c, tn, tc) =>
+        (n, c, exactJaccard(shingles(tn, shingleK), shingles(tc, shingleK)))
+      }
+      .toDF("id_new", "id_corpus", "jaccard")
+      .where(col("jaccard") >= threshold)
   }
 
   /** All ordered pairs (a<b) from a sorted id array — pure column expression. */

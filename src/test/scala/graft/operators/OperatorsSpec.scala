@@ -246,6 +246,51 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe scan should partition-prune on cell:\n${plan.take(2000)}")
   }
 
+  test("incremental minhash probe: finds exactly the cross-slice near-dups, capped and observable") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    // corpus = the originals (fingerprinted once); new slice = exact copies of
+    // HALF the corpus (ids +10000) plus unrelated docs (ids +20000, reversed
+    // word order kills 3-shingle overlap for texts > a few words)
+    val corpus = df
+    val copies = df.where($"doc_id" % 2 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val unrelated = df.where($"doc_id" % 2 === 1)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.reverse(
+            org.apache.spark.sql.functions.split($"text", " ")), " ").as("text"))
+    val fresh = copies.union(unrelated)
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+    val found = Dedup.minhashProbe(fresh, index, corpus, "text", "doc_id", threshold = 0.999)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    // every planted copy matches its original (J=1.0 -> every band collides)
+    docs.filter(_._1 % 2 == 0).foreach { case (id, _) =>
+      assert(found.contains((id + 10000, id)), s"missed planted copy of $id")
+    }
+    // precision at threshold 0.999: only set-equal texts qualify
+    val byId = docs.toMap
+    found.foreach { case (n, c) =>
+      val t = if (n >= 20000) byId(n - 20000).split(" ").reverse.mkString(" ") else byId(n - 10000)
+      assert(Dedup.exactJaccard(Dedup.shingles(t, 3), Dedup.shingles(byId(c), 3)) >= 0.999,
+        s"pair ($n,$c) below threshold")
+    }
+    // the probe's index prune must be a broadcast semi join, and no plan node
+    // may fall back to a nested-loop/cartesian strategy
+    val plan = Dedup.minhashProbe(fresh, index, corpus, "text", "doc_id", threshold = 0.999)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), s"index prune not broadcast-semi:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), "banned join strategy")
+    // cap observability on a degenerate index (every corpus row identical)
+    val deg = (0 until 200).map(i => (i.toLong, "the same text in every single row")).toDF("doc_id", "text")
+    val probe1 = Seq((9999L, "the same text in every single row")).toDF("doc_id", "text")
+    val obs = new org.apache.spark.sql.Observation("probe-trunc")
+    val hits = Dedup.minhashProbe(probe1, Dedup.minhashIndex(deg, "text", "doc_id"), deg,
+      "text", "doc_id", threshold = 0.999, maxBucket = 50, obs = Some(obs)).count()
+    assert(hits <= 50, s"candidate blowup not capped: $hits")
+    assert(obs.get("truncated_buckets").asInstanceOf[Long] > 0, "truncation must be reported")
+  }
+
   test("near-dup bucket caps are observable, never silent (degenerate all-identical corpus)") {
     import spark.implicits._
     val n = 200
