@@ -762,6 +762,33 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy("event_id")
     }),
+    // Streaming INCREMENTAL near-dup: the planted new slice (offsets 4/6/9)
+    // arrives as a stream and probes the static minhashIndex of the indexed
+    // corpus (offsets 0-3) — same split, same hashing, and the SAME oracle
+    // SQL as the batch q_dedup_incremental, so the driver value-checks that
+    // the continuous path surfaces exactly the batch matches.
+    "q_stream_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incr-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-incr-cp").toString
+      val all = plantedOverlapCorpus(s)
+      val corpus = all.where(col("doc_id") % 7 < 4)
+      val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+      // ts must sit ABOVE the initial watermark of epoch 0 (late-drop quirk)
+      all.where(col("doc_id") % 7 >= 4)
+        .withColumn("ts", lit(new java.sql.Timestamp(86400000L)))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .parquet(tmp)
+      val name = s"incr_out_${System.nanoTime()}"
+      val q = graft.streaming.StreamingExtract.probeStream(stream, index, corpus)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id_new", "id_corpus")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-in").toString
@@ -1296,6 +1323,24 @@ object SparkEntry {
   /** DuckDB rebuild of [[plantedOverlapCorpus]] — identical integer-sequence
     * construction (60 groups x 7 offset members, word pools 1000 apart).
     */
+  /** Incremental-dedup twin (batch AND streaming): exact Jaccard over every
+    * (new-slice, corpus) cross pair of the planted corpus — no hashing, no
+    * index — filtered at the same 0.8. Green means the verify stage is exact
+    * AND the band-key index probe surfaced every qualifying pair. (Groups
+    * never share shingles: starts are 1000 apart, words span at most
+    * start+37.)
+    */
+  private lazy val incrementalDedupSql =
+    plantedCorpusSql +
+      "sh AS (SELECT DISTINCT doc_id, 'w'||(strt+j)||' w'||(strt+j+1)||' w'||(strt+j+2) AS s " +
+      "FROM docs CROSS JOIN (SELECT unnest(range(0,27)) AS j) u), " +
+      "cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT n.doc_id AS id_new, x.doc_id AS id_corpus, count(*) AS i " +
+      "FROM sh n JOIN sh x ON n.s = x.s AND n.doc_id % 7 >= 4 AND x.doc_id % 7 < 4 GROUP BY 1, 2) " +
+      "SELECT id_new, id_corpus, CAST(i AS DOUBLE)/(cn.c + cx.c - i) AS jaccard " +
+      "FROM inter JOIN cnt cn ON cn.doc_id = inter.id_new JOIN cnt cx ON cx.doc_id = inter.id_corpus " +
+      "WHERE CAST(i AS DOUBLE)/(cn.c + cx.c - i) >= 0.8 ORDER BY id_new, id_corpus"
+
   private val plantedCorpusSql =
     "WITH offs(idx, off) AS (VALUES (0,0),(1,1),(2,2),(3,3),(4,4),(5,6),(6,9)), " +
       "docs AS (SELECT g*7+idx AS doc_id, g*1000+off AS strt " +
@@ -1443,21 +1488,11 @@ object SparkEntry {
         "SELECT id_a, id_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard " +
         "FROM inter JOIN cnt ca ON ca.doc_id = inter.id_a JOIN cnt cb ON cb.doc_id = inter.id_b " +
         "WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.8 ORDER BY id_a, id_b"),
-    // Incremental twin: exact Jaccard over every (new-slice, corpus) cross
-    // pair of the planted corpus — no hashing, no index — filtered at the
-    // same 0.8. Green means the verify stage is exact AND the band-key index
-    // probe surfaced every qualifying pair. (Groups never share shingles:
-    // starts are 1000 apart, words span at most start+37.)
-    "q_dedup_incremental" ->
-      (plantedCorpusSql +
-        "sh AS (SELECT DISTINCT doc_id, 'w'||(strt+j)||' w'||(strt+j+1)||' w'||(strt+j+2) AS s " +
-        "FROM docs CROSS JOIN (SELECT unnest(range(0,27)) AS j) u), " +
-        "cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT n.doc_id AS id_new, x.doc_id AS id_corpus, count(*) AS i " +
-        "FROM sh n JOIN sh x ON n.s = x.s AND n.doc_id % 7 >= 4 AND x.doc_id % 7 < 4 GROUP BY 1, 2) " +
-        "SELECT id_new, id_corpus, CAST(i AS DOUBLE)/(cn.c + cx.c - i) AS jaccard " +
-        "FROM inter JOIN cnt cn ON cn.doc_id = inter.id_new JOIN cnt cx ON cx.doc_id = inter.id_corpus " +
-        "WHERE CAST(i AS DOUBLE)/(cn.c + cx.c - i) >= 0.8 ORDER BY id_new, id_corpus"),
+    "q_dedup_incremental" -> incrementalDedupSql,
+    // The streaming probe hashes through the same bandKeysFor and verifies
+    // with the same exact Jaccard — its contract is to surface EXACTLY the
+    // batch matches, so it shares the batch twin verbatim.
+    "q_stream_dedup_incremental" -> incrementalDedupSql,
     // The banded bottom-m sketch has POSITIONAL candidate recall (one extra
     // small hash shifts every later sketch position, so P(candidate) at
     // J=0.82 is ~0.86, not ~1 — measured 621/720 against an all-pairs twin),

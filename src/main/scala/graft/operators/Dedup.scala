@@ -171,11 +171,27 @@ object Dedup {
     verified
   }
 
+  /** Band keys for ONE text — the shared fingerprint of batch near-dup, the
+    * stored index, batch probes, and the streaming probe. Every caller MUST
+    * hash through here or index lookups silently miss.
+    */
+  def bandKeysFor(text: String, shingleK: Int, nPerm: Int, bands: Int): Array[Long] = {
+    val rows = nPerm / bands
+    val sig = minhashSignature(shingles(text, shingleK), nPerm)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h = TextFunctions.mix(h ^ sig(b * rows + r)); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    keys
+  }
+
   /** Per-doc banded MinHash signature: (id, band_keys[bands]) via a narrow
-    * map (shingle -> nPerm-permutation signature -> per-band key fold). The
-    * shared fingerprinting stage of batch near-dup, the stored index, and
-    * incremental probes — all three MUST hash identically or index lookups
-    * silently miss.
+    * map over [[bandKeysFor]].
     */
   private def bandKeys(
       df: DataFrame, textCol: String, idCol: String,
@@ -183,19 +199,9 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = nPerm / bands
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val sig = minhashSignature(shingles(text, shingleK), nPerm)
-        val keys = (0 until bands).map { b =>
-          var h = 0xcbf29ce484222325L ^ b
-          var r = 0
-          while (r < rows) { h = TextFunctions.mix(h ^ sig(b * rows + r)); r += 1 }
-          h
-        }.toArray
-        (id, keys)
-      }
+      .map { case (id, text) => (id, bandKeysFor(text, shingleK, nPerm, bands)) }
       .toDF("id", "band_keys")
   }
 

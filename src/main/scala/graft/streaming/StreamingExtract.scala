@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.pipeline.{ExtractJob, ExtractedTurn, Turn}
+import graft.operators.Dedup
 
 /** Custom per-conversation state for the stateful sessionizer. */
 final case class ConvSessionState(sessionStart: Long, lastTs: Long, turns: Int)
@@ -161,6 +162,65 @@ object StreamingExtract {
       s"enrichStream dimension exceeds maxDimRows=$maxDimRows — a side this " +
         "large belongs in a shuffle join, not a broadcast")
     events.join(broadcast(dim), Seq(key), "left")
+  }
+
+  /** Streaming incremental near-dup screen: new documents arrive as a stream
+    * of (id, text, ts) and probe the STATIC stored corpus index (built once
+    * by [[graft.operators.Dedup.minhashIndex]]) — the continuous face of the
+    * batch [[graft.operators.Dedup.minhashProbe]], hashing through the same
+    * [[graft.operators.Dedup.bandKeysFor]] so stream and batch surface
+    * identical matches.
+    *
+    * Plan: per-row band keys (narrow flatMap, one output row per band) ->
+    * stream-static equijoin on (band, bkey) against the index (stateless;
+    * store the index bucketed by (band, bkey) so the static side needs no
+    * per-micro-batch shuffle) -> watermark-bounded pair dedup (a pair seen
+    * via several bands, or again within the horizon, emits once — state is
+    * rate x horizon, never corpus size) -> stream-static id join for the
+    * corpus text -> exact shingle-Jaccard verify. A hot index key multiplies
+    * candidates per stream row: cap the STORED index's buckets at build time
+    * (the batch probe's maxBucket discipline, applied once, offline).
+    */
+  def probeStream(
+      docs: DataFrame,
+      corpusIndex: DataFrame,
+      corpusTexts: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      shingleK: Int = 3,
+      nPerm: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs
+      .select(col(idCol).cast("long").as("id_new"), col(textCol).as("text_new"),
+        col(tsCol).as("ts"))
+      .filter(col("ts").isNotNull) // null event time cannot be watermarked; mirror dedupStream
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        Dedup.bandKeysFor(text, shingleK, nPerm, bands).zipWithIndex.map {
+          case (k, b) => (id, text, ts, b, k)
+        }
+      }
+      .toDF("id_new", "text_new", "ts", "band", "bkey")
+    val cand = sig.join(corpusIndex.withColumnRenamed("id", "id_corpus"), Seq("band", "bkey"))
+    val once = cand
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("id_new", "id_corpus")
+    once
+      .join(corpusTexts.select(col(idCol).cast("long").as("id_corpus"),
+        col(textCol).as("text_corpus")), "id_corpus")
+      .select("id_new", "id_corpus", "text_new", "text_corpus") // pin before positional encode
+      .as[(Long, Long, String, String)]
+      .map { case (n, c, tn, tc) =>
+        (n, c, Dedup.exactJaccard(Dedup.shingles(tn, shingleK), Dedup.shingles(tc, shingleK)))
+      }
+      .toDF("id_new", "id_corpus", "jaccard")
+      .where(col("jaccard") >= threshold)
   }
 
   /** File-based continuous ingest: watch `inDir` for new transcript parquet,

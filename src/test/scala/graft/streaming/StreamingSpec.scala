@@ -111,6 +111,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(hashes.toSet == expected)
   }
 
+  test("streaming incremental probe: cross-batch matches equal the batch probe; pair state dedups bands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // corpus of three docs; stream two near-copies (one per micro-batch) plus
+    // one unrelated doc — matches must equal the batch minhashProbe exactly
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different words about spark structured streaming state"),
+      (3L, "a third document with its own unmistakable vocabulary choices here")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+    val newRows = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again today", 100L),
+      (12L, "completely different words about spark structured streaming state", 200L),
+      (13L, "nothing in common with any corpus entry at all whatsoever", 300L))
+    val batchExpected = Dedup.minhashProbe(
+        newRows.map(r => (r._1, r._2)).toDF("doc_id", "text"), index, corpus,
+        "text", "doc_id", threshold = 0.9)
+      .select($"id_new", $"id_corpus").as[(Long, Long)].collect().toSet
+    assert(batchExpected == Set((11L, 1L), (12L, 2L)), s"batch probe sanity: $batchExpected")
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDS()
+      .select($"_1".as("doc_id"), $"_2".as("text"),
+        ($"_3" * 1000).cast("timestamp").as("ts"))
+    val q = StreamingExtract.probeStream(stream, index, corpus, threshold = 0.9)
+      .writeStream.format("memory").queryName("probe_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(newRows.head)
+    q.processAllAvailable()
+    input.addData(newRows(1), newRows(2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("probe_out")
+      .select($"id_new", $"id_corpus").as[(Long, Long)].collect()
+    // every (new, corpus) pair exactly once — identical signatures collide in
+    // ALL 32 bands, so the watermarked pair-dedup state did its job
+    assert(got.length == got.toSet.size, s"duplicate pair emissions: ${got.toSeq}")
+    assert(got.toSet == batchExpected, s"stream/batch divergence: ${got.toSeq} vs $batchExpected")
+  }
+
   test("stream-static enrichment: broadcast LEFT join across batches, stream side never shuffles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
