@@ -201,6 +201,14 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     // page-tree walk and the Prev recursion, not just the single-page path
     // (round-7: the plain base alone needed 32k mutations to surface the
     // negative-offset find; shape variety beats depth).
+    // GRAFT_MUTATE_MODE widens deep runs to other output surfaces — chars in
+    // particular stresses the RustFmt f32 formatter with matrices the grammar
+    // menu never writes (mutated digits/signs inside TD/cm operands).
+    val (mode, flag) = sys.env.getOrElse("GRAFT_MUTATE_MODE", "text") match {
+      case "chars" => (ExtractChars, "chars")
+      case "raw"   => (ExtractRawContent, "raw-content")
+      case _       => (ExtractText, "text")
+    }
     var hung = 0
     graft.tools.MutProbe.bases.foreach { case (name, seed, mk) =>
       val base = mk()
@@ -210,7 +218,7 @@ class QuirkDifferentialSpec extends AnyFunSuite {
         (0 to rnd.nextInt(2)).foreach { _ =>
           m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
         }
-        RefBinary.parity(s"$name mutation $i", m, ExtractText, "text", hangIsSkip = true) match {
+        RefBinary.parity(s"$name mutation $i ($flag)", m, mode, flag, hangIsSkip = true) match {
           case Left(msg)    => fail(msg)
           case Right(false) => hung += 1
           case Right(true)  => ()
