@@ -606,6 +606,21 @@ object SparkEntry {
       graft.operators.Quality.gopherRepetition(planted, "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // Winnowing (MOSS) cross-doc overlap — the byte-level fourth near-dup
+    // family: shared window-min fingerprints, containment |A∩B|/min(|A|,|B|).
+    // Doubled docs (+10000 ids) contain every fingerprint of their single
+    // original, so each planted pair scores exactly 1.0; the ~30-word sf
+    // vocabulary makes many 8-byte grams corpus-common, which is exactly what
+    // the maxDf=50 stop-fingerprint drop (the scale bound) is for — random
+    // pairs sit at overlap p99 ≈ 0.23, planted pairs survive at 1.0.
+    "q_winnow_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.select(col("doc_id") + 10000,
+        concat(col("text"), lit(" "), col("text")).as("text")))
+      graft.operators.Dedup.winnowNearDups(planted, "text", "doc_id",
+        k = 8, w = 4, maxDf = 50, minOverlap = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     // Vocabulary tokenization: words -> integer ids against the corpus's own
     // top-16 vocab (id = rank in the total (count desc, word asc) order,
     // OOV = one past the vocab) — vocabSize 16 so the sf corpus's ~30-word
@@ -1614,6 +1629,37 @@ object SparkEntry {
         "coalesce(t3.top3_chars, 0) AS top3_chars, coalesce(d5.dup5_chars, 0) AS dup5_chars " +
         "FROM d0 JOIN nch USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) " +
         "LEFT JOIN d5 USING (doc_id) ORDER BY d0.doc_id"),
+    // winnowing twin: the full MOSS pipeline replayed — k=8 poly hashes at
+    // every position (the q_fingerprint recipe, but positions kept), splitmix
+    // mix, per-w=4-window min (full windows only: i <= n-10), DISTINCT
+    // selected values per doc, document-frequency stop-fp drop at the same
+    // maxDf=50, then pair intersection counts over the rare sets and the
+    // containment score |A∩B|/min(|A|,|B|). Window min works unaliased
+    // because every value lives in [0, 2^64) HUGEINT (unsigned order = value
+    // order). The short-text FNV fallback branch is replicated even though no
+    // sf doc is under 11 normalized bytes.
+    "q_winnow_near_dup" ->
+      ("WITH d0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text || ' ' || text FROM documents), " +
+        s"d AS (SELECT doc_id, ${normSql.format("text")} AS nt FROM d0), " +
+        "ph AS (SELECT doc_id, i, length(nt) AS n, " +
+        "list_reduce(list_transform(range(0, 8), j -> CAST(unicode(substr(nt, CAST(i AS INT) + CAST(j AS INT), 1)) AS HUGEINT)), " +
+        s"(a, c) -> (a * 1000003 + c) % $m64) AS h " +
+        "FROM d, unnest(range(1, length(nt) - 6)) u(i) WHERE length(nt) >= 11), " +
+        s"mx AS (SELECT doc_id, i, n, ${splitmix64Sql("h")} AS fp FROM ph), " +
+        "wm AS (SELECT doc_id, i, n, min(fp) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp FROM mx), " +
+        "sel AS (SELECT DISTINCT doc_id, wfp FROM wm WHERE i <= n - 10 " +
+        s"UNION ALL SELECT doc_id, ${fnvSql("nt")} FROM d WHERE length(nt) < 11), " +
+        "dfq AS (SELECT wfp, count(*) AS dfreq FROM sel GROUP BY wfp), " +
+        "rare AS (SELECT s2.doc_id, s2.wfp FROM sel s2 JOIN dfq USING (wfp) WHERE dfreq <= 50), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM rare GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM rare a JOIN rare b ON a.wfp = b.wfp AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(i AS BIGINT) AS n_shared, " +
+        "CAST(i AS DOUBLE) / least(ca.c, cb.c) AS overlap " +
+        "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / least(ca.c, cb.c) >= 0.9 ORDER BY id_a, id_b"),
     // tokenize twin: vocab ids via row_number over the same total order
     // (count desc, word asc), OOV id = actual vocab row count; per-doc ids
     // rebuilt by ordinal-preserving unnest + ordered array_agg; empty docs

@@ -187,6 +187,65 @@ object TextFunctions {
     min
   }
 
+  /** Full WINNOWING fingerprint SET (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * selection rule): mix every k-byte polynomial rolling hash of the
+    * normalized text, keep the minimum (unsigned) of each w-window of
+    * consecutive hash positions, return the distinct selected values. Where
+    * [[rollingMinHash]] keeps ONE global minimum per document (a coarse
+    * prefilter key), this keeps one per window, so two documents sharing any
+    * sufficiently long run of text share the fingerprints selected inside it —
+    * the basis of cross-document overlap detection. Winnowing guarantees every
+    * match of length >= k + w - 1 is caught by at least one shared fingerprint.
+    * Texts shorter than k + w - 1 normalized bytes fall back to the single
+    * FNV-1a hash of the whole text (same short-text rule as the shingle paths).
+    * Result is sorted (signed order) distinct — consumers treat it as a set, so
+    * the tie RULE inside a window is irrelevant (equal minima give equal values).
+    */
+  def winnowFingerprints(s: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    val nt = normalize(s)
+    val b = nt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (b.length < k + w - 1) return Array(fnv1a64(nt))
+    val base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    val hs = new Array[Long](b.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
+    hs(0) = mix(h)
+    i = k
+    while (i < b.length) {
+      h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
+      hs(i - k + 1) = mix(h)
+      i += 1
+    }
+    // per-window unsigned min; w is small (default 4) so the direct O(n*w)
+    // scan beats a deque's branchy bookkeeping
+    val out = new Array[Long](hs.length - w + 1)
+    var p = 0
+    while (p < out.length) {
+      var m = hs(p)
+      var q = p + 1
+      while (q < p + w) {
+        if (java.lang.Long.compareUnsigned(hs(q), m) < 0) m = hs(q)
+        q += 1
+      }
+      out(p) = m
+      p += 1
+    }
+    // sort + in-place dedup, primitive ops only (same rationale as
+    // Dedup.sortedDistinct: Array.distinct boxes every Long)
+    java.util.Arrays.sort(out)
+    var wr = 1
+    p = 1
+    while (p < out.length) {
+      if (out(p) != out(wr - 1)) { out(wr) = out(p); wr += 1 }
+      p += 1
+    }
+    if (wr == out.length) out else java.util.Arrays.copyOf(out, wr)
+  }
+
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
   def normalize(s: String): String =

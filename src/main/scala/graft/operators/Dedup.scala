@@ -289,6 +289,76 @@ object Dedup {
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)), b => struct(a.as("_1"), b.as("_2")))))
 
+  // --- winnowing near-dup (MOSS-style shared-fingerprint containment) ----------
+
+  /** Cross-document WINNOWING overlap (Schleimer et al. 2003 — the MOSS
+    * algorithm): each document keeps the distinct set of its winnowing
+    * fingerprints ([[TextFunctions.winnowFingerprints]] — one window-min
+    * k-byte hash per w-window), candidate pairs share at least one
+    * fingerprint, and the reported score is CONTAINMENT,
+    * `|A ∩ B| / min(|A|, |B|)` — the doc-embedded-in-doc shape that Jaccard
+    * dilutes scores 1.0 here. A fourth near-dup family alongside MinHash
+    * (word-shingle Jaccard), n-gram sketches, and SimHash: byte-level, so it
+    * catches shared runs that word tokenization splits differently.
+    *
+    * Scale shape: the inverted index (fp -> docs) drops STOP FINGERPRINTS —
+    * fps whose document frequency exceeds `maxDf` — BEFORE any bucket is
+    * collected. Document frequency comes from a map-side-combined count (a
+    * hot fingerprint never funnels through a collect_list), so after the
+    * filter every bucket is <= maxDf ids and every fingerprint fans out to
+    * <= maxDf² pairs BY CONSTRUCTION — the df cap plays the role the bucket
+    * cap plays on the LSH paths, and the dropped-fp count rides the same
+    * pass as an observable metric (`stop_fps`/`fps`), never a silent recall
+    * loss. Overlap is computed over the SAME rare-fp sets the candidates
+    * come from (a doc whose fingerprints are all stop-fps leaves the
+    * candidate plane entirely), so the score is exactly replayable by the
+    * SQL twin. Everything after the narrow fingerprint map is
+    * shuffle-on-key: groupBy fp (df count), join fp (rare filter), groupBy
+    * fp (bounded buckets), groupBy pair (shared counts), two joins on id
+    * for the per-doc set sizes.
+    */
+  def winnowNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxDf: Int = 50,
+      minOverlap: Double = 0.9,
+      obs: Option[Observation] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => TextFunctions.winnowFingerprints(t, k, w).map((id, _)) }
+      .toDF("id", "fp")
+    val dfc0 = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+    val stopExprs = Seq(
+      sum(when(col("dfreq") > maxDf, 1L).otherwise(0L)).as("stop_fps"),
+      count(lit(1)).as("fps"))
+    val dfc = (obs match {
+      case Some(o) => dfc0.observe(o, stopExprs.head, stopExprs.tail: _*)
+      case None    => dfc0.observe("graft.dedup.winnow", stopExprs.head, stopExprs.tail: _*)
+    }).where(col("dfreq") <= maxDf)
+    val rare = fps.join(dfc.select("fp"), "fp")
+    val cnt = rare.groupBy("id").agg(count(lit(1)).as("nfp"))
+    val pairs = rare.groupBy("fp").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    // NO distinct here: each shared fingerprint contributes exactly one pair
+    // row (fps are per-doc distinct), so the pair count IS |A ∩ B|
+    val shared = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(cnt.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .withColumn("overlap",
+        col("n_shared").cast("double") / least(col("nfp_a"), col("nfp_b")).cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "n_shared", "overlap")
+  }
+
   // --- near-dup clustering (connected components over the pair graph) ----------
 
   /** Connected components over a near-dup pair graph -> (id, cluster_id) with

@@ -570,6 +570,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survived, "min-window fingerprint should survive a prefix edit on long text")
   }
 
+  test("winnowFingerprints: coverage guarantee, containment under doubling, short-text fallback") {
+    val t = docs(0)._2
+    // determinism + set semantics
+    assert(TextFunctions.winnowFingerprints(t).sameElements(TextFunctions.winnowFingerprints(t)))
+    // winnowing guarantee: a doc embedded in a larger doc shares EVERY
+    // fingerprint selected strictly inside it — the doubled doc's set must
+    // contain the single doc's set (positions are preserved for the prefix)
+    val single = TextFunctions.winnowFingerprints(t).toSet
+    val doubled = TextFunctions.winnowFingerprints(t + " " + t).toSet
+    assert(single.subsetOf(doubled), "doubled doc lost fingerprints of its half")
+    // a local edit at the front leaves the tail's fingerprints shared
+    val edited = TextFunctions.winnowFingerprints("zzzz qqqq " + t).toSet
+    val sharedFrac = (single & edited).size.toDouble / single.size
+    assert(sharedFrac > 0.8, s"prefix edit destroyed $sharedFrac of the fingerprint set")
+    // below k + w - 1 normalized bytes: single FNV fallback
+    assert(TextFunctions.winnowFingerprints("ab cd ef")
+      .sameElements(Array(TextFunctions.fnv1a64("ab cd ef"))))
+    // exactly at the boundary (11 bytes, k=8 w=4): one full window, one fp
+    assert(TextFunctions.winnowFingerprints("abcdefghijk").length == 1)
+  }
+
+  test("winnowNearDups: planted containment pairs score exactly 1.0; stop-fp drop is observable") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val planted = df.union(df.select(($"doc_id" + 10000).as("doc_id"),
+      org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.lit(" "), $"text").as("text")))
+    val obs = org.apache.spark.sql.Observation()
+    val out = Dedup.winnowNearDups(planted, "text", "doc_id",
+      maxDf = 50, minOverlap = 0.9, obs = Some(obs))
+      .select("id_a", "id_b", "overlap").as[(Long, Long, Double)].collect()
+    val found = out.map { case (a, b, _) => (a, b) }.toSet
+    docs.foreach { case (id, _) =>
+      assert(found.contains((id, id + 10000)), s"missed planted containment pair $id")
+    }
+    out.filter { case (a, b, _) => b == a + 10000 }.foreach { case (a, _, ov) =>
+      assert(ov == 1.0, s"planted pair $a containment $ov != 1.0")
+    }
+    // the sf vocabulary is ~30 words, so stop fingerprints MUST exist and be counted
+    val m = obs.get
+    assert(m("stop_fps").asInstanceOf[Long] > 0, "expected stop-fp drops on the tiny-vocab corpus")
+    assert(m("fps").asInstanceOf[Long] > m("stop_fps").asInstanceOf[Long])
+  }
+
+  test("winnowNearDups: maxDf drops clique fingerprints by construction; drop is observable") {
+    import spark.implicits._
+    // a 30-doc identical clique (every fp has df=30 > maxDf=10 -> all stop fps,
+    // ZERO clique pairs despite 435 naive ones) + one rare pair (df=2 fps) that
+    // must survive. The pair also keeps the output non-empty: AQE's
+    // empty-relation propagation would otherwise collapse the plan and the
+    // CollectMetrics node with it (observed metrics are harvested from the
+    // FINAL adaptive plan — an all-filtered run reports none; same caveat as
+    // the LSH bucket-cap observations).
+    val clique = (0L until 30L).map(i => (i, "identical text repeated across the corpus body here"))
+    val pair = Seq((100L, "very unusual phrasing zyxwv qpjkt marsupial quixotic"),
+      (101L, "very unusual phrasing zyxwv qpjkt marsupial quixotic"))
+    val obs = org.apache.spark.sql.Observation()
+    val out = Dedup.winnowNearDups((clique ++ pair).toDF("doc_id", "text"),
+      "text", "doc_id", maxDf = 10, obs = Some(obs))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 101L)), s"expected only the rare pair, got $out")
+    val m = obs.get
+    assert(m("stop_fps").asInstanceOf[Long] > 0, "clique fps must be dropped as stop fps")
+    assert(m("fps").asInstanceOf[Long] > m("stop_fps").asInstanceOf[Long], "rare fps must survive")
+  }
+
   /** A fully valid 1x1 8-bit RGB PNG (zlib-compressed IDAT, real CRCs). */
   private val realPng: Array[Byte] = Array(
     0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
