@@ -651,6 +651,20 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
+    // Target-mix rebalancing toward a uniform language mix: the sf corpus is
+    // en-heavy (218/500 at sf0.01), so 'en' thins to share*total/available
+    // ≈ 0.46 while the minority languages cap at keep_frac 1.0 — both branches
+    // of the min() exercised. keep is a pure (doc_id, salt=13) function; the
+    // corpus pass is one codegen'd CASE, the only extra job is the per-domain
+    // count (bounded collect, loud guard).
+    "q_domain_mix" -> ((s, dir) => {
+      graft.operators.Sampling.rebalance(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+        salt = 13L)
+        .select(col("doc_id"), col("lang"), col("keep_frac"), col("keep"))
+        .orderBy("doc_id")
+    }),
 
     // ---- chunking, deterministic shuffle, sequence packing --------------------------
     // Fixed-size overlapping token windows — the preprocessing cut between
@@ -1725,6 +1739,22 @@ object SparkEntry {
         "q AS (SELECT doc_id, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m) " +
         "SELECT doc_id, CASE WHEN hv < 3435973837 THEN 'train' WHEN hv < 3865470566 THEN 'val' " +
         "ELSE 'test' END AS split FROM q ORDER BY doc_id"),
+    // rebalance twin: per-language counts -> keep_frac = least(1, share·N/c)
+    // composed in the same IEEE op order as the Scala driver literal
+    // (share * total, then / count), then the identical two-round salt-13
+    // hash against the per-row round(frac * 2^32) — the q_sample_weighted
+    // round-vs-math.round equivalence.
+    "q_domain_mix" ->
+      ("WITH cc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cc), " +
+        "f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), " +
+        "CAST(0.2 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) AS keep_frac FROM cc, tot), " +
+        "p AS (SELECT doc_id, lang, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 13) % 2147483648 AS s0 FROM documents), " +
+        "h AS (SELECT doc_id, lang, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
+        "m AS (SELECT doc_id, lang, xor(h1, h1 >> 16) AS m1 FROM h), " +
+        "q AS (SELECT doc_id, lang, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m) " +
+        "SELECT q.doc_id, q.lang, f.keep_frac, hv < round(f.keep_frac * 4294967296.0) AS keep " +
+        "FROM q JOIN f USING (lang) ORDER BY q.doc_id"),
     // chunk twin: same whitespace-split token convention as q_token_count,
     // same window arithmetic (stride 56 = 64 - 8; nChunks = 1 + ceil(max(0,
     // n-64)/56) spelled as integer division); list_slice clamps past the end

@@ -119,6 +119,59 @@ object Sampling {
     df.withColumn(labelCol, label)
   }
 
+  /** TARGET-MIX rebalancing: downsample each domain (source, language, ...)
+    * toward a target SHARE of the corpus — the "don't let CommonCrawl drown
+    * the books" knob every training mixture needs. Each domain's keep
+    * fraction is `min(1, target_share · total / available)`: a domain with
+    * more than its share is thinned to it, a domain at or under its share is
+    * kept whole (fractions never upsample — use duplication-aware epochs for
+    * that). The keep decision is the salted two-round hash of the row id
+    * against `round(fraction · 2^32)`, so it is deterministic,
+    * layout/rerun-invariant, decorrelated from other draws on the same ids,
+    * and exactly SQL-replayable (counts and fractions are integers and IEEE
+    * doubles composed in a fixed order).
+    *
+    * Two jobs by design: a map-side-combined count per domain (collected —
+    * bounded by domain cardinality, guarded by `maxDomains` like
+    * decontaminate's bounded materialization), then one codegen'd
+    * CASE predicate in the scan stage of the main pass — no shuffle touches
+    * the corpus itself, so this composes with any downstream plan. Domains
+    * absent from `targets` get share 0 (dropped) — make targets exhaustive
+    * or pre-filter. Returns the input plus (`keep_frac` double, `keep`
+    * boolean); callers filter on `keep` (kept rows stay a deterministic
+    * superset-annotated frame so mixtures can audit realized fractions).
+    */
+  def rebalance(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: Map[String, Double],
+      salt: Long = 0L,
+      maxDomains: Int = 100000
+  ): DataFrame = {
+    require(targets.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"target shares must be in [0,1]: $targets")
+    val counts = df.groupBy(col(domainCol).cast("string").as("dom"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded by construction: one row per domain, loud guard below
+    require(counts.length <= maxDomains,
+      s"rebalance saw ${counts.length} domains (> $maxDomains) — not a domain column?")
+    val total = counts.map(_.getLong(1)).sum
+    val fracs: Seq[(String, Double)] = counts.map { r =>
+      val dom = r.getString(0)
+      val share = targets.getOrElse(dom, 0.0)
+      // fixed evaluation order (share * total, then / count) — the SQL twin
+      // must compose the same three IEEE ops on the same values
+      dom -> math.min(1.0, share * total.toDouble / r.getLong(1).toDouble)
+    }.toSeq.sortBy(_._1) // deterministic CASE chain (collect order is not)
+    val fracCol = fracs.foldLeft(lit(0.0)) { case (acc, (dom, f)) =>
+      when(col(domainCol) === dom, lit(f)).otherwise(acc)
+    }
+    df.withColumn("keep_frac", fracCol)
+      .withColumn("keep",
+        saltedHash(col(idCol), salt) < round(col("keep_frac") * lit(Space.toDouble)))
+  }
+
   /** Stratified sampling: a per-stratum fraction (strata not listed take
     * `default`). One codegen'd CASE — no per-stratum scans, no shuffle.
     */

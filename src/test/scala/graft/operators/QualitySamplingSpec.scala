@@ -236,4 +236,39 @@ class QualitySamplingSpec extends AnyFunSuite {
       Sampling.splitAssign(ids, "doc_id", Seq("a" -> 1.1, "b" -> -0.1))
     }
   }
+
+  test("rebalance: over-share domains thin toward target, under-share kept whole, realized mix tracks") {
+    import spark.implicits._
+    // 8000 'web' + 1000 'books' + 1000 'code'; uniform 1/3 target each:
+    // web frac = (1/3·10000)/8000 ≈ 0.4167, books/code cap at 1.0
+    val df = ((0L until 8000L).map((_, "web")) ++
+      (8000L until 9000L).map((_, "books")) ++
+      (9000L until 10000L).map((_, "code"))).toDF("doc_id", "dom")
+    val third = 1.0 / 3.0
+    val out = Sampling.rebalance(df, "doc_id", "dom",
+      Map("web" -> third, "books" -> third, "code" -> third), salt = 5L)
+    val byDom = out.groupBy("dom").agg(
+      sum(when($"keep", 1L).otherwise(0L)).as("kept"),
+      first($"keep_frac").as("frac"),
+      count(lit(1)).as("n")
+    ).collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(byDom("books")._2 == 1.0 && byDom("books")._1 == 1000L, "under-share domain must keep all")
+    assert(byDom("code")._2 == 1.0 && byDom("code")._1 == 1000L)
+    val webFrac = byDom("web")._2
+    assert(math.abs(webFrac - third * 10000 / 8000) < 1e-12, s"web frac $webFrac")
+    // realized keep tracks the target fraction (hash equidistributes sequential ids)
+    assert(math.abs(byDom("web")._1 / 8000.0 - webFrac) < 0.02,
+      s"realized web keep ${byDom("web")._1} far from $webFrac")
+    // unlisted domain drops everything; keep is layout-invariant
+    val out2 = Sampling.rebalance(df, "doc_id", "dom", Map("web" -> 1.0), salt = 5L)
+    assert(out2.where($"dom" =!= "web" && $"keep").count() == 0L)
+    val kept1 = out.where($"keep").select("doc_id").as[Long].collect().toSet
+    val kept2 = Sampling.rebalance(df.repartition(13), "doc_id", "dom",
+      Map("web" -> third, "books" -> third, "code" -> third), salt = 5L)
+      .where($"keep").select("doc_id").as[Long].collect().toSet
+    assert(kept1 == kept2, "rebalance keep set must be layout-invariant")
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "doc_id", "dom", Map("web" -> 1.2))
+    }
+  }
 }
