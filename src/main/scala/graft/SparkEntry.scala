@@ -631,6 +631,16 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 16)
         .orderBy("doc_id")
     }),
+    // BPE training step as corpus statistics: frequency-weighted adjacent
+    // character pairs over the distinct-word table, ranked by the total order
+    // (count desc, lhs asc, rhs asc) — the table whose argmax is the first
+    // merge (Sennrich et al. 2016). The iterative trainer (Quality.bpeTrain)
+    // is spec-gated against an independent re-derivation; SQL can replay one
+    // counting round, not a merge loop.
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.operators.Quality.bpePairStats(t(s, dir, "documents"), "text", topN = 32)
+        .orderBy("merge_rank")
+    }),
     // CCNet-style perplexity bucketing composed from verified pieces:
     // surprisal -> integer milli-bits/token -> exact corpus terciles (the
     // histogram rank rule) -> head/middle/tail label -> deterministic
@@ -1694,6 +1704,19 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(g.token_ids, CAST([] AS INT[])) AS token_ids, " +
         "coalesce(g.n_tokens, 0) AS n_tokens, coalesce(g.n_oov, 0) AS n_oov " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // bpe twin: distinct-word frequencies, 1-based substr pairs over words of
+    // length >= 2, weighted sums, the same (count desc, lhs, rhs) rank rule
+    // and top-32 cut
+    "q_bpe_pairs" ->
+      ("WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "ww AS (SELECT word FROM w WHERE length(word) > 0), " +
+        "wc AS (SELECT word, count(*) AS f FROM ww GROUP BY word), " +
+        "pr AS (SELECT substr(word, CAST(i AS INT), 1) AS lhs, substr(word, CAST(i AS INT) + 1, 1) AS rhs, f " +
+        "FROM wc, unnest(range(1, length(word))) u(i) WHERE length(word) >= 2), " +
+        "pc AS (SELECT lhs, rhs, CAST(sum(f) AS BIGINT) AS pair_count FROM pr GROUP BY lhs, rhs), " +
+        "r AS (SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, lhs ASC, rhs ASC) AS INT) AS merge_rank, " +
+        "lhs, rhs, pair_count FROM pc) " +
+        "SELECT merge_rank, lhs, rhs, pair_count FROM r WHERE merge_rank <= 32 ORDER BY merge_rank"),
     // perplexity-bucket twin: the q_surprisal CTE chain, integer
     // milli-bits/token, exact terciles via the q_token_distribution rank rule
     // over the bpt histogram, CASE bucket, then the two-round salt-11 hash

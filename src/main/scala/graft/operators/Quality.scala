@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics quality scoring: unigram SURPRISAL — the
@@ -278,5 +278,127 @@ object Quality {
           .when(col("bucket") === "middle", h < thr(keepMiddle))
           .otherwise(h < thr(keepTail)))
       .select(col(idCol), col("n_tokens"), col("bpt_milli"), col("bucket"), col("keep"))
+  }
+
+  // --- BPE merge training (Sennrich et al. 2016) --------------------------------
+
+  /** Adjacent symbol pairs of an array column as (lhs, rhs) structs — empty for
+    * arrays under 2 elements (sequence(1, 0) would COUNT DOWN, not produce an
+    * empty range).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("lhs"), element_at(syms, i + lit(1)).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+
+  /** One BPE TRAINING STEP as corpus statistics: frequency of every adjacent
+    * CHARACTER pair, weighted by word frequency — the table whose argmax is
+    * the first merge. Ranked by the total order (count desc, lhs asc, rhs asc)
+    * so the cut at `topN` is deterministic and engine-independent.
+    *
+    * Scale shape: one map-side-combined shuffle on word (the frequency
+    * count — the corpus collapses to its distinct-word table, the BPE working
+    * set), pair explosion over DISTINCT WORDS only (never the corpus), one
+    * shuffle on (lhs, rhs), then a driver-bounded TakeOrderedAndProject of
+    * topN rows; the rank window runs on that bounded frame (single task over
+    * topN rows by construction).
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0 && topN <= 1000000, s"topN $topN out of range")
+    val wc = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val pairs = wc.where(length(col("word")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1), i =>
+        struct(col("word").substr(i, lit(1)).as("lhs"),
+          col("word").substr(i + lit(1), lit(1)).as("rhs")))).as("p"), col("f"))
+    val counts = pairs
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("f")).as("pair_count"))
+    counts
+      .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+      .limit(topN)
+      .withColumn("merge_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)).cast("int"))
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"))
+  }
+
+  /** Greedy left-to-right merge of one (lhs, rhs) pair in a symbol sequence —
+    * the standard BPE apply rule: "aaa" under (a,a) becomes ["aa", "a"],
+    * matches never overlap.
+    */
+  private[operators] def mergeGreedy(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val n = syms.length
+    val buf = new scala.collection.mutable.ArrayBuffer[String](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) { buf += (l + r); i += 2 }
+      else { buf += syms(i); i += 1 }
+    }
+    buf.toSeq
+  }
+
+  /** Full BPE MERGE TRAINING (Sennrich/Haddow/Birch 2016): iteratively count
+    * adjacent symbol pairs over the frequency-weighted distinct-word table,
+    * merge the most frequent pair (ties by (lhs, rhs) ascending — total
+    * order, so the learned sequence is deterministic), repeat `nMerges`
+    * times or until no pair repeats. Returns the learned merge table
+    * (merge_idx, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+    * `marker`, when set, is appended to every word as the word-end symbol
+    * (the paper's `</w>`).
+    *
+    * Scale shape: the working set is the DISTINCT-WORD table (Zipf-bounded:
+    * a 100 TB corpus has millions of distinct words, not trillions), which
+    * stays distributed end to end; each round is one shuffle on (lhs, rhs)
+    * plus a narrow re-map of the symbol arrays, only the single argmax row
+    * is ever collected (driver-bounded by construction), and the table is
+    * localCheckpoint'd per round to truncate the growing lineage (same
+    * contract as Dedup.clusters — swap in a durable checkpoint dir on a
+    * real cluster).
+    */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      marker: Option[String] = None
+  ): DataFrame = {
+    require(nMerges >= 0 && nMerges <= 65536, s"nMerges $nMerges out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        val chars: Seq[String] = w.map(_.toString)
+        (marker.fold(chars)(chars :+ _), f)
+      }
+      .toDF("syms", "f")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var idx = 0
+    var exhausted = false
+    while (idx < nMerges && !exhausted) {
+      val best = vocab
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("f"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("f")).as("pair_count"))
+        .where(col("pair_count") >= 2) // a pair seen once cannot compress
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect() // bounded: exactly the argmax row
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((idx, l, r, c))
+        vocab = vocab.as[(Seq[String], Long)]
+          .map { case (syms, f) => (mergeGreedy(syms, l, r), f) }
+          .toDF("syms", "f")
+          .localCheckpoint()
+        idx += 1
+      }
+    }
+    merges.toSeq.toDF("merge_idx", "lhs", "rhs", "pair_count")
   }
 }

@@ -237,6 +237,66 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent single-threaded BPE trainer (Sennrich et al. 2016 alg.) to
+    * gate the distributed one: word-frequency table, argmax adjacent pair by
+    * (count desc, lhs asc, rhs asc), greedy non-overlapping merge, stop when
+    * no pair repeats.
+    */
+  private def refBpe(texts: Seq[String], nMerges: Int, marker: Option[String])
+      : Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] = texts
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        val chars: Seq[String] = w.map(_.toString)
+        (marker.fold(chars)(chars :+ _), ws.size.toLong)
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var idx = 0
+    var done = false
+    while (idx < nMerges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+          case _         =>
+        }
+      }
+      val cands = pc.filter(_._2 >= 2)
+      if (cands.isEmpty) done = true
+      else {
+        val ((l, r), c) = cands.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((idx, l, r, c))
+        vocab = vocab.groupBy { case (syms, _) =>
+          Quality.mergeGreedy(syms, l, r)
+        }.map { case (k, vs) => (k, vs.values.sum) }
+        idx += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches an independent re-derivation on the classic corpus; trainer is deterministic") {
+    import spark.implicits._
+    // the Sennrich paper's corpus shape: low x5, lower x2, newest x6, widest x3
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (marker <- Seq(None, Some("</w>"))) {
+      val got = Quality.bpeTrain(df, "text", nMerges = 10, marker = marker)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val want = refBpe(texts, 10, marker)
+      assert(got == want, s"marker=$marker\n got=$got\nwant=$want")
+    }
+    // first merge with the end marker must be (e, s) with count 9 — the
+    // (es,st,t</w>) 9-way tie broken by lhs ascending
+    val first = refBpe(texts, 1, Some("</w>")).head
+    assert((first._2, first._3, first._4) == (("e", "s", 9L)), s"classic first merge: $first")
+    // greedy non-overlap: "aaa" under (a,a) -> ["aa","a"]
+    assert(Quality.mergeGreedy(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // exhaustion: a corpus with no repeating pair learns nothing
+    assert(Quality.bpeTrain(Seq((1L, "ab cd")).toDF("doc_id", "text"), "text", 5).count() == 0)
+  }
+
   test("rebalance: over-share domains thin toward target, under-share kept whole, realized mix tracks") {
     import spark.implicits._
     // 8000 'web' + 1000 'books' + 1000 'code'; uniform 1/3 target each:
