@@ -236,7 +236,13 @@ final case class PdfFont(
     * nondeterministic in the reference via HashMap iteration, so never gated).
     */
   def display: String = {
-    def optStr(o: Option[String]) = o.map(s => s"""Some("$s")""").getOrElse("None")
+    // every string field prints via Rust `{:?}` (body.rs:206-213) — Debug
+    // ESCAPING included: a control/high char in a font name renders as
+    // \u{..}, not raw (round-7 font-mode mutation fuzz find: plain index 27
+    // mutated BaseFont to Helve\x83ica; the binary printed "Helve\u{83}ica",
+    // our raw interpolation leaked the bare control char)
+    def optStr(o: Option[String]) =
+      o.map(s => s"Some(${TextAssembly.rustStrDebug(s)})").getOrElse("None")
     def numDbg(n: Num) = n match {
       case NInt(i)  => s"Integer($i)"
       case NReal(f) => s"Real(${RustFmt.f32(f)})"
@@ -255,7 +261,9 @@ final case class PdfFont(
       s"Some(ToUnicodeCMap { begin_code_space_range: [$br], end_code_space_range: [$er], " +
         s"is_two_bytes: ${cm.isTwoBytes}, cmap: {$entries} })"
     }.getOrElse("None")
-    s"""Subtype: "$subtype"\nName: ${optStr(name)}\nBaseFont: "$baseFont"\nFirstChar: ${optNum(firstChar)}\nLastChar: ${optNum(lastChar)}\nWidths: $w\nToUnicode: $tu"""
+    s"Subtype: ${TextAssembly.rustStrDebug(subtype)}\nName: ${optStr(name)}\n" +
+      s"BaseFont: ${TextAssembly.rustStrDebug(baseFont)}\nFirstChar: ${optNum(firstChar)}\n" +
+      s"LastChar: ${optNum(lastChar)}\nWidths: $w\nToUnicode: $tu"
   }
 }
 

@@ -167,6 +167,32 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     * (tokenizer.rs:169); our tokenizer constructor must refuse identically
     * instead of escaping with a raw AIOOBE from next().
     */
+  /** Font Debug ESCAPING (round-7 font-mode mutation find, plain index 27):
+    * the reference prints every font string field via `{:?}` (body.rs:206-213),
+    * so a control or high byte inside a NAME — which the tokenizer admits
+    * byte-as-char, CharacterSet::Regular covers everything outside
+    * whitespace/delimiters (tokenizer.rs:80-90) — renders as \u{..}. Our
+    * display leaked the raw char until PdfFont.display routed through
+    * rustStrDebug. Patch BaseFont in place (same byte length — xref offsets
+    * must hold) with C1/C0 controls, a DEL, and a quote-adjacent backslash.
+    */
+  test("font names with control/high bytes Debug-escape identically to the binary") {
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
+    val base = graft.pipeline.MiniPdf.synthesize("font escape probe text")
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("/Helvetica")
+    require(at > 0, "Helvetica base font not found in the synthesized fixture")
+    Seq("Helv\u0083tica", "H\u0001lvetic\u007f", "He\u00e9vetica", "Helv\\tica")
+      .foreach { repl =>
+        require(repl.length == "Helvetica".length, s"patch '$repl' must preserve length")
+        val mutated = base.clone()
+        val bytes = repl.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        System.arraycopy(bytes, 0, mutated, at + 1, bytes.length)
+        check(RefBinary.parity(s"font-escape '$repl'", mutated, ExtractFont, "font",
+          normalize = RefBinary.normalizeFont))
+      }
+  }
+
   test("negative xref offset panics identically to the binary") {
     assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     val base = graft.pipeline.MiniPdf.synthesize("negative offset probe text")
@@ -203,11 +229,16 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     // negative-offset find; shape variety beats depth).
     // GRAFT_MUTATE_MODE widens deep runs to other output surfaces — chars in
     // particular stresses the RustFmt f32 formatter with matrices the grammar
-    // menu never writes (mutated digits/signs inside TD/cm operands).
-    val (mode, flag) = sys.env.getOrElse("GRAFT_MUTATE_MODE", "text") match {
-      case "chars" => (ExtractChars, "chars")
-      case "raw"   => (ExtractRawContent, "raw-content")
-      case _       => (ExtractText, "text")
+    // menu never writes (mutated digits/signs inside TD/cm operands); font
+    // (order-normalized — the reference's HashMap iteration is per-process
+    // random) is the one mode whose output comes from the OBJECT layer, so
+    // mutations in the fonts dict / page tree / xref that text mode shrugs
+    // off are load-bearing there.
+    val (mode, flag, norm) = sys.env.getOrElse("GRAFT_MUTATE_MODE", "text") match {
+      case "chars" => (ExtractChars, "chars", identity[String] _)
+      case "raw"   => (ExtractRawContent, "raw-content", identity[String] _)
+      case "font"  => (ExtractFont, "font", RefBinary.normalizeFont _)
+      case _       => (ExtractText, "text", identity[String] _)
     }
     var hung = 0
     graft.tools.MutProbe.bases.foreach { case (name, seed, mk) =>
@@ -218,7 +249,8 @@ class QuirkDifferentialSpec extends AnyFunSuite {
         (0 to rnd.nextInt(2)).foreach { _ =>
           m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
         }
-        RefBinary.parity(s"$name mutation $i ($flag)", m, mode, flag, hangIsSkip = true) match {
+        RefBinary.parity(s"$name mutation $i ($flag)", m, mode, flag,
+          hangIsSkip = true, normalize = norm) match {
           case Left(msg)    => fail(msg)
           case Right(false) => hung += 1
           case Right(true)  => ()
