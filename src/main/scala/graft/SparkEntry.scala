@@ -631,6 +631,20 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 16)
         .orderBy("doc_id")
     }),
+    // Gopher §A1.1 quality-rule battery — integer metrics + per-rule booleans
+    // + conjunction, one codegen'd pass. The sf corpus varies the word-count
+    // rule (30-99 tokens vs minWords=50), the mean-word-length boundaries,
+    // and the stop-word rule ('the'/'a' live in the ~30-word vocab).
+    "q_gopher_quality" -> ((s, dir) => {
+      graft.operators.Quality.gopherQuality(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // Per-doc top-3 keywords by integer tf·idf (idf = surprisal-style
+    // bit-length of N/df) — rank cut by the total order (score desc, word asc).
+    "q_tfidf_keywords" -> ((s, dir) => {
+      graft.operators.Quality.tfidfKeywords(t(s, dir, "documents"), "text", "doc_id", topK = 3)
+        .orderBy("doc_id", "rank")
+    }),
     // BPE training step as corpus statistics: frequency-weighted adjacent
     // character pairs over the distinct-word table, ranked by the total order
     // (count desc, lhs asc, rhs asc) — the table whose argmax is the first
@@ -1704,6 +1718,43 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(g.token_ids, CAST([] AS INT[])) AS token_ids, " +
         "coalesce(g.n_tokens, 0) AS n_tokens, coalesce(g.n_oov, 0) AS n_oov " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // gopher-quality twin: identical integer rule arithmetic (milli mean via
+    // floor division, cross-multiplied fractions, char-wise symbol counts
+    // with the three-dot ellipsis counted once per triple)
+    "q_gopher_quality" ->
+      ("WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_aggregate(list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS BIGINT) AS n_chars, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words, " +
+        "array_to_string(w, ' ') AS joined, " +
+        "CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop FROM t), " +
+        "c AS (SELECT doc_id, n_words, " +
+        "CASE WHEN n_words > 0 THEN n_chars * 1000 // n_words ELSE 0 END AS mean_len_milli, " +
+        "n_alpha_words, " +
+        "CAST(length(joined) - length(regexp_replace(joined, '#|…', '', 'g')) + " +
+        "(length(joined) - length(regexp_replace(joined, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS n_symbols, " +
+        "n_stop FROM b) " +
+        "SELECT doc_id, n_words, mean_len_milli, n_alpha_words, n_symbols, n_stop, " +
+        "n_words >= 50 AND n_words <= 100000 AS ok_words, " +
+        "mean_len_milli >= 3000 AND mean_len_milli <= 10000 AS ok_mean_len, " +
+        "n_alpha_words * 5 >= n_words * 4 AS ok_alpha, " +
+        "n_symbols * 10 <= n_words AS ok_symbols, " +
+        "n_stop >= 2 AS ok_stop, " +
+        "(n_words >= 50 AND n_words <= 100000 AND mean_len_milli >= 3000 AND mean_len_milli <= 10000 " +
+        "AND n_alpha_words * 5 >= n_words * 4 AND n_symbols * 10 <= n_words AND n_stop >= 2) AS keep " +
+        "FROM c ORDER BY doc_id"),
+    // tfidf twin: per-doc tf, corpus df over the (doc, word) pairs, integer
+    // idf bits via bin(N // df), identical (score desc, word asc) rank rule
+    "q_tfidf_keywords" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "tk AS (SELECT doc_id, word FROM tok WHERE length(word) > 0), " +
+        "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, word), " +
+        "dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents), " +
+        "idf AS (SELECT word, CAST(length(bin(n // df)) AS BIGINT) AS idf_bits FROM dfq, nd), " +
+        "sc AS (SELECT doc_id, tf.word, tf, idf_bits, tf * idf_bits AS score FROM tf JOIN idf USING (word)), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS INT) AS rank FROM sc) " +
+        "SELECT doc_id, rank, word, tf, idf_bits, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
     // bpe twin: distinct-word frequencies, 1-based substr pairs over words of
     // length >= 2, weighted sums, the same (count desc, lhs, rhs) rank rule
     // and top-32 cut

@@ -280,6 +280,113 @@ object Quality {
       .select(col(idCol), col("n_tokens"), col("bpt_milli"), col("bucket"), col("keep"))
   }
 
+  // --- Gopher quality-rule battery (Rae et al. 2021, §A1.1) ---------------------
+
+  /** The Gopher REPETITION-FREE quality rules as one codegen'd pass: per-doc
+    * integer metrics plus per-rule booleans plus the conjunction `keep`. All
+    * arithmetic is INTEGER (milli-units and cross-multiplied fractions) so
+    * any engine reproduces the boundaries bit-for-bit — no float mean whose
+    * last ulp could flip a keep decision between engines.
+    *
+    * Rules (document-level, the filterable subset of Gopher §A1.1):
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10] characters (milli: [3000, 10000])
+    *  - fraction of words containing an alphabetic character >= 0.8
+    *    (5·n_alpha_words >= 4·n_words)
+    *  - symbol-to-word ratio <= 0.1 for hash/ellipsis symbols
+    *    (10·n_symbols <= n_words)
+    *  - at least 2 stop words from the fixed Gopher list
+    *    {the, be, to, of, and, that, have, with}
+    *
+    * One narrow projection over the scan — no shuffle, no UDF; a 100 TB
+    * corpus filters at read speed.
+    */
+  def gopherQuality(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000
+  ): DataFrame = {
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val nChars = aggregate(transform(words, w => length(w).cast("long")), lit(0L), _ + _)
+    // floor(double-div) == integer div for these nonnegative magnitudes
+    // (values << 2^53 — exact in double); Spark's `/` on longs is fractional
+    val meanLenMilli = when(nWords > 0, floor(nChars * 1000L / nWords)).otherwise(0L)
+    val nAlphaWords = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    // symbols counted CHARACTER-wise across the doc: '#' and the ellipsis
+    // (both the U+2026 char and the three-dot spelling)
+    val joined = concat_ws(" ", words)
+    val nSymbols = (length(joined) - length(regexp_replace(joined, "#|…", "")) +
+      (length(joined) - length(regexp_replace(joined, "\\.\\.\\.", ""))) / 3).cast("long")
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(words, w => w.isInCollection(stopList))).cast("long")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLenMilli.as("mean_len_milli"),
+      nAlphaWords.as("n_alpha_words"),
+      nSymbols.as("n_symbols"),
+      nStop.as("n_stop"))
+      .withColumn("ok_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_len_milli") >= 3000L && col("mean_len_milli") <= 10000L)
+      .withColumn("ok_alpha", col("n_alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("ok_symbols", col("n_symbols") * 10L <= col("n_words"))
+      .withColumn("ok_stop", col("n_stop") >= 2L)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") &&
+          col("ok_symbols") && col("ok_stop"))
+  }
+
+  // --- TF-IDF keyword extraction -------------------------------------------------
+
+  /** Per-document TOP-K KEYWORDS by integer tf·idf: idf is the surprisal-style
+    * bit-length `length(bin(N DIV df))` (N = corpus docs, df = docs containing
+    * the word — rarer words earn more bits; integer, so engines agree
+    * bit-for-bit), score = tf · idf_bits, ranked per document by the total
+    * order (score desc, word asc) and cut at `topK`. The corpus-level signal
+    * (which words are distinctive) meets the doc-level one (which of MY words
+    * are frequent) — the classic retrieval/labeling feature, here as a
+    * curation-side "what is this document about" operator.
+    *
+    * Scale shape: one shuffle on (doc, word) for tf (map-side combined), one
+    * on word for df, N collected as a single row (bounded by construction),
+    * a join on word to attach idf (Spark picks broadcast when the vocab
+    * fits), then the per-doc rank window — partitions bounded by per-doc
+    * distinct words, never corpus-wide. Empty docs have no keywords and are
+    * absent from the output by construction.
+    */
+  def tfidfKeywords(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      topK: Int = 3
+  ): DataFrame = {
+    require(topK > 0 && topK <= 1000, s"topK $topK out of range")
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val tf = tokens.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs: Long = {
+      val r = df.select(countDistinct(col(idCol))).collect()(0) // 1 row by construction
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val idf = dfreq.withColumn("idf_bits",
+      length(bin(floor(lit(nDocs).cast("long") / col("df")))).cast("long"))
+    val scored = tf.join(idf, "word")
+      .withColumn("score", col("tf") * col("idf_bits"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("word").asc)).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("word"),
+        col("tf"), col("idf_bits"), col("score"))
+  }
+
   // --- BPE merge training (Sennrich et al. 2016) --------------------------------
 
   /** Adjacent symbol pairs of an array column as (lhs, rhs) structs — empty for

@@ -237,6 +237,56 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherQuality: each rule flips on its hand-built boundary document") {
+    import spark.implicits._
+    val good = (Seq("the", "with") ++ (1 to 48).map(i => "word" + (i % 9))).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                        // passes all rules
+      (2L, (Seq("the", "with") ++ (1 to 47).map(_ => "w")).mkString(" ")), // 49 words: ok_words false; mean len 49*... short
+      (3L, good + " " + Seq.fill(10)("#####").mkString(" ")), // symbol-heavy
+      (4L, (Seq("the", "with") ++ (1 to 48).map(_ => "1234")).mkString(" ")), // digits: alpha frac 2/50 < 0.8
+      (5L, (1 to 50).map(i => "word" + (i % 9)).mkString(" ")) // no stop words
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherQuality(docs, "text", "doc_id")
+      .select("doc_id", "ok_words", "ok_mean_len", "ok_alpha", "ok_symbols", "ok_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._7, s"good doc rejected: ${out(1L)}")
+    assert(!out(2L)._2 && !out(2L)._7, "49-word doc must fail ok_words")
+    assert(!out(3L)._5 && !out(3L)._7, "symbol-heavy doc must fail ok_symbols")
+    assert(!out(4L)._4 && !out(4L)._7, "digit-word doc must fail ok_alpha")
+    assert(!out(5L)._6 && !out(5L)._7, "stopword-free doc must fail ok_stop")
+    // integer milli mean: "aa bbbb" -> 6*1000 div 2 = 3000, exactly on the boundary
+    val edge = Quality.gopherQuality(Seq((9L, "aa bbbb")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("mean_len_milli", "ok_mean_len").collect()(0)
+    assert(edge.getLong(0) == 3000L && edge.getBoolean(1), s"boundary milli mean: $edge")
+  }
+
+  test("tfidfKeywords: rarer words outrank frequent common ones; rank ties break by word") {
+    import spark.implicits._
+    // 4 docs; 'common' appears in all (idf bits = len(bin(4//4)) = 1),
+    // 'rare' in one (len(bin(4//1)) = 3)
+    val docs = Seq(
+      (1L, "common common common rare zeta zeta"),
+      (2L, "common alpha"),
+      (3L, "common beta"),
+      (4L, "common gamma")
+    ).toDF("doc_id", "text")
+    val out = Quality.tfidfKeywords(docs, "text", "doc_id", topK = 2)
+      .select("doc_id", "rank", "word", "score")
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // doc 1: zeta tf=2 idf=3 -> 6; rare tf=1 idf=3 -> 3; common tf=3 idf=1 -> 3
+    // tie at 3 breaks by word asc: 'common' < 'rare'
+    assert(out(1L) == Seq(("zeta", 6L), ("common", 3L)), s"doc1: ${out(1L)}")
+    // doc 2: alpha (tf=1, idf=3) -> 3 beats common (tf=1, idf=1) -> 1
+    assert(out(2L) == Seq(("alpha", 3L), ("common", 1L)), s"doc2: ${out(2L)}")
+    // empty doc: absent from output
+    val withEmpty = Quality.tfidfKeywords(docs.union(Seq((9L, "  ")).toDF("doc_id", "text")),
+      "text", "doc_id", topK = 2)
+    assert(withEmpty.where($"doc_id" === 9L).count() == 0)
+  }
+
   /** Independent single-threaded BPE trainer (Sennrich et al. 2016 alg.) to
     * gate the distributed one: word-frequency table, argmax adjacent pair by
     * (count desc, lhs asc, rhs asc), greedy non-overlapping merge, stop when
