@@ -733,6 +733,15 @@ object SparkEntry {
           candidatesOut = Some(IvfCandidatesPath))
         .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
     }),
+    // K-means topic clustering: deterministic Lloyd centroids (dumped for the
+    // twin), shuffle-free broadcast argmax-cosine assignment, tie rule
+    // (cosine desc, cluster asc).
+    "q_kmeans_topics" -> ((s, dir) => {
+      tagOracle(dir)
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8,
+          centroidsOut = Some(KmeansCentroidsPath))
+        .orderBy("vec_id")
+    }),
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val dupes = emb.select(col("vec_id"), col("embedding"))
@@ -1361,6 +1370,11 @@ object SparkEntry {
     * exact top-k cosine over exactly these (query_id, candidate_id) pairs.
     */
   def IvfCandidatesPath: String = s"$oracleRoot/ivf_candidates"
+
+  /** Path for q_kmeans_topics' trained centroids — the oracle replays the
+    * argmax-cosine assignment over exactly these (cluster, centroid) rows.
+    */
+  def KmeansCentroidsPath: String = s"$oracleRoot/kmeans_centroids"
 
   /** DuckDB oracles — every query is value-checked, including q_ann_ivf:
     * the IVF probe is approximate BY DESIGN (coarse-quantized ANN), but its
@@ -2036,6 +2050,17 @@ object SparkEntry {
         "SELECT query_id, rank, neighbor_id FROM (SELECT query_id, neighbor_id, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // kmeans twin: argmax cosine over the dumped centroids, identical
+    // (sim desc, cluster asc) tie order — the same DOUBLE[] cosine as the
+    // ANN twins
+    "q_kmeans_topics" ->
+      (s"WITH c AS (SELECT cluster, centroid FROM read_parquet('$KmeansCentroidsPath/*.parquet')), " +
+        "s AS (SELECT e.vec_id, c.cluster, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS sim " +
+        "FROM embeddings e CROSS JOIN c) " +
+        "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM " +
+        "(SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn FROM s) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
     // Header parse re-expressed over the SAME payload bytes: PNG IHDR w/h are
     // the big-endian u32s at byte offsets 16/20 (hex offsets 33/41); the JPEG
     // envelope pins SOF0 at byte offset 20, so h/w sit at hex offsets 51/55;

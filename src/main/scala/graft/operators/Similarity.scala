@@ -238,6 +238,41 @@ object Similarity {
     centroids.map(_.map(_.toFloat))
   }
 
+  /** K-MEANS TOPIC CLUSTERING as a first-class corpus report: deterministic
+    * Lloyd-trained centroids ([[trainCentroids]] — bounded sample, fixed
+    * init and iteration count, f64 math) broadcast into one narrow
+    * argmax-cosine pass (the [[assignCells]] primitive at spill=1, so
+    * clustering and the IVF build can never drift), output (idCol, cluster).
+    * Tie rule: max cosine, then LOWEST cluster id — a total order, so
+    * assignment is rerun/layout/engine-invariant given the centroids.
+    * `centroidsOut` dumps (cluster, centroid[]) so an external engine can
+    * replay the assignment exactly over the same centroids (the oracle
+    * contract — training determinism itself is spec-gated).
+    *
+    * Scale shape: training reads a bounded sample (driver-collected by
+    * construction); assignment is SHUFFLE-FREE — k broadcast centroids, a
+    * per-row argmax inside the scan stage. The per-cluster rollup any
+    * consumer wants next is one map-side-combined groupBy on cluster.
+    */
+  def kmeansAssign(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidsOut: Option[String] = None
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, k, idCol = idCol, vecCol = vecCol)
+    centroidsOut.foreach { path =>
+      centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    assignCells(embeddings, centroids, spill = 1, idCol, vecCol)
+      .select(col("id").as(idCol), col("cell").as("cluster"))
+  }
+
   /** Build the IVF index: assign each vector to its top-`spill` max-cosine cells
     * (narrow map; spilled/redundant assignment a la ScaNN's SOAR — recall
     * insurance when a neighbor sits near a Voronoi boundary, at `spill`x storage)

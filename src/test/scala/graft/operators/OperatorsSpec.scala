@@ -291,6 +291,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(obs.get("truncated_buckets").asInstanceOf[Long] > 0, "truncation must be reported")
   }
 
+  test("kmeansAssign: argmax re-derivation, layout invariance, planted clusters separate") {
+    import spark.implicits._
+    // planted geometry: 3 well-separated directions + jitter
+    val dirs = Array(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    // block id layout (0-29 dir0, 30-59 dir1, 60-89 dir2): the deterministic
+    // evenly-spaced-rank init then seeds one centroid per direction —
+    // interleaved ids would seed all three from dir0 and converge to a
+    // k-means local optimum that merges directions (observed; init
+    // sensitivity is inherent to Lloyd, not an engine defect)
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 90L).map { i =>
+      val d = dirs((i / 30L).toInt)
+      (i, d.map(x => x + rnd.nextFloat() * 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, k = 3).as[(Long, Int)].collect().toMap
+    assert(out.size == 90 && out.values.forall(c => c >= 0 && c < 3))
+    // local re-derivation: assignment must be the argmax cosine over the SAME
+    // trained centroids with the (sim desc, cluster asc) tie rule
+    val cents = Similarity.trainCentroids(df, 3)
+    vecs.foreach { case (id, v) =>
+      val best = cents.indices.map(c => (c, Similarity.cosine(cents(c), v)))
+        .minBy { case (c, s) => (-s, c) }._1
+      assert(out(id) == best, s"vec $id: got ${out(id)}, argmax $best")
+    }
+    // planted structure recovered: each direction maps to ONE cluster, all distinct
+    val byDir = (0 until 3).map(d => vecs.filter(_._1 / 30 == d).map(v => out(v._1)).distinct)
+    assert(byDir.forall(_.size == 1), s"mixed clusters within a planted direction: $byDir")
+    assert(byDir.flatten.toSet.size == 3, s"directions collapsed: $byDir")
+    // layout invariance: a repartition must not move any assignment
+    val out2 = Similarity.kmeansAssign(df.repartition(7), k = 3).as[(Long, Int)].collect().toMap
+    assert(out2 == out, "assignment changed under repartition")
+  }
+
   test("near-dup bucket caps are observable, never silent (degenerate all-identical corpus)") {
     import spark.implicits._
     val n = 200
