@@ -42,15 +42,43 @@ object MiniPdf {
   def synthesize(text: String): Array[Byte] =
     scaffold(s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n", text)
 
-  private def scaffold(content: String, text: String): Array[Byte] = {
-    val objects = Seq(
+  private def scaffold(content: String, text: String): Array[Byte] = assemble(Seq(
+    "<< /Type /Catalog /Pages 2 0 R >>",
+    "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
+    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
+  ))
+
+  /** Single-page document whose font carries an UNCOMPRESSED /ToUnicode CMap
+    * stream (round 7 — cmap-edge differential probes). `bf` is spliced
+    * verbatim after the codespace range (e.g.
+    * `"1 beginbfchar <41> <0042> endbfchar"`); `twoByte` selects the
+    * one-vs-two-byte codespace (is_two_bytes — cmap.rs:41-45). Content shows
+    * glyphs through the CMap'd TJ path with hex strings; Tj stays
+    * byte-as-char (the reference quirk this contrasts against).
+    */
+  def synthesizeWithCMap(content: String, bf: String, twoByte: Boolean = false): Array[Byte] = {
+    val range = if (twoByte) "<0000> <FFFF>" else "<00> <FF>"
+    val cmap = "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      s"1 begincodespacerange\n$range\nendcodespacerange\n$bf\nendcmap\nend\nend"
+    assemble(Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
       s"<< /Length ${content.getBytes(ISO_8859_1).length} >>\nstream\n$content\nendstream",
-      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-      s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>"
-    )
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /ToUnicode 7 0 R >>",
+      "<< /Title (cmap probe) /Author (graft) /Creator (minipdf) >>",
+      s"<< /Length ${cmap.getBytes(ISO_8859_1).length} >>\nstream\n$cmap\nendstream"
+    ))
+  }
+
+  /** Classic single-table assembly shared by every single-revision shape:
+    * header, N sequential objects, one-subsection xref, trailer pointing
+    * Root at object 1 and Info at object 6.
+    */
+  private def assemble(objects: Seq[String]): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
     val offsets = new Array[Int](objects.length)

@@ -167,6 +167,114 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     * (tokenizer.rs:169); our tokenizer constructor must refuse identically
     * instead of escaping with a raw AIOOBE from next().
     */
+  /** CMAP-EDGE probes (round 7): the ToUnicode parser's quirks, previously
+    * inferred from cmap.rs and gated only through the fixed fixtures' benign
+    * cmaps, checked against the binary on CRAFTED streams: the
+    * first-two-bytes value rule (`x[0]*256 + x[1]` ignores trailing bytes —
+    * cmap.rs:73, so a 4-byte astral pair either maps to its high BMP unit or
+    * panics on the surrogate), char::decode_utf16 panic parity on surrogate
+    * values (cmap.rs:74), the 1-byte-value index panic, bfrange increments
+    * walking INTO the surrogate block, the array bfrange form, two-byte
+    * codespace pairing, and the Tj-vs-TJ contrast (Tj stays byte-as-char even
+    * WITH a cmap present). All four output modes (font prints the cmap Debug).
+    */
+  test("ToUnicode cmap edges behave identically to the binary") {
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
+    val cases: Seq[(String, String, String, Boolean)] = Seq(
+      // (name, bf section, content, twoByte)
+      ("bfchar basic + Tj contrast",
+        "2 beginbfchar <41> <0042> <42> <0041> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<4142>] TJ\n(AB) Tj\nET\n", false),
+      ("bfchar 4-byte value takes first two bytes",
+        "1 beginbfchar <41> <00420041> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<41>] TJ\nET\n", false),
+      ("bfchar surrogate value",
+        "1 beginbfchar <41> <D83D> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<41>] TJ\nET\n", false),
+      ("bfchar astral pair panics at its high surrogate",
+        "1 beginbfchar <41> <D83DDE00> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<41>] TJ\nET\n", false),
+      ("bfchar 1-byte value",
+        "1 beginbfchar <41> <42> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<41>] TJ\nET\n", false),
+      ("bfrange increments into the surrogate block",
+        "1 beginbfrange <40> <45> <D7FD> endbfrange",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<40>] TJ\nET\n", false),
+      ("bfrange array form",
+        "1 beginbfrange <41> <43> [<0058> <0059> <005A>] endbfrange",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<414243>] TJ\nET\n", false),
+      ("two-byte codespace pairs TJ bytes",
+        "1 beginbfchar <0041> <0043> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<00410041>] TJ\nET\n", true),
+      ("unmapped code under a cmap",
+        "1 beginbfchar <41> <0058> endbfchar",
+        "BT\n70 50 TD\n/F1 12 Tf\n[<4142>] TJ\nET\n", false),
+      ("empty bf section",
+        "", "BT\n70 50 TD\n/F1 12 Tf\n[<41>] TJ\n(plain) Tj\nET\n", false)
+    )
+    cases.foreach { case (name, bf, content, twoByte) =>
+      val pdf = graft.pipeline.MiniPdf.synthesizeWithCMap(content, bf, twoByte)
+      check(RefBinary.parity(name, pdf, ExtractText, "text"))
+      check(RefBinary.parity(name, pdf, ExtractChars, "chars"))
+      check(RefBinary.parity(name, pdf, ExtractRawContent, "raw-content"))
+      check(RefBinary.parity(name, pdf, ExtractFont, "font",
+        normalize = RefBinary.normalizeFont))
+      checkSpans(name, pdf)
+    }
+  }
+
+  /** Seeded CMAP GRAMMAR FUZZ: random bfchar/bfrange sections — valid
+    * entries mixed with the full malformation menu (surrogate and 1/3/4-byte
+    * values, ranges that walk into the surrogate block, reversed ranges,
+    * non-hex tokens where hex is required, truncated sections) — must behave
+    * identically through every mode: output parity when the reference
+    * accepts, panic parity when it refuses. Size scales with GRAFT_CMAP_FUZZ
+    * (default 40 streams x 4 modes).
+    */
+  test("cmap grammar fuzz: random ToUnicode streams behave identically to the binary") {
+    assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
+    val n = sys.env.getOrElse("GRAFT_CMAP_FUZZ", "40").toInt
+    val rnd = new scala.util.Random(4242)
+    def hex2(v: Int) = f"<${v & 0xffff}%04X>"
+    def hex1(v: Int) = f"<${v & 0xff}%02X>"
+    def value(): String = rnd.nextInt(6) match {
+      case 0 => hex2(0x30 + rnd.nextInt(0x5000))         // safe BMP
+      case 1 => hex2(0xd800 + rnd.nextInt(0x800))        // surrogate — panic parity
+      case 2 => hex1(rnd.nextInt(256))                   // 1-byte — index panic parity
+      case 3 => f"<${rnd.nextInt(0x10000)}%04X${rnd.nextInt(0x10000)}%04X>" // 4-byte
+      case 4 => hex2(0xd000 + rnd.nextInt(0x1000))       // near the surrogate boundary
+      case _ => "(notahex)"                              // wrong token type
+    }
+    def section(): String = rnd.nextInt(3) match {
+      case 0 =>
+        val entries = (0 until 1 + rnd.nextInt(3))
+          .map(_ => s"${hex1(0x40 + rnd.nextInt(8))} ${value()}").mkString(" ")
+        s"1 beginbfchar $entries endbfchar"
+      case 1 =>
+        val a = 0x40 + rnd.nextInt(6)
+        val b = a + rnd.nextInt(8) - 2 // sometimes reversed
+        s"1 beginbfrange ${hex1(a)} ${hex1(b)} ${value()} endbfrange"
+      case _ =>
+        val a = 0x40 + rnd.nextInt(4)
+        val vals = (0 until 1 + rnd.nextInt(3)).map(_ => value()).mkString(" ")
+        s"1 beginbfrange ${hex1(a)} ${hex1(a + 2)} [$vals] endbfrange"
+    }
+    (0 until n).foreach { i =>
+      val bf = (0 until 1 + rnd.nextInt(2)).map(_ => section()).mkString("\n")
+      val codes = (0 until 1 + rnd.nextInt(4)).map(_ => f"${0x40 + rnd.nextInt(8)}%02X").mkString
+      val content = s"BT\n70 50 TD\n/F1 12 Tf\n[<$codes>] TJ\n(tail) Tj\nET\n"
+      val pdf = graft.pipeline.MiniPdf.synthesizeWithCMap(content, bf)
+      if (sys.env.get("GRAFT_CMAP_DUMP").contains(i.toString))
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/cmapfuzz.pdf"), pdf)
+      check(RefBinary.parity(s"cmap-fuzz-$i", pdf, ExtractText, "text"))
+      check(RefBinary.parity(s"cmap-fuzz-$i", pdf, ExtractChars, "chars"))
+      check(RefBinary.parity(s"cmap-fuzz-$i", pdf, ExtractRawContent, "raw-content"))
+      check(RefBinary.parity(s"cmap-fuzz-$i", pdf, ExtractFont, "font",
+        normalize = RefBinary.normalizeFont))
+      checkSpans(s"cmap-fuzz-$i", pdf)
+    }
+  }
+
   /** Font Debug ESCAPING (round-7 font-mode mutation find, plain index 27):
     * the reference prints every font string field via `{:?}` (body.rs:206-213),
     * so a control or high byte inside a NAME — which the tokenizer admits

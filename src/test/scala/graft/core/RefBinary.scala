@@ -46,7 +46,10 @@ object RefBinary {
     s.split("\n", -1).filterNot(_.startsWith("Content token operator ")).mkString("\n")
 
   private val cmapRe = """(?s)cmap: \{(.*?)\} \}""".r
-  private val entryRe = """(\d+): ('(?:\\.|[^'\\])')""".r
+  // value = one Rust char Debug form: a \u{..} escape (deep cmap fuzz caught
+  // the narrower `\\.` failing to match these, leaving HashMap order
+  // unnormalized), a single named escape, or one literal non-quote char
+  private val entryRe = """(\d+): ('(?:\\u\{[0-9a-fA-F]{1,6}\}|\\.|[^'\\])')""".r
 
   /** Order-normalize font-mode output for comparison: ToUnicodeCMap Debug
     * entries to numeric key order and blank-line-separated font blocks to

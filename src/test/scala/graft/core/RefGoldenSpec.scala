@@ -58,7 +58,9 @@ class RefGoldenSpec extends AnyFunSuite {
   // fixtures are plain quoted chars — the length guard below fails loudly if
   // a future fixture's cmap values (braces, quotes) defeat the regex.
   private val cmapRe = """(?s)cmap: \{(.*?)\} \}""".r
-  private val entryRe = """(\d+): ('(?:\\.|[^'\\])')""".r
+  // same value pattern as RefBinary.normalizeFont: \u{..} escape, one named
+  // escape, or one literal char (this spec keeps its loud length guard)
+  private val entryRe = """(\d+): ('(?:\\u\{[0-9a-fA-F]{1,6}\}|\\.|[^'\\])')""".r
   private def normalizeCmaps(s: String): String =
     cmapRe.replaceAllIn(s, m => {
       val body = m.group(1)
