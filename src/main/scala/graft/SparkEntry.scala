@@ -621,6 +621,21 @@ object SparkEntry {
         k = 8, w = 4, maxDf = 50, minOverlap = 0.9)
         .orderBy("id_a", "id_b")
     }),
+    // Incremental winnow probe — the nightly-crawl shape for the winnowing
+    // family: the corpus index alone screens a new slice (doubled first-50
+    // docs), stop-fp rule from CORPUS df only, containment over rare sets,
+    // NO text re-read. Planted slice docs contain their originals ->
+    // containment exactly 1.0.
+    "q_winnow_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val slice = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val index = graft.operators.Dedup.winnowIndex(docs, "text", "doc_id")
+      graft.operators.Dedup.winnowProbe(slice, index, "text", "doc_id",
+        maxDf = 50, minOverlap = 0.9)
+        .orderBy("id_new", "id_corpus")
+    }),
     // Vocabulary tokenization: words -> integer ids against the corpus's own
     // top-16 vocab (id = rank in the total (count desc, word asc) order,
     // OOV = one past the vocab) — vocabSize 16 so the sf corpus's ~30-word
@@ -1712,6 +1727,33 @@ object SparkEntry {
         "CAST(i AS DOUBLE) / least(ca.c, cb.c) AS overlap " +
         "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b " +
         "WHERE CAST(i AS DOUBLE) / least(ca.c, cb.c) >= 0.9 ORDER BY id_a, id_b"),
+    // incremental winnow twin: same winnow CTE chain with a side tag
+    // (0 = corpus, 1 = doubled first-50 slice), corpus-only document
+    // frequency, anti-join stop drop on BOTH sides, cross-side containment
+    "q_winnow_incremental" ->
+      ("WITH d0 AS (SELECT doc_id, text, 0 AS side FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text || ' ' || text, 1 FROM documents WHERE doc_id < 50), " +
+        s"d AS (SELECT doc_id, side, ${normSql.format("text")} AS nt FROM d0), " +
+        "ph AS (SELECT doc_id, side, i, length(nt) AS n, " +
+        "list_reduce(list_transform(range(0, 8), j -> CAST(unicode(substr(nt, CAST(i AS INT) + CAST(j AS INT), 1)) AS HUGEINT)), " +
+        s"(a, c) -> (a * 1000003 + c) % $m64) AS h " +
+        "FROM d, unnest(range(1, length(nt) - 6)) u(i) WHERE length(nt) >= 11), " +
+        s"mx AS (SELECT doc_id, side, i, n, ${splitmix64Sql("h")} AS fp FROM ph), " +
+        "wm AS (SELECT doc_id, side, i, n, min(fp) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp FROM mx), " +
+        "sel AS (SELECT DISTINCT doc_id, side, wfp FROM wm WHERE i <= n - 10 " +
+        s"UNION ALL SELECT doc_id, side, ${fnvSql("nt")} FROM d WHERE length(nt) < 11), " +
+        "cdf AS (SELECT wfp, count(*) AS dfreq FROM sel WHERE side = 0 GROUP BY wfp), " +
+        "stop AS (SELECT wfp FROM cdf WHERE dfreq > 50), " +
+        "rare AS (SELECT s2.doc_id, s2.side, s2.wfp FROM sel s2 LEFT JOIN stop USING (wfp) WHERE stop.wfp IS NULL), " +
+        "cn AS (SELECT doc_id, count(*) AS c FROM rare WHERE side = 1 GROUP BY doc_id), " +
+        "cc AS (SELECT doc_id, count(*) AS c FROM rare WHERE side = 0 GROUP BY doc_id), " +
+        "inter AS (SELECT nw.doc_id AS id_new, x.doc_id AS id_corpus, count(*) AS i " +
+        "FROM rare nw JOIN rare x ON nw.wfp = x.wfp AND nw.side = 1 AND x.side = 0 GROUP BY 1, 2) " +
+        "SELECT id_new, id_corpus, CAST(i AS BIGINT) AS n_shared, " +
+        "CAST(i AS DOUBLE) / least(cn.c, cc.c) AS overlap " +
+        "FROM inter JOIN cn ON cn.doc_id = id_new JOIN cc ON cc.doc_id = id_corpus " +
+        "WHERE CAST(i AS DOUBLE) / least(cn.c, cc.c) >= 0.9 ORDER BY id_new, id_corpus"),
     // tokenize twin: vocab ids via row_number over the same total order
     // (count desc, word asc), OOV id = actual vocab row count; per-doc ids
     // rebuilt by ordinal-preserving unnest + ordered array_agg; empty docs

@@ -359,6 +359,83 @@ object Dedup {
       .select("id_a", "id_b", "n_shared", "overlap")
   }
 
+  /** Winnowing fingerprint index over a corpus: one (id, fp) row per DISTINCT
+    * per-doc fingerprint — the PERSISTED side of incremental winnow dedup
+    * (store bucketed by fp for shuffle-free probes). Unlike the MinHash
+    * index, the fingerprint set IS the similarity evidence: probes never
+    * re-read corpus text. Parameters must match the probe's exactly.
+    */
+  def winnowIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => TextFunctions.winnowFingerprints(t, k, w).map((id, _)) }
+      .toDF("id", "fp")
+  }
+
+  /** Screen NEW documents against a stored [[winnowIndex]] — the nightly
+    * crawl shape for the winnowing family. Document frequency (and therefore
+    * the stop-fingerprint rule) is computed over the CORPUS INDEX ONLY, so
+    * the screen is stable as slices arrive: fp with corpus df > maxDf is
+    * dropped from BOTH sides (drop observable), an fp the corpus has never
+    * seen is trivially rare. Score = containment of rare fps,
+    * |A ∩ B| / min(|A_rare|, |B_rare|) over corpus-df-filtered sets — NO
+    * text fetch at all (the index alone suffices, unlike the MinHash probe's
+    * exact-Jaccard verify).
+    *
+    * Scale shape: the slice's distinct fps BROADCAST into a left-semi prune
+    * of the index scan before anything shuffles; the rare filter bounds every
+    * fp bucket at maxDf corpus docs by construction, so the candidate join
+    * fans out <= maxDf corpus ids per new fp.
+    */
+  def winnowProbe(
+      newDocs: DataFrame,
+      corpusIndex: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxDf: Int = 50,
+      minOverlap: Double = 0.9,
+      obs: Option[Observation] = None
+  ): DataFrame = {
+    val newFps = winnowIndex(newDocs, textCol, idCol)
+      .select(col("id").as("id_new"), col("fp"))
+    val dfc0 = corpusIndex.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+    val stopExprs = Seq(
+      sum(when(col("dfreq") > maxDf, 1L).otherwise(0L)).as("stop_fps"),
+      count(lit(1)).as("fps"))
+    val stop = (obs match {
+      case Some(o) => dfc0.observe(o, stopExprs.head, stopExprs.tail: _*)
+      case None    => dfc0.observe("graft.dedup.winnow_probe", stopExprs.head, stopExprs.tail: _*)
+    }).where(col("dfreq") > maxDf).select("fp")
+    // rare on both sides = NOT a corpus stop fp (anti join; unseen fps pass —
+    // df 0 is rare by definition). No broadcast hint: the stop set is small
+    // in practice (the Zipf head) but not bounded by construction — AQE
+    // picks broadcast when it fits. The SLICE's keys below are the
+    // small-by-contract side (same contract as minhashProbe).
+    val corpusRare = corpusIndex.select(col("id").as("id_corpus"), col("fp"))
+      .join(stop, Seq("fp"), "left_anti")
+    val newRare = newFps.join(stop, Seq("fp"), "left_anti")
+    val probeKeys = newRare.select("fp").distinct()
+    val hits = corpusRare.join(broadcast(probeKeys), Seq("fp"), "left_semi")
+    val cntNew = newRare.groupBy("id_new").agg(count(lit(1)).as("nfp_new"))
+    val cntCorpus = corpusRare.groupBy("id_corpus").agg(count(lit(1)).as("nfp_corpus"))
+    val shared = newRare.join(hits, "fp")
+      .groupBy("id_new", "id_corpus").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(cntNew, "id_new")
+      .join(cntCorpus, "id_corpus")
+      .withColumn("overlap",
+        col("n_shared").cast("double") / least(col("nfp_new"), col("nfp_corpus")).cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select("id_new", "id_corpus", "n_shared", "overlap")
+  }
+
   // --- near-dup clustering (connected components over the pair graph) ----------
 
   /** Connected components over a near-dup pair graph -> (id, cluster_id) with
