@@ -757,6 +757,32 @@ object SparkEntry {
           centroidsOut = Some(KmeansCentroidsPath))
         .orderBy("vec_id")
     }),
+    // Streaming k-means: vectors arrive as a stream and classify under the
+    // model trained on the static table (kmeansAssignWith is a stateless
+    // narrow map — identical code batch and stream). Own centroid dump, so
+    // the twin replays without any cross-query ordering assumption.
+    "q_stream_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      tagOracle(dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-km-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-km-cp").toString
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      emb.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val centroids = Similarity.trainCentroids(emb, 8)
+      centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(KmeansStreamCentroidsPath)
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(tmp)
+      val name = s"kmeans_out_${System.nanoTime()}"
+      val q = Similarity.kmeansAssignWith(stream, centroids)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("vec_id")
+    }),
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val dupes = emb.select(col("vec_id"), col("embedding"))
@@ -1390,6 +1416,11 @@ object SparkEntry {
     * argmax-cosine assignment over exactly these (cluster, centroid) rows.
     */
   def KmeansCentroidsPath: String = s"$oracleRoot/kmeans_centroids"
+
+  /** q_stream_kmeans' own centroid dump (identical training, own path — no
+    * cross-query ordering assumption inside one Verify process).
+    */
+  def KmeansStreamCentroidsPath: String = s"$oracleRoot/kmeans_stream_centroids"
 
   /** DuckDB oracles — every query is value-checked, including q_ann_ivf:
     * the IVF probe is approximate BY DESIGN (coarse-quantized ANN), but its
@@ -2097,6 +2128,15 @@ object SparkEntry {
     // ANN twins
     "q_kmeans_topics" ->
       (s"WITH c AS (SELECT cluster, centroid FROM read_parquet('$KmeansCentroidsPath/*.parquet')), " +
+        "s AS (SELECT e.vec_id, c.cluster, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS sim " +
+        "FROM embeddings e CROSS JOIN c) " +
+        "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM " +
+        "(SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn FROM s) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
+    // streaming kmeans twin: same replay over the stream query's own dump
+    "q_stream_kmeans" ->
+      (s"WITH c AS (SELECT cluster, centroid FROM read_parquet('$KmeansStreamCentroidsPath/*.parquet')), " +
         "s AS (SELECT e.vec_id, c.cluster, " +
         "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS sim " +
         "FROM embeddings e CROSS JOIN c) " +

@@ -269,9 +269,23 @@ object Similarity {
         .toDF("cluster", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
+    kmeansAssignWith(embeddings, centroids, idCol, vecCol)
+  }
+
+  /** Assignment under FIXED (stored) centroids — the classify-only half of
+    * [[kmeansAssign]], shared with its STREAMING face: the argmax pass is a
+    * stateless narrow map, so it runs unchanged on a streaming Dataset (new
+    * vectors classify continuously under the trained model — the
+    * route-new-data-to-topics shape).
+    */
+  def kmeansAssignWith(
+      embeddings: DataFrame,
+      centroids: Array[Array[Float]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
     assignCells(embeddings, centroids, spill = 1, idCol, vecCol)
       .select(col("id").as(idCol), col("cell").as("cluster"))
-  }
 
   /** Build the IVF index: assign each vector to its top-`spill` max-cosine cells
     * (narrow map; spilled/redundant assignment a la ScaNN's SOAR — recall

@@ -188,6 +188,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDimRows"), e.getMessage)
   }
 
+  test("streaming kmeans assignment equals the batch assignment across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // block layout so the deterministic init seeds one centroid per direction
+    // (see OperatorsSpec's kmeansAssign test)
+    val dirs = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map { i =>
+      (i, dirs((i / 20L).toInt).map(x => x + rnd.nextFloat() * 0.5f))
+    }
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    val centroids = graft.operators.Similarity.trainCentroids(batchDf, 3)
+    val batch = graft.operators.Similarity.kmeansAssignWith(batchDf, centroids)
+      .as[(Long, Int)].collect().toMap
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.Similarity.kmeansAssignWith(
+        input.toDS().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("memory").queryName("kmeans_stream_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(vecs.take(25): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(25): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmeans_stream_out").as[(Long, Int)].collect().toMap
+    assert(streamed == batch, "stream and batch assignments diverge")
+  }
+
   test("windowed metrics aggregate per payload kind with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
