@@ -28,7 +28,13 @@ object MutProbe {
     ("multitj", 10, () => MiniPdf.synthesizeMultiTj("mutation fuzz target with some words", 7)),
     ("multipage", 11, () => MiniPdf.synthesizeMultiPage("mutation fuzz page text for the sweep", 9)),
     ("incremental", 12, () => MiniPdf.synthesizeIncremental(
-      Seq("mutation fuzz base revision", "second revision text", "third revision words")))
+      Seq("mutation fuzz base revision", "second revision text", "third revision words"))),
+    // cmap base (round 7): flips reach the /ToUnicode stream — the cmap
+    // parser's panic/typing edges under random corruption, plus TJ-vs-Tj
+    // text assembly with a live cmap
+    ("cmap", 13, () => MiniPdf.synthesizeWithCMap(
+      "BT\n70 50 TD\n/F1 12 Tf\n[<4142> -120 <43>] TJ\n(plain tail) Tj\nET\n",
+      "3 beginbfchar <41> <0058> <42> <0059> <43> <005A> endbfchar"))
   )
 
   private def baseFor(name: String): (Array[Byte], scala.util.Random) =
