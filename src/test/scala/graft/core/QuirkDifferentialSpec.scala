@@ -117,7 +117,26 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     "inline image hex framing payload" ->
       "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID <41 42> EI\n70 50 TD\n(h) Tj\nET\n",
     "inline image balanced paren payload" ->
-      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID (EI inside) EI\n70 50 TD\n(b) Tj\nET\n"
+      "BT\n/F1 12 Tf\nBI /W 1 /H 1 ID (EI inside) EI\n70 50 TD\n(b) Tj\nET\n",
+    // F32 EXTREMES through TD/cm operands (round 7): chars mode formats the
+    // text matrix, so overflow (Rust f32 parse saturates to inf — printed
+    // "inf", where a naive Java Float.toString would say "Infinity"),
+    // negative zero, the largest finite f32, the smallest denormal, and the
+    // 2^24 integer precision edge must all format byte-identically
+    "f32 overflow to inf" ->
+      "BT\n340282366920938463463374607431768211456 50 TD\n/F1 12 Tf\n(inf) Tj\nET\n",
+    "f32 overflow to -inf" ->
+      "BT\n-340282366920938463463374607431768211456 50 TD\n/F1 12 Tf\n(ninf) Tj\nET\n",
+    "f32 max finite" ->
+      "BT\n340282350000000000000000000000000000000 50 TD\n/F1 12 Tf\n(max) Tj\nET\n",
+    "f32 min denormal" ->
+      "BT\n0.000000000000000000000000000000000000000000001401298464324817 50 TD\n/F1 12 Tf\n(den) Tj\nET\n",
+    "f32 negative zero" ->
+      "BT\n-0.0 -0 TD\n/F1 12 Tf\n(nz) Tj\nET\n",
+    "f32 2^24 precision edge" ->
+      "BT\n16777217 16777219 TD\n/F1 12 Tf\n(p24) Tj\nET\n",
+    "f32 many-digit mantissa" ->
+      "BT\n0.30000001192092896 3.14159265358979 TD\n/F1 12 Tf\n(pi) Tj\nET\n"
   )
 
   test("quirk probes: crafted content streams behave byte-identically to the binary") {
@@ -380,11 +399,16 @@ class QuirkDifferentialSpec extends AnyFunSuite {
     assume(RefBinary.present, s"reference binary not built — run tools/refbuild/build.sh")
     val n = sys.env.getOrElse("GRAFT_QUIRK_FUZZ", "60").toInt
     val rnd = new scala.util.Random(42)
-    def num(): String = rnd.nextInt(5) match {
+    def num(): String = rnd.nextInt(7) match {
       case 0 => rnd.nextInt(200).toString
       case 1 => (-rnd.nextInt(600)).toString
       case 2 => f"${rnd.nextDouble() * 100}%.2f"
       case 3 => "0"
+      // f32 extremes (round 7): magnitudes at/over f32 max (saturate to
+      // inf), denormals, and >2^24 integers — chars mode must format every
+      // one byte-identically (RustFmt.f32 incl. inf/-0.0/denormal forms)
+      case 4 => ("1" + "0" * (35 + rnd.nextInt(6))) + (if (rnd.nextBoolean()) "" else ".5")
+      case 5 => "-0." + "0" * (30 + rnd.nextInt(15)) + (1 + rnd.nextInt(9))
       case _ => f"${-rnd.nextDouble()}%.3f"
     }
     def str(): String = {
