@@ -137,9 +137,11 @@ object Sampling {
     * CASE predicate in the scan stage of the main pass — no shuffle touches
     * the corpus itself, so this composes with any downstream plan. Domains
     * absent from `targets` get share 0 (dropped) — make targets exhaustive
-    * or pre-filter. Returns the input plus (`keep_frac` double, `keep`
-    * boolean); callers filter on `keep` (kept rows stay a deterministic
-    * superset-annotated frame so mixtures can audit realized fractions).
+    * or pre-filter; a NULL domain also lands on share 0 (no CASE branch can
+    * equal NULL), keep_frac 0.0, keep false. Returns the input plus
+    * (`keep_frac` double, `keep` boolean); callers filter on `keep` (kept
+    * rows stay a deterministic superset-annotated frame so mixtures can
+    * audit realized fractions).
     */
   def rebalance(
       df: DataFrame,
