@@ -415,6 +415,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CURATION v3 (round 7, composed): the continuation-session operators
+    // chained the way a real pipeline runs them — Gopher rule battery
+    // (minWords=40 so the 30-99-token corpus splits both ways) -> target-mix
+    // rebalance of the SURVIVORS to a uniform language mix (per-domain counts
+    // over the filtered corpus; bounded collect) -> deterministic 90/5/5
+    // split assignment, all decisions salted independently (17 / 23).
+    "q_curation_v3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val kept = docs.join(
+        graft.operators.Quality.gopherQuality(docs, "text", "doc_id", minWords = 40)
+          .where(col("keep")).select("doc_id"),
+        "doc_id")
+      val balanced = graft.operators.Sampling.rebalance(kept, "doc_id", "lang",
+        Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+        salt = 17L).where(col("keep"))
+      graft.operators.Sampling.splitAssign(balanced, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = 23L)
+        .select(col("doc_id"), col("lang"), col("split"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // TRAINING-MIX builder (round 5, composed, ONE plan): exact-dedup keeper
     // -> INTEGER quality score (2*n_alpha + 10*n_stop - n_punct, exact column
     // exprs) -> per-source top-5 via the custom bounded TopKPairs aggregate
@@ -1842,6 +1864,46 @@ object SparkEntry {
         "sc AS (SELECT doc_id, tf.word, tf, idf_bits, tf * idf_bits AS score FROM tf JOIN idf USING (word)), " +
         "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS INT) AS rank FROM sc) " +
         "SELECT doc_id, rank, word, tf, idf_bits, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    // curation-v3 twin: the gopher rule chain at minWords=40, survivor-only
+    // language counts -> least(1, 0.2·N/c) fractions, the salt-17 keep and
+    // salt-23 split hashes (cut points round(0.9·2^32)=3865470566 and
+    // round(0.95·2^32)=4080218931), token counts on what survives
+    "q_curation_v3" ->
+      ("WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_aggregate(list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS BIGINT) AS n_chars, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words, " +
+        "array_to_string(w, ' ') AS joined, " +
+        "CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop FROM t), " +
+        "g AS (SELECT doc_id, n_words, " +
+        "CASE WHEN n_words > 0 THEN n_chars * 1000 // n_words ELSE 0 END AS mlm, " +
+        "n_alpha_words, " +
+        "CAST(length(joined) - length(regexp_replace(joined, '#|…', '', 'g')) + " +
+        "(length(joined) - length(regexp_replace(joined, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS n_symbols, " +
+        "n_stop FROM b), " +
+        "k AS (SELECT doc_id FROM g WHERE n_words >= 40 AND n_words <= 100000 " +
+        "AND mlm >= 3000 AND mlm <= 10000 AND n_alpha_words * 5 >= n_words * 4 " +
+        "AND n_symbols * 10 <= n_words AND n_stop >= 2), " +
+        "kd AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN k USING (doc_id)), " +
+        "cc AS (SELECT lang, count(*) AS c FROM kd GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cc), " +
+        "f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), " +
+        "CAST(0.2 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) AS frac FROM cc, tot), " +
+        "h1 AS (SELECT kd.*, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 17) % 2147483648 AS s0 FROM kd), " +
+        "h2 AS (SELECT *, (s0 * 2654435761) % 4294967296 AS ha FROM h1), " +
+        "h3 AS (SELECT *, xor(ha, ha >> 16) AS m1 FROM h2), " +
+        "h4 AS (SELECT doc_id, text, lang, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM h3), " +
+        "bal AS (SELECT h4.doc_id, h4.text, h4.lang FROM h4 JOIN f USING (lang) " +
+        "WHERE hv < round(f.frac * 4294967296.0)), " +
+        "s1 AS (SELECT *, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 23) % 2147483648 AS s0 FROM bal), " +
+        "s2 AS (SELECT *, (s0 * 2654435761) % 4294967296 AS ha FROM s1), " +
+        "s3 AS (SELECT *, xor(ha, ha >> 16) AS m1 FROM s2), " +
+        "s4 AS (SELECT doc_id, text, lang, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM s3) " +
+        "SELECT doc_id, lang, CASE WHEN hv < 3865470566 THEN 'train' " +
+        "WHEN hv < 4080218931 THEN 'val' ELSE 'test' END AS split, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens " +
+        "FROM s4 ORDER BY doc_id"),
     // bpe twin: distinct-word frequencies, 1-based substr pairs over words of
     // length >= 2, weighted sums, the same (count desc, lhs, rhs) rank rule
     // and top-32 cut
