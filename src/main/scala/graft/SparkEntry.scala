@@ -628,6 +628,17 @@ object SparkEntry {
       graft.operators.Quality.gopherRepetition(planted, "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // Maximal duplicated runs (Lee et al. exact-substring dedup, segment-
+    // quantized): doubled docs duplicate every FULL segment of their
+    // original, so each original emits one run covering its full-segment
+    // prefix; the ~150 naturally repeated sf segments add shorter runs.
+    "q_duplicate_runs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.select(col("doc_id") + 10000,
+        concat(col("text"), lit(" "), col("text")).as("text")))
+      graft.operators.Dedup.duplicateRuns(planted, "text", "doc_id", segTokens = 8)
+        .orderBy("doc_id", "run_start_seg")
+    }),
     // Winnowing (MOSS) cross-doc overlap — the byte-level fourth near-dup
     // family: shared window-min fingerprints, containment |A∩B|/min(|A|,|B|).
     // Doubled docs (+10000 ids) contain every fingerprint of their single
@@ -1749,6 +1760,24 @@ object SparkEntry {
         "coalesce(t3.top3_chars, 0) AS top3_chars, coalesce(d5.dup5_chars, 0) AS dup5_chars " +
         "FROM d0 JOIN nch USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) " +
         "LEFT JOIN d5 USING (doc_id) ORDER BY d0.doc_id"),
+    // duplicate-runs twin: same 8-token segmentation, distinct-doc counts,
+    // islands via seg_idx - row_number, per-run token sums
+    "q_duplicate_runs" ->
+      ("WITH d0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text || ' ' || text FROM documents), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w " +
+        "FROM d0 WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT doc_id, w, len(w) AS n, (len(w) + 7) // 8 AS k FROM t), " +
+        "seg AS (SELECT doc_id, CAST(i AS INT) AS seg_idx, " +
+        "array_to_string(list_slice(w, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ') AS seg_text, " +
+        "CAST(least(n - i*8, 8) AS INT) AS seg_len FROM c, unnest(range(k)) u(i)), " +
+        "dup AS (SELECT seg_text FROM (SELECT seg_text, doc_id FROM seg GROUP BY 1, 2) " +
+        "GROUP BY seg_text HAVING count(*) >= 2), " +
+        "m AS (SELECT seg.* FROM seg JOIN dup USING (seg_text)), " +
+        "r AS (SELECT *, seg_idx - row_number() OVER (PARTITION BY doc_id ORDER BY seg_idx) AS grp FROM m) " +
+        "SELECT doc_id, CAST(min(seg_idx) AS INT) AS run_start_seg, " +
+        "CAST(count(*) AS INT) AS run_len_segs, CAST(sum(seg_len) AS BIGINT) AS run_tokens " +
+        "FROM r GROUP BY doc_id, grp ORDER BY doc_id, run_start_seg"),
     // winnowing twin: the full MOSS pipeline replayed — k=8 poly hashes at
     // every position (the q_fingerprint recipe, but positions kept), splitmix
     // mix, per-w=4-window min (full windows only: i <= n-10), DISTINCT

@@ -755,14 +755,7 @@ object Dedup {
   ): DataFrame = {
     require(segTokens > 0, s"segTokens $segTokens must be positive")
     require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would delete every segment)")
-    val words = split(trim(col(textCol)), "\\s+")
-    val nSegs = floor((size(words) + lit(segTokens - 1)).cast("double") / lit(segTokens.toDouble)).cast("int")
-    val seg = df
-      .where(length(trim(col(textCol))) > 0)
-      .select(col(idCol), words.as("w"), nSegs.as("k"))
-      .select(col(idCol), posexplode(sequence(lit(0), col("k") - 1)).as(Seq("seg_idx", "_c")), col("w"))
-      .select(col(idCol), col("seg_idx"),
-        array_join(slice(col("w"), col("seg_idx") * segTokens + 1, lit(segTokens)), " ").as("seg_text"))
+    val seg = segmentize(df, textCol, idCol, segTokens)
     // distinct-doc counting without countDistinct's two-shuffle expansion on
     // the exploded table: first collapse to one (seg_text, doc) row carrying
     // the doc's MIN position (map-side combined), then one aggregate yields
@@ -795,5 +788,70 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_segments"), lit(0)).as("n_segments"),
         coalesce(col("n_removed"), lit(0)).as("n_removed"))
+  }
+
+  /** Fixed-width token segmentation shared by [[dedupSegments]] and
+    * [[duplicateRuns]]: (id, seg_idx, seg_text, seg_len) — a NARROW explode
+    * (in-row slicing), the last segment carries the remainder tokens.
+    */
+  private def segmentize(
+      df: DataFrame, textCol: String, idCol: String, segTokens: Int
+  ): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nSegs = floor((size(words) + lit(segTokens - 1)).cast("double") / lit(segTokens.toDouble)).cast("int")
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), words.as("w"), nSegs.as("k"))
+      .select(col(idCol), posexplode(sequence(lit(0), col("k") - 1)).as(Seq("seg_idx", "_c")), col("w"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(slice(col("w"), col("seg_idx") * segTokens + 1, lit(segTokens)), " ").as("seg_text"),
+        least(size(col("w")) - col("seg_idx") * segTokens, lit(segTokens)).cast("int").as("seg_len"))
+  }
+
+  /** MAXIMAL DUPLICATED-RUN detection — the segment-quantized form of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): segment each document into fixed
+    * `segTokens`-token windows, mark a segment DUPLICATED when its text
+    * occurs in >= `minDocs` distinct documents, then merge each document's
+    * CONSECUTIVE duplicated segments into maximal runs. Output one row per
+    * run: (id, run_start_seg, run_len_segs, run_tokens). Quantization
+    * contract: any duplicated substring of >= 2·segTokens tokens must cover
+    * at least one full segment, so runs under-report by at most segTokens-1
+    * tokens per side — the price of never building a distributed suffix
+    * array.
+    *
+    * Scale shape: narrow in-row segmentation, (seg_text, doc) collapse then
+    * per-segment distinct-doc count (both map-side combined — a boilerplate
+    * segment in 10^9 docs never gathers rows), LEFT-SEMI join back (no
+    * payload moves for unique segments), and the islands merge is a per-doc
+    * window — partitions bounded by a document's own segment count, never
+    * corpus-wide.
+    */
+  def duplicateRuns(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(segTokens > 0, s"segTokens $segTokens must be positive")
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would mark every segment)")
+    val seg = segmentize(df, textCol, idCol, segTokens)
+    val dup = seg.groupBy(col("seg_text"), col(idCol)).agg(count(lit(1)).as("_n"))
+      .groupBy(col("seg_text")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("seg_text")
+    val marked = seg.join(dup, Seq("seg_text"), "left_semi")
+    // islands: consecutive seg_idx values share (seg_idx - row_number) —
+    // each doc's window is bounded by its own segment count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("seg_idx"))
+    marked
+      .withColumn("grp", col("seg_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(
+        min(col("seg_idx")).as("run_start_seg"),
+        count(lit(1)).cast("int").as("run_len_segs"),
+        sum(col("seg_len")).cast("long").as("run_tokens"))
+      .select(col(idCol), col("run_start_seg"), col("run_len_segs"), col("run_tokens"))
   }
 }

@@ -291,6 +291,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(obs.get("truncated_buckets").asInstanceOf[Long] > 0, "truncation must be reported")
   }
 
+  test("duplicateRuns: hand-built runs merge as islands; unique segments emit nothing") {
+    import spark.implicits._
+    // segTokens = 2. doc1: segments [a b][c d][e f][g h][zz qq]
+    //               doc2: segments [a b][c d][x y][g h][e f]
+    // duplicated seg texts: "a b", "c d", "g h", "e f"
+    // doc1 islands: segs 0,1,2,3 -> ONE run (start 0, len 4, tokens 8)
+    // doc2 islands: segs 0,1 and 3,4 -> runs (0,2,4) and (3,2,4)
+    val docs = Seq(
+      (1L, "a b c d e f g h zz qq"),
+      (2L, "a b c d x y g h e f"),
+      (3L, "only unique words here nine more pad tail")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateRuns(docs, "text", "doc_id", segTokens = 2)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((1L, 0, 4, 8L), (2L, 0, 2, 4L), (2L, 3, 2, 4L)), s"got $out")
+    // remainder tokens counted exactly: two docs sharing a 3-token text at
+    // width 2 -> one run of 2 segments, 3 tokens
+    val rem = Dedup.duplicateRuns(
+      Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text"), "text", "doc_id", segTokens = 2)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(rem == Set((1L, 0, 2, 3L), (2L, 0, 2, 3L)), s"got $rem")
+    // within-doc repetition alone is NOT a cross-doc duplicate (minDocs counts
+    // DISTINCT docs)
+    val self = Dedup.duplicateRuns(
+      Seq((1L, "r s r s"), (2L, "t u v w")).toDF("doc_id", "text"), "text", "doc_id", segTokens = 2)
+    assert(self.count() == 0)
+  }
+
   test("winnowProbe: planted containment found from the index alone; screen is slice-stable") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
