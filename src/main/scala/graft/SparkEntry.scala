@@ -703,6 +703,13 @@ object SparkEntry {
       graft.operators.Quality.bpePairStats(t(s, dir, "documents"), "text", topN = 32)
         .orderBy("merge_rank")
     }),
+    // Bigram surprisal with unigram backoff — the next LM rung above
+    // q_surprisal, all-integer (bigram cost = bitlen(c(prev) DIV c(prev,w)),
+    // backoff = unigram bits + 1 penalty, first tokens penalty-free).
+    "q_bigram_surprisal" -> ((s, dir) => {
+      graft.operators.Quality.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity bucketing composed from verified pieces:
     // surprisal -> integer milli-bits/token -> exact corpus terciles (the
     // histogram rank rule) -> head/middle/tail label -> deterministic
@@ -788,6 +795,15 @@ object SparkEntry {
       tagOracle(dir)
       Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8,
           centroidsOut = Some(KmeansCentroidsPath))
+        .orderBy("vec_id")
+    }),
+    // Embedding outlier scores: cosine to the OWN k-means centroid,
+    // micro-quantized (the q_vector_ops recipe) — the drop-before-indexing
+    // signal for corrupt/OOD embeddings.
+    "q_kmeans_outliers" -> ((s, dir) => {
+      tagOracle(dir)
+      Similarity.kmeansOutliers(t(s, dir, "embeddings"), k = 8,
+          centroidsOut = Some(KmeansOutlierCentroidsPath))
         .orderBy("vec_id")
     }),
     // Streaming k-means: vectors arrive as a stream and classify under the
@@ -1455,6 +1471,9 @@ object SparkEntry {
     */
   def KmeansStreamCentroidsPath: String = s"$oracleRoot/kmeans_stream_centroids"
 
+  /** q_kmeans_outliers' own centroid dump (same no-ordering-assumption rule). */
+  def KmeansOutlierCentroidsPath: String = s"$oracleRoot/kmeans_outlier_centroids"
+
   /** DuckDB oracles — every query is value-checked, including q_ann_ivf:
     * the IVF probe is approximate BY DESIGN (coarse-quantized ANN), but its
     * ranking stage is exact over the deterministic probed-candidate universe,
@@ -1731,6 +1750,28 @@ object SparkEntry {
         "g AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(tb) AS BIGINT) AS surprisal_bits FROM sc GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
         "coalesce(g.n_oov, 0) AS n_oov, coalesce(g.surprisal_bits, 0) AS surprisal_bits " +
+        "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // bigram-surprisal twin: positional unnest, lag window pairs, integer
+    // conditional bits bin(c(prev) // c(prev,w)), unigram backoff + 1
+    "q_bigram_surprisal" ->
+      ("WITH tok AS (SELECT doc_id, i AS pos, arr[CAST(i AS INT)] AS word FROM " +
+        "(SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS arr " +
+        "FROM documents) t, unnest(range(1, len(arr) + 1)) u(i)), " +
+        "uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY word), " +
+        "tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni), " +
+        "p AS (SELECT doc_id, pos, word, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok), " +
+        "bi AS (SELECT prev, word, count(*) AS cb FROM p WHERE prev IS NOT NULL GROUP BY prev, word), " +
+        "s AS (SELECT p.doc_id, " +
+        "CASE WHEN p.prev IS NULL THEN length(bin(n // u.cu)) " +
+        "WHEN b.cb IS NOT NULL THEN length(bin(up.cu // b.cb)) " +
+        "ELSE length(bin(n // u.cu)) + 1 END AS tb, " +
+        "CASE WHEN b.cb IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        "FROM p JOIN uni u USING (word) LEFT JOIN uni up ON up.word = p.prev " +
+        "LEFT JOIN bi b ON b.prev = p.prev AND b.word = p.word, tot), " +
+        "g AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(hit) AS BIGINT) AS n_bigram_hits, " +
+        "CAST(sum(tb) AS BIGINT) AS surprisal_bits FROM s GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "coalesce(g.n_bigram_hits, 0) AS n_bigram_hits, coalesce(g.surprisal_bits, 0) AS surprisal_bits " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
     // gopher twin: identical gram builds (space-joined slices), per-doc
     // counts, top pick replayed as row_number over (c DESC, gram ASC),
@@ -2224,6 +2265,15 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN c) " +
         "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM " +
         "(SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn FROM s) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
+    // outlier twin: rank-1 centroid + floor(sim·10^6) over the same dump
+    "q_kmeans_outliers" ->
+      (s"WITH c AS (SELECT cluster, centroid FROM read_parquet('$KmeansOutlierCentroidsPath/*.parquet')), " +
+        "s AS (SELECT e.vec_id, c.cluster, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS sim " +
+        "FROM embeddings e CROSS JOIN c) " +
+        "SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro FROM " +
+        "(SELECT vec_id, cluster, sim, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn FROM s) " +
         "WHERE rn = 1 ORDER BY vec_id"),
     // streaming kmeans twin: same replay over the stream query's own dump
     "q_stream_kmeans" ->

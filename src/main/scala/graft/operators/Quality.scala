@@ -280,6 +280,75 @@ object Quality {
       .select(col(idCol), col("n_tokens"), col("bpt_milli"), col("bucket"), col("keep"))
   }
 
+  /** BIGRAM surprisal with unigram backoff — the next rung of the
+    * corpus-as-its-own-LM quality ladder above [[unigramSurprisal]], still
+    * ALL-INTEGER so any engine reproduces it bit-for-bit:
+    *
+    *   - token i > 0 whose bigram (w[i-1], w[i]) the corpus has seen costs
+    *     `bitlen(c(w[i-1]) DIV c(w[i-1], w[i]))` bits — the integer form of
+    *     -log2 P(w[i] | w[i-1]);
+    *   - a first token, or an UNSEEN bigram, BACKS OFF to the unigram cost
+    *     `bitlen(N DIV c(w[i]))` plus a 1-bit backoff penalty for the miss
+    *     (first tokens pay no penalty — there is no context to miss);
+    *   - every token of the corpus is in the unigram table by construction
+    *     (the corpus is its own model — no OOV branch).
+    *
+    * Output: (idCol, n_tokens, n_bigram_hits, surprisal_bits). Repetitive
+    * documents score LOW (their bigrams repeat), incoherent shuffles score
+    * HIGH — the signal Gopher/CCNet threshold on.
+    *
+    * Scale shape: one map-side-combined shuffle each for unigram and bigram
+    * counts, N as a 1-row bounded collect inlined as a literal (no BNLJ
+    * scalar attach), pair construction is a per-doc lag WINDOW (bounded by
+    * the document's own token count), then two key joins (Spark broadcasts
+    * when the tables fit) and a per-doc rollup.
+    */
+  def bigramSurprisal(
+      df: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val toks = df
+      .select(col(idCol), posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("cu"))
+    val nTotal: Long = {
+      val r = uni.agg(sum(col("cu"))).collect()(0) // 1 row by construction
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val paired = toks.withColumn("prev", lag(col("word"), 1).over(w))
+    val bi = paired.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("word")).agg(count(lit(1)).as("cb"))
+    val ctx = uni.select(col("word").as("prev"), col("cu").as("cp"))
+    val uniBits = length(bin(expr(s"CAST($nTotal AS BIGINT) DIV cu"))).cast("long")
+    val scored = paired
+      .join(uni, Seq("word"))
+      .join(ctx, Seq("prev"), "left")
+      .join(bi, Seq("prev", "word"), "left")
+      .select(
+        col(idCol),
+        when(col("prev").isNull, uniBits)                        // first token
+          .when(col("cb").isNotNull,
+            length(bin(expr("cp DIV cb"))).cast("long"))         // seen bigram
+          .otherwise(uniBits + lit(1L))                          // backoff + penalty
+          .as("tok_bits"),
+        when(col("cb").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("hit")).as("n_bigram_hits"),
+        sum(col("tok_bits")).as("surprisal_bits"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bigram_hits"), lit(0L)).as("n_bigram_hits"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"))
+  }
+
   // --- Gopher quality-rule battery (Rae et al. 2021, §A1.1) ---------------------
 
   /** The Gopher REPETITION-FREE quality rules as one codegen'd pass: per-doc

@@ -287,6 +287,47 @@ object Similarity {
     assignCells(embeddings, centroids, spill = 1, idCol, vecCol)
       .select(col("id").as(idCol), col("cell").as("cluster"))
 
+  /** EMBEDDING OUTLIER SCORE: assign each vector to its k-means cluster and
+    * report the cosine to its OWN centroid, micro-quantized (floor(sim·10^6)
+    * — the q_vector_ops cross-engine recipe: raw doubles are hash-unstable,
+    * quanta pin six digits). Low sim = far from every topic = the corrupt /
+    * out-of-distribution embeddings a curation pass drops before indexing.
+    * Same deterministic training + (cosine desc, cluster asc) tie rule as
+    * [[kmeansAssign]]; same shuffle-free broadcast-argmax scale shape.
+    */
+  def kmeansOutliers(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidsOut: Option[String] = None
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, k, idCol = idCol, vecCol = vecCol)
+    centroidsOut.foreach { path =>
+      centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosine(cs(c), v)
+          if (s > bestSim) { bestSim = s; best = c } // strict >: ties keep lowest id
+          c += 1
+        }
+        (id, best, math.floor(bestSim * 1000000.0).toLong)
+      }
+      .toDF(idCol, "cluster", "sim_micro")
+  }
+
   /** Build the IVF index: assign each vector to its top-`spill` max-cosine cells
     * (narrow map; spilled/redundant assignment a la ScaNN's SOAR — recall
     * insurance when a neighbor sits near a Voronoi boundary, at `spill`x storage)

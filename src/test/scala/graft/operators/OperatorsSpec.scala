@@ -383,6 +383,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2 == out, "assignment changed under repartition")
   }
 
+  test("kmeansOutliers: clusters agree with kmeansAssign; a planted off-manifold vector scores lowest") {
+    import spark.implicits._
+    val dirs = Array(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 90L).map { i =>
+      (i, dirs((i / 30L).toInt).map(x => x + rnd.nextFloat() * 0.5f))
+    } :+ ((99L, Array(1f, 1f, 1f, 5f))) // off every planted direction
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansOutliers(df, k = 3)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val assign = Similarity.kmeansAssign(df, k = 3).as[(Long, Int)].collect().toMap
+    out.foreach { case (id, (c, _)) => assert(assign(id) == c, s"cluster mismatch at $id") }
+    val outlierSim = out(99L)._2
+    assert(vecs.dropRight(1).forall { case (id, _) => out(id)._2 > outlierSim },
+      s"planted outlier must have the lowest sim_micro ($outlierSim)")
+    // quantized sims are near-unit for on-manifold members
+    assert(out(0L)._2 > 990000L, s"on-manifold sim_micro ${out(0L)._2}")
+  }
+
   test("near-dup bucket caps are observable, never silent (degenerate all-identical corpus)") {
     import spark.implicits._
     val n = 200

@@ -237,6 +237,43 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramSurprisal matches an independent re-derivation; repetition scores lower") {
+    import spark.implicits._
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // same multiset of tokens in both docs: one repetitive, one scrambled
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "sat the cat cat the sat cat sat the"),
+      (3L, "lonely words appear once each here"),
+      (4L, "   "))
+    val all = docs.flatMap { case (_, t) => toks(t) }
+    val cu = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    val cb = docs.flatMap { case (_, t) => toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = docs.map { case (id, t) =>
+      val ws = toks(t)
+      var bits = 0L; var hits = 0L
+      ws.zipWithIndex.foreach { case (w0, i) =>
+        if (i == 0) bits += bitlen(n / cu(w0))
+        else cb.get((ws(i - 1), w0)) match {
+          case Some(c) => bits += bitlen(cu(ws(i - 1)) / c); hits += 1
+          case None    => bits += bitlen(n / cu(w0)) + 1
+        }
+      }
+      id -> ((ws.size.toLong, hits, bits))
+    }.toMap
+    val got = Quality.bigramSurprisal(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want, s"\n got=$got\nwant=$want")
+    assert(got(4L) == ((0L, 0L, 0L)), "empty doc must report zeros")
+    // the repetitive doc's bigrams all repeat -> fewer bits than the scramble
+    assert(got(1L)._3 < got(2L)._3,
+      s"repetition must score lower: ${got(1L)._3} vs ${got(2L)._3}")
+  }
+
   test("gopherQuality: each rule flips on its hand-built boundary document") {
     import spark.implicits._
     val good = (Seq("the", "with") ++ (1 to 48).map(i => "word" + (i % 9))).mkString(" ")
