@@ -673,10 +673,18 @@ object SparkEntry {
     // top-16 vocab (id = rank in the total (count desc, word asc) order,
     // OOV = one past the vocab) — vocabSize 16 so the sf corpus's ~30-word
     // vocabulary actually produces OOV ids; the lookup is a literal-map
-    // expression, join-free and explode-free on the corpus side.
+    // expression, join-free and explode-free on the corpus side. The dump
+    // projects the id array to a space-joined STRING (house rule: no ARRAY
+    // columns in driver dumps — the driver's pandas compare can't sort/hash
+    // them); same value coverage, any rank/OOV/sequence defect still breaks
+    // the hash.
     "q_tokenize_vocab" -> ((s, dir) => {
       graft.operators.Quality.tokenizeWithVocab(
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 16)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .as("token_ids_s"),
+          col("n_tokens"), col("n_oov"))
         .orderBy("doc_id")
     }),
     // Gopher §A1.1 quality-rule battery — integer metrics + per-rule booleans
@@ -785,7 +793,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       tagOracle(dir)
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5,
-          candidatesOut = Some(IvfCandidatesPath))
+          candidatesOut = dumpPath(IvfCandidatesPath))
         .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
     }),
     // K-means topic clustering: deterministic Lloyd centroids (dumped for the
@@ -794,7 +802,7 @@ object SparkEntry {
     "q_kmeans_topics" -> ((s, dir) => {
       tagOracle(dir)
       Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8,
-          centroidsOut = Some(KmeansCentroidsPath))
+          centroidsOut = dumpPath(KmeansCentroidsPath))
         .orderBy("vec_id")
     }),
     // Embedding outlier scores: cosine to the OWN k-means centroid,
@@ -803,7 +811,7 @@ object SparkEntry {
     "q_kmeans_outliers" -> ((s, dir) => {
       tagOracle(dir)
       Similarity.kmeansOutliers(t(s, dir, "embeddings"), k = 8,
-          centroidsOut = Some(KmeansOutlierCentroidsPath))
+          centroidsOut = dumpPath(KmeansOutlierCentroidsPath))
         .orderBy("vec_id")
     }),
     // Streaming k-means: vectors arrive as a stream and classify under the
@@ -818,9 +826,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
       emb.coalesce(1).write.mode("overwrite").parquet(tmp)
       val centroids = Similarity.trainCentroids(emb, 8)
-      centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
-        .toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(KmeansStreamCentroidsPath)
+      if (oracleDumpsEnabled)
+        centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+          .toDF("cluster", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(KmeansStreamCentroidsPath)
       val stream = s.readStream
         .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
         .parquet(tmp)
@@ -1414,8 +1423,9 @@ object SparkEntry {
       tagOracle(dir) // dump is input-independent, but it must live under the
       // same per-dir root the rendered oracle SQL will point at
       val gen = SynthGen.generate(s, nConvs = 120, turnsPerConv = 5, longConvs = 2, longTurns = 300)
-      gen.toDF().select(col("conv_id"), col("turn_idx"), col("tool"), col("expected_text"))
-        .coalesce(1).write.mode("overwrite").parquet(PipelineExpectedPath)
+      if (oracleDumpsEnabled) // expectation dump feeds only the DuckDB twin
+        gen.toDF().select(col("conv_id"), col("turn_idx"), col("tool"), col("expected_text"))
+          .coalesce(1).write.mode("overwrite").parquet(PipelineExpectedPath)
       val extracted = ExtractJob.extract(SynthGen.turns(gen), partitions = 8)
       extracted.toDF()
         .select(col("conv_id"), col("turn_idx"), col("payload_kind"),
@@ -1435,6 +1445,16 @@ object SparkEntry {
     * the queries, and each process runs all queries against a single dir, so
     * the rendered SQL always points at the dumps that process just wrote.
     */
+  /** Oracle side-dumps (IVF candidate universe, k-means centroids) are
+    * dev/verification artifacts: the ivfProbe contract says production probes
+    * leave them None. Only the Verify/VerifyOne entrypoints flip this on, so
+    * Bench times the PRODUCTION plan — not an extra pass plus single-task
+    * parquet I/O per invocation (ADVICE r7).
+    */
+  @volatile private[graft] var oracleDumpsEnabled = false
+  private def dumpPath(p: => String): Option[String] =
+    if (oracleDumpsEnabled) Some(p) else None
+
   @volatile private var oracleTag: String = "default"
   private def tagOracle(dir: String): Unit =
     oracleTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_") match {
@@ -1892,9 +1912,10 @@ object SparkEntry {
         "(SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS arr " +
         "FROM documents) t, unnest(range(1, len(arr) + 1)) AS u(i)), " +
         "j AS (SELECT tok.doc_id, tok.ord, coalesce(v.tid, (SELECT vsz FROM vs)) AS tid FROM tok LEFT JOIN v USING (word)), " +
-        "g AS (SELECT doc_id, array_agg(tid ORDER BY ord) AS token_ids, CAST(count(*) AS INT) AS n_tokens, " +
+        "g AS (SELECT doc_id, array_to_string(array_agg(CAST(tid AS VARCHAR) ORDER BY ord), ' ') AS token_ids_s, " +
+        "CAST(count(*) AS INT) AS n_tokens, " +
         "CAST(sum(CASE WHEN tid = (SELECT vsz FROM vs) THEN 1 ELSE 0 END) AS INT) AS n_oov FROM j GROUP BY doc_id) " +
-        "SELECT d.doc_id, coalesce(g.token_ids, CAST([] AS INT[])) AS token_ids, " +
+        "SELECT d.doc_id, coalesce(g.token_ids_s, '') AS token_ids_s, " +
         "coalesce(g.n_tokens, 0) AS n_tokens, coalesce(g.n_oov, 0) AS n_oov " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
     // gopher-quality twin: identical integer rule arithmetic (milli mean via

@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle side-dumps (IVF candidates, k-means centroids, pipeline
+    // expectations) exist for THIS entrypoint's DuckDB compare; production
+    // plans — and therefore Bench — leave them off (ADVICE r7)
+    SparkEntry.oracleDumpsEnabled = true
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -561,6 +561,30 @@ object TextAssembly {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Astral-plane (U+10000..U+10FFFF) escape bitmap, generated the same way
+    * as the BMP tables (tools/refbuild/astralgen — `format!("{:?}")` over
+    * every astral codepoint; char and str Debug verified identical there by
+    * the generator's assert, no quote chars exist astral). Bit set = escape
+    * as `\u{x}`, clear = raw. Needed because a PAIRED surrogate in a Java
+    * String is a valid astral char Rust's str CAN hold (a 4-byte UTF-8 name
+    * reaching PdfFont via the Utf8.strict bare-token coercion) — the
+    * reference Debug-prints it, so only LONE surrogates may fail (ADVICE r7).
+    */
+  private lazy val rustEscapeAstral: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/rust_escape_debug_astral.bin")
+    require(in != null, "rust_escape_debug_astral.bin resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Rust Debug body for one astral codepoint (char and str Debug agree on
+    * every astral cp — generator-asserted).
+    */
+  private def astralDebugBody(cp: Int): String = {
+    val off = cp - 0x10000
+    if (((rustEscapeAstral(off >> 3) >> (off & 7)) & 1) == 1) f"\\u{$cp%x}"
+    else new String(Character.toChars(cp))
+  }
+
   def rustStrDebug(s: String): String = {
     val sb = new StringBuilder(s.length + 2)
     sb.append('"')
@@ -574,10 +598,17 @@ object TextAssembly {
         case '\n'     => sb.append("\\n")
         case '\\'    => sb.append("\\\\")
         case '"'       => sb.append("\\\"")
-        // same surrogate guard as rustCharDebug: Rust str cannot hold one,
-        // the bitmap bits are undefined there — fail instead of guessing
+        // a VALID surrogate pair is a real astral char (Rust str holds it;
+        // escape_debug keeps printable astral raw) — render via the astral
+        // ground-truth bitmap; only a LONE surrogate is unrepresentable in
+        // Rust and fails (it cannot round-trip through UTF-8 to the
+        // reference at all). ADVICE r7.
+        case c if Character.isHighSurrogate(c)
+            && i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)) =>
+          sb.append(astralDebugBody(Character.toCodePoint(c, s.charAt(i + 1))))
+          i += 1
         case c if c >= '\ud800' && c <= '\udfff' =>
-          Err.fail(f"surrogate code unit U+${c.toInt}%04X has no Rust str Debug form")
+          Err.fail(f"lone surrogate code unit U+${c.toInt}%04X has no Rust str Debug form")
         case c if ((rustEscapeStrBmp(c >> 3) >> (c & 7)) & 1) == 1 =>
           sb.append(f"\\u{${c.toInt}%x}")
         case c => sb.append(c)

@@ -213,13 +213,45 @@ object Dedup {
     * bucketed by (band, bkey) so probe-time grouping is shuffle-free), and
     * screen each new crawl slice with [[minhashProbe]] without ever
     * re-reading corpus text. Parameters must match the probe's exactly.
+    *
+    * `maxBucket` (ADVICE r7): caps each (band, bkey) bucket AT BUILD TIME to
+    * the first `maxBucket` ids in sorted order, with truncation observable
+    * (`truncated_buckets`/`buckets`, the batch probe's convention). The
+    * STREAMING probe ([[graft.streaming.StreamingExtract.probeStream]]) is a
+    * stateless stream-static join that cannot re-aggregate the index per
+    * micro-batch, so a hot band key would otherwise multiply candidates per
+    * stream row unboundedly — and batch/stream would silently diverge once
+    * the batch probe's own probe-time cap kicked in. Build the index capped
+    * and BOTH probes see the same bounded buckets. None (default) keeps the
+    * uncapped index for batch-only use, where [[minhashProbe]] caps at probe
+    * time.
     */
   def minhashIndex(
       df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, nPerm: Int = 128, bands: Int = 32
-  ): DataFrame =
-    bandKeys(df, textCol, idCol, shingleK, nPerm, bands)
+      shingleK: Int = 3, nPerm: Int = 128, bands: Int = 32,
+      maxBucket: Option[Int] = None,
+      obs: Option[Observation] = None
+  ): DataFrame = {
+    val rows = bandKeys(df, textCol, idCol, shingleK, nPerm, bands)
       .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
+    maxBucket match {
+      case None => rows
+      case Some(m) =>
+        require(m > 0, s"maxBucket=$m must be positive")
+        val buckets0 = rows.groupBy(col("band"), col("bkey"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .withColumn("truncated", size(col("ids")) > m)
+          .withColumn("ids", slice(col("ids"), 1, m))
+        val truncExprs = Seq(
+          sum(when(col("truncated"), 1L).otherwise(0L)).as("truncated_buckets"),
+          count(lit(1)).as("buckets"))
+        val buckets = obs match {
+          case Some(o) => buckets0.observe(o, truncExprs.head, truncExprs.tail: _*)
+          case None    => buckets0.observe("graft.dedup.minhash_index", truncExprs.head, truncExprs.tail: _*)
+        }
+        buckets.select(explode(col("ids")).as("id"), col("band"), col("bkey"))
+    }
+  }
 
   /** Screen NEW documents against an existing [[minhashIndex]] — the nightly
     * crawl shape: the corpus is fingerprinted once; each incoming slice is
@@ -391,6 +423,16 @@ object Dedup {
     * of the index scan before anything shuffles; the rare filter bounds every
     * fp bucket at maxDf corpus docs by construction, so the candidate join
     * fans out <= maxDf corpus ids per new fp.
+    *
+    * `maxStopFps` (VERDICT r7 #6) bounds the stop-fp join input BY CONTRACT,
+    * not just in practice: one cheap up-front guard job counts stop fps
+    * (`limit(max+1).count()` — the enrichStream/decontaminate pattern, the
+    * check itself bounded however hot the corpus), failing loudly when the
+    * corpus is so boilerplate-heavy that `maxDf` marks more than `maxStopFps`
+    * fingerprints hot (raise maxDf, pre-strip boilerplate, or raise the cap
+    * explicitly — a stop set that big means the rare-fp containment signal
+    * is mostly gone anyway). With the bound contractual, the anti joins take
+    * an explicit broadcast hint instead of hoping AQE sizes it right.
     */
   def winnowProbe(
       newDocs: DataFrame,
@@ -401,10 +443,22 @@ object Dedup {
       w: Int = 4,
       maxDf: Int = 50,
       minOverlap: Double = 0.9,
-      obs: Option[Observation] = None
+      obs: Option[Observation] = None,
+      maxStopFps: Int = 5000000
   ): DataFrame = {
+    require(maxStopFps > 0 && maxStopFps <= 50000000,
+      s"maxStopFps=$maxStopFps out of range (1..50000000 — 8 B/fp broadcast)")
     val newFps = winnowIndex(newDocs, textCol, idCol)
       .select(col("id").as("id_new"), col("fp"))
+    // guard job: UNOBSERVED twin of the stop aggregation (an Observation must
+    // see exactly one action — the main job below keeps it), bounded by the
+    // limit however many fps are hot
+    val nStop = corpusIndex.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") > maxDf).limit(maxStopFps + 1).count()
+    require(nStop <= maxStopFps,
+      s"winnowProbe stop-fp set exceeds maxStopFps=$maxStopFps (maxDf=$maxDf marks " +
+        "that much of the corpus hot — raise maxDf, pre-strip boilerplate, or raise " +
+        "maxStopFps explicitly up to 50000000)")
     val dfc0 = corpusIndex.groupBy("fp").agg(count(lit(1)).as("dfreq"))
     val stopExprs = Seq(
       sum(when(col("dfreq") > maxDf, 1L).otherwise(0L)).as("stop_fps"),
@@ -414,13 +468,12 @@ object Dedup {
       case None    => dfc0.observe("graft.dedup.winnow_probe", stopExprs.head, stopExprs.tail: _*)
     }).where(col("dfreq") > maxDf).select("fp")
     // rare on both sides = NOT a corpus stop fp (anti join; unseen fps pass —
-    // df 0 is rare by definition). No broadcast hint: the stop set is small
-    // in practice (the Zipf head) but not bounded by construction — AQE
-    // picks broadcast when it fits. The SLICE's keys below are the
-    // small-by-contract side (same contract as minhashProbe).
+    // df 0 is rare by definition). The stop set is bounded by the contract
+    // guard above, so it broadcasts explicitly. The SLICE's keys below are
+    // the small-by-contract side (same contract as minhashProbe).
     val corpusRare = corpusIndex.select(col("id").as("id_corpus"), col("fp"))
-      .join(stop, Seq("fp"), "left_anti")
-    val newRare = newFps.join(stop, Seq("fp"), "left_anti")
+      .join(broadcast(stop), Seq("fp"), "left_anti")
+    val newRare = newFps.join(broadcast(stop), Seq("fp"), "left_anti")
     val probeKeys = newRare.select("fp").distinct()
     val hits = corpusRare.join(broadcast(probeKeys), Seq("fp"), "left_semi")
     val cntNew = newRare.groupBy("id_new").agg(count(lit(1)).as("nfp_new"))

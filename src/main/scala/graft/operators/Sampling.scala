@@ -138,7 +138,9 @@ object Sampling {
     * the corpus itself, so this composes with any downstream plan. Domains
     * absent from `targets` get share 0 (dropped) — make targets exhaustive
     * or pre-filter; a NULL domain also lands on share 0 (no CASE branch can
-    * equal NULL), keep_frac 0.0, keep false. Returns the input plus
+    * equal NULL), keep_frac 0.0, keep false, and is EXCLUDED from `total`
+    * (rows that can never be kept must not dilute the realized shares of
+    * domains that can). Returns the input plus
     * (`keep_frac` double, `keep` boolean); callers filter on `keep` (kept
     * rows stay a deterministic superset-annotated frame so mixtures can
     * audit realized fractions).
@@ -156,6 +158,11 @@ object Sampling {
     val counts = df.groupBy(col(domainCol).cast("string").as("dom"))
       .agg(count(lit(1)).as("c"))
       .collect() // bounded by construction: one row per domain, loud guard below
+      // the NULL-domain group is dropped here, not sorted: it can never be
+      // kept (the documented share-0/keep-false contract — no CASE branch
+      // equals NULL), and leaving it in would NPE the Ordering[String] sort
+      // below AND inflate `total` with rows that cannot realize any target
+      .filter(r => !r.isNullAt(0))
     require(counts.length <= maxDomains,
       s"rebalance saw ${counts.length} domains (> $maxDomains) — not a domain column?")
     val total = counts.map(_.getLong(1)).sum

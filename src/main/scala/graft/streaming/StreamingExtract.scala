@@ -179,7 +179,10 @@ object StreamingExtract {
     * rate x horizon, never corpus size) -> stream-static id join for the
     * corpus text -> exact shingle-Jaccard verify. A hot index key multiplies
     * candidates per stream row: cap the STORED index's buckets at build time
-    * (the batch probe's maxBucket discipline, applied once, offline).
+    * via `minhashIndex(maxBucket = Some(m))` (ADVICE r7 — the cap now EXISTS
+    * at build, truncation observable), which also keeps batch and stream
+    * probes seeing identical bounded buckets instead of diverging when the
+    * batch probe's probe-time truncation kicks in.
     */
   def probeStream(
       docs: DataFrame,

@@ -16,6 +16,7 @@ object VerifyOne {
     val names = args.drop(2).toSeq
     val spark = graft.Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     new java.io.File(outDir).mkdirs()
+    graft.SparkEntry.oracleDumpsEnabled = true // same contract as Verify
     names.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, dir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$n")

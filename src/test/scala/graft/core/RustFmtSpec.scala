@@ -46,14 +46,41 @@ class RustFmtSpec extends AnyFunSuite {
   }
 
   test("surrogate code units fail loudly in both Debug formatters (ADVICE r6)") {
-    // Rust's char/str cannot hold a surrogate, so the reference fails at the
-    // ingress (char::decode_utf16, cmap.rs:74) — mirrored by CMap.utf16Char.
-    // The formatters' ground-truth bitmaps have no defined bits in
-    // U+D800-DFFF; a hostile value reaching them must throw, never render
-    // generator-dependent garbage.
+    // Rust's char/str cannot hold a LONE surrogate, so the reference fails at
+    // the ingress (char::decode_utf16, cmap.rs:74) — mirrored by
+    // CMap.utf16Char. The formatters' ground-truth bitmaps have no defined
+    // bits in U+D800-DFFF; a hostile lone value reaching them must throw,
+    // never render generator-dependent garbage.
     intercept[PdfParseException] { TextAssembly.rustCharDebug('\ud800') }
     intercept[PdfParseException] { TextAssembly.rustCharDebug('\udfff') }
     intercept[PdfParseException] { TextAssembly.rustStrDebug("x\ud934y") }
+    // lone low, and high-at-end-of-string (no pair possible), still fail
+    intercept[PdfParseException] { TextAssembly.rustStrDebug("x\udc00y") }
+    intercept[PdfParseException] { TextAssembly.rustStrDebug("x\ud83d") }
+  }
+
+  test("rustStrDebug: PAIRED surrogates render as the astral char's Debug form (ADVICE r7)") {
+    // A valid high+low pair in a Java String is a real astral char Rust's str
+    // CAN hold (4-byte UTF-8 names reach PdfFont via the Utf8.strict
+    // bare-token coercion); escape_debug keeps printable astral raw and
+    // \u{x}-escapes the rest. Ground truth sweep: tools/refbuild/astralgen
+    // dump.rs — every raw/escaped RUN BOUNDARY in U+10000..U+10FFFF plus
+    // every 17th codepoint, from format!("{:?}") itself.
+    var n = 0
+    lines("/escastral.tsv.gz").foreach { line =>
+      val Array(cpS, expected) = line.split("\t", 2)
+      val s = "x" + new String(Character.toChars(cpS.toInt))
+      assert(TextAssembly.rustStrDebug(s) == expected,
+        f"U+${cpS.toInt}%04X: ours=${TextAssembly.rustStrDebug(s)} rust=$expected")
+      n += 1
+    }
+    assert(n == 62564, s"expected the committed astral sample, saw $n")
+    // directed spot checks (probe.rs ground truth): printable emoji/CJK raw,
+    // tag char + plane ceiling escaped
+    assert(TextAssembly.rustStrDebug(new String(Character.toChars(0x1F600))) == "\"\uD83D\uDE00\"")
+    assert(TextAssembly.rustStrDebug(new String(Character.toChars(0x20BB7))) == "\"\uD842\uDFB7\"")
+    assert(TextAssembly.rustStrDebug(new String(Character.toChars(0xE0001))) == "\"\\u{e0001}\"")
+    assert(TextAssembly.rustStrDebug(new String(Character.toChars(0x10FFFF))) == "\"\\u{10ffff}\"")
   }
 
   test("rustStrDebug: STRING-INITIAL position escapes identically (no positional rule)") {

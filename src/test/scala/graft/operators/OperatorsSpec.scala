@@ -291,6 +291,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(obs.get("truncated_buckets").asInstanceOf[Long] > 0, "truncation must be reported")
   }
 
+  test("minhashIndex: build-time maxBucket caps buckets with observable truncation (ADVICE r7)") {
+    import spark.implicits._
+    // 200 identical docs: every (band, bkey) bucket holds 200 ids uncapped
+    val deg = (0 until 200).map(i => (i.toLong, "the same text in every single row")).toDF("doc_id", "text")
+    val obs = new org.apache.spark.sql.Observation("index-trunc")
+    val capped = Dedup.minhashIndex(deg, "text", "doc_id", maxBucket = Some(25), obs = Some(obs))
+    val maxPerBucket = capped.groupBy("band", "bkey").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    assert(maxPerBucket <= 25, s"bucket escaped the build-time cap: $maxPerBucket")
+    assert(obs.get("truncated_buckets").asInstanceOf[Long] > 0, "truncation must be reported")
+    // deterministic survivors: the FIRST ids in sorted order stay, so the
+    // batch probe over the capped index still finds the planted originals
+    val probe1 = Seq((9999L, "the same text in every single row")).toDF("doc_id", "text")
+    val found = Dedup.minhashProbe(probe1, capped, deg, "text", "doc_id", threshold = 0.999)
+      .select("id_corpus").as[Long].collect().toSet
+    assert(found.nonEmpty && found.forall(_ < 25), s"capped index survivors wrong: $found")
+  }
+
   test("duplicateRuns: hand-built runs merge as islands; unique segments emit nothing") {
     import spark.implicits._
     // segTokens = 2. doc1: segments [a b][c d][e f][g h][zz qq]
@@ -347,6 +365,27 @@ class OperatorsSpec extends AnyFunSuite {
     outA.foreach { case (n, c, ov) =>
       assert(outAB.get((n, c)).contains(ov), s"pair ($n,$c) score changed with slice size")
     }
+  }
+
+  test("winnowProbe: maxStopFps guard fires loudly on an all-hot-fp corpus (VERDICT r7 #6)") {
+    import spark.implicits._
+    // crafted pathology: 60 identical docs -> EVERY fingerprint has df 60, so
+    // with maxDf=10 the entire fp universe is stop fps; the contract guard
+    // must fail the probe up-front (bounded check), not melt the anti join
+    val hot = (0L until 60L).map(i => (i, "the same boilerplate text repeated across every document"))
+      .toDF("doc_id", "text")
+    val hotIndex = Dedup.winnowIndex(hot, "text", "doc_id")
+    val slice = Seq((9000L, "the same boilerplate text repeated across every document"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.winnowProbe(slice, hotIndex, "text", "doc_id", maxDf = 10, maxStopFps = 3).count()
+    }
+    assert(e.getMessage.contains("maxStopFps"), s"wrong failure: ${e.getMessage}")
+    // the same corpus passes with the cap above its stop count — and yields
+    // no pairs, because every fp is hot (rare-fp containment has no signal)
+    val ok = Dedup.winnowProbe(slice, hotIndex, "text", "doc_id", maxDf = 10,
+      maxStopFps = 5000000)
+    assert(ok.count() == 0)
   }
 
   test("kmeansAssign: argmax re-derivation, layout invariance, planted clusters separate") {

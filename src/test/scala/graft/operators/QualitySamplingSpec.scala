@@ -418,4 +418,24 @@ class QualitySamplingSpec extends AnyFunSuite {
       Sampling.rebalance(df, "doc_id", "dom", Map("web" -> 1.2))
     }
   }
+
+  test("rebalance: NULL domains land on keep false without failing the job (ADVICE r7)") {
+    import spark.implicits._
+    // 100 'web' + 50 NULL-domain rows: the null group used to reach the
+    // driver-side Ordering[String] sort and NPE the whole job; the contract
+    // is share 0 / keep_frac 0.0 / keep false for null rows, with `total`
+    // counting only domains that can realize a target (so web's fraction is
+    // exactly 1.0 here, not 1.5 capped)
+    val df = ((0L until 100L).map(i => (i, Option("web"))) ++
+      (100L until 150L).map(i => (i, Option.empty[String]))).toDF("doc_id", "dom")
+    val out = Sampling.rebalance(df, "doc_id", "dom", Map("web" -> 1.0), salt = 3L)
+    val nulls = out.where($"dom".isNull).select("keep_frac", "keep")
+      .as[(Double, Boolean)].collect()
+    assert(nulls.length == 50)
+    assert(nulls.forall { case (f, k) => f == 0.0 && !k }, "null domain must be share-0 dropped")
+    // total excludes nulls: web's keep fraction is min(1, 1.0*100/100) = 1.0
+    val web = out.where($"dom" === "web")
+    assert(web.where($"keep").count() == 100L)
+    assert(web.select("keep_frac").distinct().as[Double].collect().toSeq == Seq(1.0))
+  }
 }
