@@ -711,6 +711,59 @@ object SparkEntry {
       graft.operators.Quality.bpePairStats(t(s, dir, "documents"), "text", topN = 32)
         .orderBy("merge_rank")
     }),
+    // BPE END-TO-END (VERDICT r7 #4): train 24 merges on the corpus ->
+    // segment every doc into subwords (applyBpe: broadcast merge list, narrow
+    // map) -> assign ids through the BROADCAST-JOIN vocab table
+    // (tokenizeWithVocabTable — the beyond-64k-literal-cap variant: base
+    // chars + the first 20 merge symbols + 70k filler rows = a vocab the
+    // literal-map variant must refuse; merges 20..23 still APPLY, so their
+    // symbols are deterministic OOV) -> deterministic shuffle + sequence
+    // packing (seed 7, 8 shards, capacity 256). The twin replays the whole
+    // chain from the dumped merge table: greedy merge application via a
+    // recursive CTE over chr(1)-delimited symbol strings (replace() scans
+    // left-to-right non-overlapping — exactly mergeGreedy on delimited
+    // symbols), the same vocab construction, the same salted-hash packing.
+    "q_tokenize_bpe" -> ((s, dir) => {
+      import s.implicits._
+      tagOracle(dir)
+      val docs = t(s, dir, "documents")
+      val mergesDf = graft.operators.Quality.bpeTrain(docs, "text", nMerges = 24)
+      if (oracleDumpsEnabled)
+        mergesDf.coalesce(1).write.mode("overwrite").parquet(BpeMergesPath)
+      val mergeRows = mergesDf.orderBy("merge_idx").collect() // bounded: <= nMerges rows
+      val mergeList = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+      val baseChars = docs
+        .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+        .where(length($"w") > 0)
+        .select(explode(transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1)))).as("c"))
+        .distinct()
+      // global row_number over the base ALPHABET only — bounded by the
+      // character inventory, same class as bpePairStats' topN window
+      val base = baseChars.select($"c".as("word"),
+        (row_number().over(Window.orderBy($"c".asc)) - 1).cast("int").as("tid"))
+      val nBase = base.count().toInt // bounded: one row per distinct char
+      val merged = mergeRows.take(20).zipWithIndex
+        .map { case (r, i) => (r.getString(1) + r.getString(2), nBase + i) }
+        .toSeq.toDF("word", "tid")
+      val filler = s.range(70000)
+        .select(format_string("sub_%06d", $"id").as("word"),
+          ($"id" + (nBase + 20)).cast("int").as("tid"))
+        .join(base.select("word").union(merged.select("word")), Seq("word"), "left_anti")
+      val vocab = base.union(merged).union(filler)
+      val toks = graft.operators.Quality.applyBpe(docs, "text", "doc_id", mergeList)
+      val ids = graft.operators.Quality.tokenizeWithVocabTable(
+        toks, "doc_id", $"subwords", vocab, oovId = 999999)
+        .select($"doc_id",
+          array_join(transform($"token_ids", i => i.cast("string")), " ").as("token_ids_s"),
+          $"n_tokens", $"n_oov")
+      val sharded = Chunking.deterministicShuffle(ids, "doc_id", seed = 7L, nShards = 8)
+        .withColumn("chunk_idx", lit(0))
+      Chunking.packSequences(sharded, "doc_id", "chunk_idx", "n_tokens", capacity = 256)
+        .select($"doc_id", $"token_ids_s", $"n_tokens", $"n_oov", $"shard",
+          $"pos", $"tokens_before", $"seq_id")
+        .orderBy("doc_id")
+    }),
     // Bigram surprisal with unigram backoff — the next LM rung above
     // q_surprisal, all-integer (bigram cost = bitlen(c(prev) DIV c(prev,w)),
     // backoff = unigram bits + 1 penalty, first tokens penalty-free).
@@ -928,6 +981,28 @@ object SparkEntry {
     // corpus (offsets 0-3) — same split, same hashing, and the SAME oracle
     // SQL as the batch q_dedup_incremental, so the driver value-checks that
     // the continuous path surfaces exactly the batch matches.
+    // Streaming target-mix rebalance (VERDICT r7 #7): per-domain counts from
+    // the STORED corpus stats (the static documents table's lang counts),
+    // stream side a stateless codegen CASE via Sampling.rebalanceWith — the
+    // enrichStream shape. en/de/fr targeted, es/zh deliberately unlisted
+    // (share 0 -> keep false on the stream too).
+    "q_stream_rebalance" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-reb-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-reb-cp").toString
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+      docs.select($"doc_id", $"lang").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema("doc_id BIGINT, lang STRING").parquet(tmp)
+      val name = s"reb_out_${System.nanoTime()}"
+      val q = graft.operators.Sampling.rebalanceStream(stream, "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.1), stats, salt = 17L)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id")
+    }),
     "q_stream_dedup_incremental" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-incr-in").toString
@@ -1494,6 +1569,14 @@ object SparkEntry {
   /** q_kmeans_outliers' own centroid dump (same no-ordering-assumption rule). */
   def KmeansOutlierCentroidsPath: String = s"$oracleRoot/kmeans_outlier_centroids"
 
+  /** q_tokenize_bpe's learned merge table — the twin replays merge
+    * application, vocab construction, id assignment, and packing from
+    * exactly these (merge_idx, lhs, rhs) rows (bpeTrain itself is spec-gated
+    * against an independent re-derivation; the dump makes the downstream
+    * chain value-checkable without re-expressing the trainer in SQL).
+    */
+  def BpeMergesPath: String = s"$oracleRoot/bpe_merges"
+
   /** DuckDB oracles — every query is value-checked, including q_ann_ivf:
     * the IVF probe is approximate BY DESIGN (coarse-quantized ANN), but its
     * ranking stage is exact over the deterministic probed-candidate universe,
@@ -1918,6 +2001,45 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(g.token_ids_s, '') AS token_ids_s, " +
         "coalesce(g.n_tokens, 0) AS n_tokens, coalesce(g.n_oov, 0) AS n_oov " +
         "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
+    // BPE end-to-end twin: replay merge APPLICATION from the dumped merge
+    // table via a recursive CTE over chr(1)-delimited symbol strings —
+    // replace(s, SEP lhs SEP SEP rhs SEP, SEP lhs rhs SEP) scans
+    // left-to-right non-overlapping, which on fully delimited symbols is
+    // exactly mergeGreedy — then the same vocab (base chars by binary order,
+    // first 20 merge symbols, 70k anti-joined filler), id assignment with
+    // OOV 999999, and the q_pack_sequences salted-hash packing at seed 7.
+    "q_tokenize_bpe" ->
+      (s"WITH RECURSIVE m AS (SELECT CAST(merge_idx AS INT) AS merge_idx, lhs, rhs FROM read_parquet('$BpeMergesPath/*.parquet')), " +
+        "nm AS (SELECT CAST(count(*) AS INT) AS n FROM m), " +
+        "dw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS arr FROM documents), " +
+        "w AS (SELECT doc_id, CAST(i AS INT) AS word_ord, arr[CAST(i AS INT)] AS word FROM dw, unnest(range(1, len(arr) + 1)) AS u(i)), " +
+        "enc AS (SELECT doc_id, word_ord, chr(1) || array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), chr(1) || chr(1)) || chr(1) AS s FROM w), " +
+        "ap AS (SELECT doc_id, word_ord, 0 AS i, s FROM enc " +
+        "UNION ALL SELECT ap.doc_id, ap.word_ord, ap.i + 1, " +
+        "replace(ap.s, chr(1) || m.lhs || chr(1) || chr(1) || m.rhs || chr(1), chr(1) || m.lhs || m.rhs || chr(1)) " +
+        "FROM ap JOIN m ON m.merge_idx = ap.i), " +
+        "fin AS (SELECT doc_id, word_ord, s FROM ap WHERE i = (SELECT n FROM nm)), " +
+        "subs AS (SELECT doc_id, word_ord, string_split(trim(s, chr(1)), chr(1) || chr(1)) AS sl FROM fin), " +
+        "sw AS (SELECT doc_id, word_ord, CAST(i AS INT) AS sub_ord, sl[CAST(i AS INT)] AS subword FROM subs, unnest(range(1, len(sl) + 1)) AS u(i)), " +
+        "bc AS (SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS c FROM w, unnest(range(1, length(word) + 1)) AS u(i)), " +
+        "base AS (SELECT c AS word, CAST(row_number() OVER (ORDER BY c ASC) - 1 AS INT) AS tid FROM bc), " +
+        "nb AS (SELECT CAST(count(*) AS INT) AS n FROM base), " +
+        "mg AS (SELECT lhs || rhs AS word, (SELECT n FROM nb) + merge_idx AS tid FROM m WHERE merge_idx < 20), " +
+        "fill0 AS (SELECT 'sub_' || lpad(CAST(i AS VARCHAR), 6, '0') AS word, CAST((SELECT n FROM nb) + 20 + i AS INT) AS tid FROM range(70000) t(i)), " +
+        "fill AS (SELECT f.word, f.tid FROM fill0 f LEFT JOIN (SELECT word FROM base UNION SELECT word FROM mg) v USING (word) WHERE v.word IS NULL), " +
+        "voc AS (SELECT word, tid FROM base UNION ALL SELECT word, tid FROM mg UNION ALL SELECT word, tid FROM fill), " +
+        "j AS (SELECT sw.doc_id, sw.word_ord, sw.sub_ord, coalesce(voc.tid, 999999) AS tid FROM sw LEFT JOIN voc ON voc.word = sw.subword), " +
+        "g2 AS (SELECT doc_id, array_to_string(array_agg(CAST(tid AS VARCHAR) ORDER BY word_ord, sub_ord), ' ') AS token_ids_s, " +
+        "CAST(count(*) AS INT) AS n_tokens, CAST(sum(CASE WHEN tid = 999999 THEN 1 ELSE 0 END) AS INT) AS n_oov FROM j GROUP BY doc_id), " +
+        "tok AS (SELECT d.doc_id, coalesce(g2.token_ids_s, '') AS token_ids_s, coalesce(g2.n_tokens, 0) AS n_tokens, coalesce(g2.n_oov, 0) AS n_oov " +
+        "FROM documents d LEFT JOIN g2 USING (doc_id)), " +
+        "p AS (SELECT *, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 7) % 2147483648 AS s0 FROM tok), " +
+        "h AS (SELECT *, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
+        "mx AS (SELECT *, xor(h1, h1 >> 16) AS m1 FROM h), " +
+        "q AS (SELECT doc_id, token_ids_s, n_tokens, n_oov, ((m1 % 2147483648) * 2246822519) % 4294967296 AS pos FROM mx), " +
+        "r AS (SELECT *, CAST(pos % 8 AS INT) AS shard FROM q), " +
+        "f AS (SELECT *, CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM r) " +
+        "SELECT doc_id, token_ids_s, n_tokens, n_oov, shard, pos, tokens_before, tokens_before // 256 AS seq_id FROM f ORDER BY doc_id"),
     // gopher-quality twin: identical integer rule arithmetic (milli mean via
     // floor division, cross-multiplied fractions, char-wise symbol counts
     // with the three-dot ellipsis counted once per triple)
@@ -2064,6 +2186,22 @@ object SparkEntry {
         "f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), " +
         "CAST(0.2 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) AS keep_frac FROM cc, tot), " +
         "p AS (SELECT doc_id, lang, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 13) % 2147483648 AS s0 FROM documents), " +
+        "h AS (SELECT doc_id, lang, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
+        "m AS (SELECT doc_id, lang, xor(h1, h1 >> 16) AS m1 FROM h), " +
+        "q AS (SELECT doc_id, lang, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m) " +
+        "SELECT q.doc_id, q.lang, f.keep_frac, hv < round(f.keep_frac * 4294967296.0) AS keep " +
+        "FROM q JOIN f USING (lang) ORDER BY q.doc_id"),
+    // streaming rebalance twin: identical CASE arithmetic at salt 17 with
+    // en/de/fr targeted and everything else share 0 (left join + coalesce)
+    "q_stream_rebalance" ->
+      ("WITH cc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cc), " +
+        "sh AS (SELECT * FROM (VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)), " +
+        "('fr', CAST(0.1 AS DOUBLE))) s(lang, share)), " +
+        "f AS (SELECT cc.lang, least(CAST(1.0 AS DOUBLE), " +
+        "coalesce(sh.share, CAST(0.0 AS DOUBLE)) * CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) AS keep_frac " +
+        "FROM cc CROSS JOIN tot LEFT JOIN sh USING (lang)), " +
+        "p AS (SELECT doc_id, lang, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 17) % 2147483648 AS s0 FROM documents), " +
         "h AS (SELECT doc_id, lang, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
         "m AS (SELECT doc_id, lang, xor(h1, h1 >> 16) AS m1 FROM h), " +
         "q AS (SELECT doc_id, lang, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m) " +

@@ -153,32 +153,81 @@ object Sampling {
       salt: Long = 0L,
       maxDomains: Int = 100000
   ): DataFrame = {
-    require(targets.values.forall(w => w >= 0.0 && w <= 1.0),
-      s"target shares must be in [0,1]: $targets")
-    val counts = df.groupBy(col(domainCol).cast("string").as("dom"))
-      .agg(count(lit(1)).as("c"))
-      .collect() // bounded by construction: one row per domain, loud guard below
-      // the NULL-domain group is dropped here, not sorted: it can never be
-      // kept (the documented share-0/keep-false contract — no CASE branch
-      // equals NULL), and leaving it in would NPE the Ordering[String] sort
-      // below AND inflate `total` with rows that cannot realize any target
-      .filter(r => !r.isNullAt(0))
+    val counts = collectDomainCounts(df.groupBy(col(domainCol).cast("string").as("dom"))
+      .agg(count(lit(1)).as("c")), maxDomains)
+    rebalanceWith(df, idCol, domainCol, targets, counts, salt)
+  }
+
+  /** Bounded driver materialization of a (domain, count) frame — one row per
+    * domain, loud guard. The NULL-domain group is dropped here, not sorted:
+    * it can never be kept (the documented share-0/keep-false contract — no
+    * CASE branch equals NULL), and leaving it in would NPE the
+    * Ordering[String] sort in [[rebalanceWith]] AND inflate `total` with
+    * rows that cannot realize any target.
+    */
+  private def collectDomainCounts(grouped: DataFrame, maxDomains: Int): Seq[(String, Long)] = {
+    val counts = grouped.collect().filter(r => !r.isNullAt(0))
     require(counts.length <= maxDomains,
       s"rebalance saw ${counts.length} domains (> $maxDomains) — not a domain column?")
-    val total = counts.map(_.getLong(1)).sum
-    val fracs: Seq[(String, Double)] = counts.map { r =>
-      val dom = r.getString(0)
+    counts.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** The stateless half of [[rebalance]]: build the keep decision from
+    * ALREADY-KNOWN per-domain counts — one codegen'd CASE plus the salted
+    * hash, no aggregation over `df` at all. This is what makes the STREAMING
+    * face possible (a streaming frame cannot be re-counted per micro-batch;
+    * counts come from stored corpus stats instead), and batch [[rebalance]]
+    * routes through it so the two cannot drift.
+    */
+  def rebalanceWith(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: Map[String, Double],
+      domainCounts: Seq[(String, Long)],
+      salt: Long = 0L
+  ): DataFrame = {
+    require(targets.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"target shares must be in [0,1]: $targets")
+    require(domainCounts.forall(_._1 != null), "NULL domain in domainCounts")
+    val total = domainCounts.map(_._2).sum
+    val fracs: Seq[(String, Double)] = domainCounts.map { case (dom, c) =>
       val share = targets.getOrElse(dom, 0.0)
       // fixed evaluation order (share * total, then / count) — the SQL twin
       // must compose the same three IEEE ops on the same values
-      dom -> math.min(1.0, share * total.toDouble / r.getLong(1).toDouble)
-    }.toSeq.sortBy(_._1) // deterministic CASE chain (collect order is not)
+      dom -> math.min(1.0, share * total.toDouble / c.toDouble)
+    }.sortBy(_._1) // deterministic CASE chain (input order is not)
     val fracCol = fracs.foldLeft(lit(0.0)) { case (acc, (dom, f)) =>
       when(col(domainCol) === dom, lit(f)).otherwise(acc)
     }
     df.withColumn("keep_frac", fracCol)
       .withColumn("keep",
         saltedHash(col(idCol), salt) < round(col("keep_frac") * lit(Space.toDouble)))
+  }
+
+  /** STREAMING rebalance (VERDICT r7 #7): the target-mix knob on a live
+    * ingest. Per-domain counts come from `corpusStats` — a STORED (domain,
+    * count) table (the nightly corpus-stats job's output), collected once at
+    * stream start under the same bounded-domains guard — and the stream side
+    * is the stateless codegen CASE from [[rebalanceWith]] (the enrichStream
+    * shape: static knowledge folded into a per-row expression, no state, no
+    * per-micro-batch aggregation). Batch and stream share the CASE builder,
+    * so a row gets the identical (keep_frac, keep) on either path — the
+    * stream==batch spec gates exactly that.
+    */
+  def rebalanceStream(
+      stream: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: Map[String, Double],
+      corpusStats: DataFrame,
+      salt: Long = 0L,
+      maxDomains: Int = 100000
+  ): DataFrame = {
+    val counts = collectDomainCounts(
+      corpusStats.select(col(corpusStats.columns(0)).cast("string").as("dom"),
+        col(corpusStats.columns(1)).cast("long").as("c")), maxDomains)
+    rebalanceWith(stream, idCol, domainCol, targets, counts, salt)
   }
 
   /** Stratified sampling: a per-stratum fraction (strata not listed take

@@ -384,6 +384,82 @@ class QualitySamplingSpec extends AnyFunSuite {
     assert(Quality.bpeTrain(Seq((1L, "ab cd")).toDF("doc_id", "text"), "text", 5).count() == 0)
   }
 
+  test("bpeTrain: driver-side incremental loop == distributed loop, merge for merge (VERDICT r7 #3)") {
+    import spark.implicits._
+    // the sf corpus slice gives a real Zipf shape; maxDistinctWords=0 forces
+    // the distributed per-round fallback, the default takes the driver loop
+    val df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text").where($"doc_id" < 200)
+    for (marker <- Seq(None, Some("</w>"))) {
+      val fast = Quality.bpeTrain(df, "text", nMerges = 16, marker = marker)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val dist = Quality.bpeTrain(df, "text", nMerges = 16, marker = marker,
+        maxDistinctWords = 0)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(fast == dist, s"marker=$marker driver/distributed diverged:\n fast=$fast\n dist=$dist")
+      assert(fast.nonEmpty, "sf corpus must learn merges")
+    }
+    // exhaustion agrees too
+    assert(Quality.bpeTrain(Seq((1L, "ab cd")).toDF("doc_id", "text"), "text", 5,
+      maxDistinctWords = 0).count() == 0)
+  }
+
+  test("applyBpe + tokenizeWithVocabTable: subword ids re-derive; beyond-64k vocab broadcasts") {
+    import spark.implicits._
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Quality.bpeTrain(df, "text", nMerges = 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val sub = Quality.applyBpe(df, "text", "doc_id", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // local re-derivation: same mergeGreedy fold per word
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        merges.foldLeft(w.map(_.toString): Seq[String]) { case (s, (l, r)) =>
+          Quality.mergeGreedy(s, l, r)
+        }
+      }
+      assert(sub(i.toLong) == want, s"doc $i: ${sub(i.toLong)} != $want")
+    }
+    // vocab table: every distinct subword gets an id, PLUS 70k filler rows to
+    // exceed the literal-map variant's 64k cap — the broadcast path must not
+    // care; drop one real subword to exercise OOV
+    val realSubs = sub.values.flatten.toSeq.distinct.sorted
+    val dropped = realSubs.last
+    val real = realSubs.filterNot(_ == dropped).zipWithIndex
+      .map { case (w, i) => (w, i) }.toDF("word", "tid")
+    val filler = spark.range(70000)
+      .select(format_string("sub_%06d", $"id").as("word"), ($"id" + 1000).cast("int").as("tid"))
+    val vocab = real.union(filler)
+    val oovId = 999999
+    val out = Quality.tokenizeWithVocabTable(
+      Quality.applyBpe(df, "text", "doc_id", merges), "doc_id", col("subwords"), vocab, oovId)
+      .as[(Long, Seq[Int], Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val idOf = realSubs.filterNot(_ == dropped).zipWithIndex.toMap
+    texts.zipWithIndex.foreach { case (_, i) =>
+      val subs = sub(i.toLong)
+      val want = subs.map(w => idOf.getOrElse(w, oovId))
+      val (ids, n, oov) = out(i.toLong)
+      assert(ids == want, s"doc $i ids $ids != $want")
+      assert(n == subs.length && oov == subs.count(_ == dropped))
+    }
+    // empty doc comes back with an empty array, kept
+    val empty = Quality.tokenizeWithVocabTable(
+      Seq((7L, Seq.empty[String])).toDF("doc_id", "subwords"), "doc_id",
+      col("subwords"), vocab, oovId)
+      .as[(Long, Seq[Int], Int, Int)].collect().toSeq
+    assert(empty == Seq((7L, Seq.empty[Int], 0, 0)))
+    // the guard fires loudly on an oversized vocab
+    val e = intercept[IllegalArgumentException] {
+      Quality.tokenizeWithVocabTable(df.select($"doc_id", split($"text", " ").as("w")),
+        "doc_id", col("w"), vocab, oovId, maxVocabRows = 100).count()
+    }
+    assert(e.getMessage.contains("maxVocabRows"))
+  }
+
   test("rebalance: over-share domains thin toward target, under-share kept whole, realized mix tracks") {
     import spark.implicits._
     // 8000 'web' + 1000 'books' + 1000 'code'; uniform 1/3 target each:

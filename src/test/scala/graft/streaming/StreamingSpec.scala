@@ -188,6 +188,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDimRows"), e.getMessage)
   }
 
+  test("streaming rebalance equals batch rebalance row-for-row; stream side is stateless (VERDICT r7 #7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus stats = the stored (domain, count) table a nightly stats job
+    // writes; 60 web / 30 books / 10 code
+    val corpus = ((0L until 60L).map((_, "web")) ++ (60L until 90L).map((_, "books")) ++
+      (90L until 100L).map((_, "code"))).toDF("doc_id", "dom")
+    val stats = corpus.groupBy($"dom").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("c"))
+    val targets = Map("web" -> 0.4, "books" -> 0.4) // code unlisted -> share 0
+    val batch = graft.operators.Sampling.rebalance(corpus, "doc_id", "dom", targets, salt = 9L)
+      .select("doc_id", "dom", "keep_frac", "keep")
+      .as[(Long, String, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // stream: same rows across TWO micro-batches, stats from the stored table
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling.rebalanceStream(
+        input.toDS().toDF("doc_id", "dom"), "doc_id", "dom", targets, stats, salt = 9L)
+      .writeStream.format("memory").queryName("reb_out")
+      .outputMode(OutputMode.Append).start()
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    input.addData(rows.take(50): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("reb_out")
+      .as[(Long, String, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch, "stream and batch rebalance must agree row-for-row")
+    // stateless plan: the stream side is a pure projection — no Exchange, no
+    // aggregation (the batch analog through rebalanceWith proves the shape)
+    val counts = Seq(("web", 60L), ("books", 30L), ("code", 10L))
+    val plan = graft.operators.Sampling.rebalanceWith(
+      corpus, "doc_id", "dom", targets, counts, salt = 9L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"rebalanceWith must be stateless/narrow:\n${plan.take(600)}")
+  }
+
   test("streaming kmeans assignment equals the batch assignment across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
