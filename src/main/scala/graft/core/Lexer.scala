@@ -103,7 +103,15 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
       if (pos >= bytes.length) Err.fail("End of stream reached")
       if (isWhite(bytes(pos))) pos += 1
       else {
-        val end = math.min(pos + length, bytes.length)
+        // a NEGATIVE length takes everything to EOF: the reference converts
+        // the i32 with `as usize` (object.rs:135), so -66 wraps to ~2^64 and
+        // `take(huge)` clamps at the iterator's end — round-8 objstm
+        // mutation-fuzz find (a '-' flipped into /Length raised a raw
+        // IllegalArgumentException here; binary-verified take-all instead)
+        // (long add: a near-MaxValue positive length must clamp at EOF too,
+        // not wrap pos+length negative)
+        val end = if (length < 0) bytes.length
+                  else math.min(pos.toLong + length, bytes.length.toLong).toInt
         return Arrays.copyOfRange(bytes, pos, end)
       }
     }

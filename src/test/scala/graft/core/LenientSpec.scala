@@ -491,6 +491,64 @@ class LenientSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("lenient ObjStm LAYOUT sweep: member order / separator / pad / filter round-trip (VERDICT r7 #8)") {
+    // the spec leaves the ObjStm's internal layout open: pair order need not
+    // be offset order, bodies need no separator (offsets delimit), /First may
+    // sit past padding, the container may be raw. A seeded sweep over those
+    // degrees of freedom must round-trip the planted text and Info through
+    // Pdf.lenient; strict refuses every variant (xref-stream catalog stub,
+    // like the reference).
+    val rnd = new scala.util.Random(88)
+    val text = "objstm layout sweep extraction target"
+    (0 until 200).foreach { i =>
+      val order = rnd.shuffle((0 until 5).toList)
+      val sep = Seq("\n", " ", "\r\n", "")(rnd.nextInt(4))
+      val pad = rnd.nextInt(8)
+      val compress = rnd.nextBoolean()
+      val pdf = graft.pipeline.MiniPdf.synthesizeObjStm(text, order, sep, pad, compress)
+      assert(Pdf.lenient(pdf).extract(ExtractText) == text,
+        s"variant $i (order=$order sep=${sep.map(_.toInt).mkString(",")} pad=$pad compress=$compress)")
+      assert(Pdf.lenient(pdf).readInfo.flatMap(_.author).contains("graft"), s"variant $i info")
+      intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
+    }
+  }
+
+  test("lenient ObjStm MUTATION fuzz: byte flips never escape as raw throws (VERDICT r7 #8)") {
+    // no binary twin exists for the lenient layer (the reference has no
+    // ObjStm decode), so the mutation gate is the engine contract itself:
+    // every flip either extracts or throws PdfParseException — never a raw
+    // AIOOBE/NPE/match error (the class the strict sweeps catch via parity;
+    // MutProbe's 'objstm' base covers the STRICT side of these same bytes
+    // against the binary). SOE is exempt per the extractTurn backstop.
+    // Seeded like MutProbe so a failing index replays there.
+    val n = sys.env.getOrElse("GRAFT_OBJSTM_FUZZ", "4000").toInt
+    val bases = Seq(
+      ("objstm-raw", 14, graft.pipeline.MiniPdf.synthesizeObjStm(
+        "objstm mutation fuzz target words", compress = false)),
+      ("objstm-perm", 15, graft.pipeline.MiniPdf.synthesizeObjStm(
+        "objstm mutation fuzz target words", memberOrder = Seq(4, 2, 0, 3, 1),
+        sep = "", firstPad = 3, compress = false)))
+    bases.foreach { case (name, seed, base) =>
+      val rnd = new scala.util.Random(seed)
+      var ok = 0
+      (0 until n).foreach { i =>
+        val m = base.clone()
+        (0 to rnd.nextInt(2)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        try { Pdf.lenient(m).extract(ExtractText); ok += 1 } catch {
+          case _: PdfParseException => ()
+          case _: StackOverflowError => ()
+          case e: Throwable =>
+            fail(s"$name mutation $i escaped lenient decode raw: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      // sanity: the sweep is not all-throws (most flips land in bodies or
+      // slack and still extract)
+      assert(ok > n / 10, s"$name: only $ok of $n mutations extracted — base likely broken")
+    }
+  }
+
   test("lenient: MODERN encrypted layout (xref stream + encrypted ObjStm catalog) extracts") {
     val text = "Modern encrypted document with its catalog inside an object stream"
     val pdf = synthesizeEncryptedModern(text)
