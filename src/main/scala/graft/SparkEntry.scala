@@ -894,6 +894,20 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy("vec_id")
     }),
+    // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup over the
+    // embedding space — planted exact duplicates (+10000-shifted copies) must
+    // land in their original's cluster and drop under the greedy min-id rule;
+    // the uniform-random corpus keeps everything else (cross cosines ~0).
+    // Centroids dump to their own path; the twin replays assignment, the
+    // within-cluster smaller-id max-cosine, and the micro-quantized threshold.
+    "q_semdedup" -> ((s, dir) => {
+      tagOracle(dir)
+      val emb = t(s, dir, "embeddings")
+      val dupes = emb.select(col("vec_id"), col("embedding"))
+        .union(emb.select(col("vec_id") + 10000, col("embedding")))
+      Similarity.semDedup(dupes, k = 8, centroidsOut = dumpPath(SemDedupCentroidsPath))
+        .orderBy("vec_id")
+    }),
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val dupes = emb.select(col("vec_id"), col("embedding"))
@@ -1568,6 +1582,11 @@ object SparkEntry {
 
   /** q_kmeans_outliers' own centroid dump (same no-ordering-assumption rule). */
   def KmeansOutlierCentroidsPath: String = s"$oracleRoot/kmeans_outlier_centroids"
+
+  /** q_semdedup's trained centroids (own path — no cross-query ordering
+    * assumption, same rule as the other k-means dumps).
+    */
+  def SemDedupCentroidsPath: String = s"$oracleRoot/semdedup_centroids"
 
   /** q_tokenize_bpe's learned merge table — the twin replays merge
     * application, vocab construction, id assignment, and packing from
@@ -2426,6 +2445,26 @@ object SparkEntry {
         "(SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn FROM s) " +
         "WHERE rn = 1 ORDER BY vec_id"),
     // outlier twin: rank-1 centroid + floor(sim·10^6) over the same dump
+    // SemDeDup twin: assignment replayed from the dumped centroids (argmax
+    // cosine, ties lowest cluster), nn = max micro-quantized cosine to a
+    // SMALLER-ID member of the same cluster, keep = below the micro threshold
+    "q_semdedup" ->
+      (s"WITH c AS (SELECT cluster, centroid FROM read_parquet('$SemDedupCentroidsPath/*.parquet')), " +
+        "u AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings), " +
+        "s AS (SELECT vec_id, cluster FROM " +
+        "(SELECT u.vec_id, c.cluster, " +
+        "list_cosine_similarity(CAST(u.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS sim, " +
+        "row_number() OVER (PARTITION BY u.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(u.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) DESC, c.cluster ASC) AS rn " +
+        "FROM u CROSS JOIN c) WHERE rn = 1), " +
+        "e2 AS (SELECT s.vec_id, s.cluster, u.embedding FROM s JOIN u USING (vec_id)), " +
+        "p AS (SELECT a.vec_id AS vid, " +
+        "max(CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)) AS nn " +
+        "FROM e2 a JOIN e2 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id GROUP BY a.vec_id) " +
+        "SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster, p.nn AS nn_sim_micro, " +
+        "(p.nn IS NULL OR p.nn < 950000) AS keep " +
+        "FROM s LEFT JOIN p ON p.vid = s.vec_id ORDER BY s.vec_id"),
     "q_kmeans_outliers" ->
       (s"WITH c AS (SELECT cluster, centroid FROM read_parquet('$KmeansOutlierCentroidsPath/*.parquet')), " +
         "s AS (SELECT e.vec_id, c.cluster, " +

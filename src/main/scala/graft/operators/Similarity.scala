@@ -616,4 +616,82 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
       .where(col("cos") >= threshold)
   }
+
+  /** SEMANTIC DEDUPLICATION (SemDeDup — Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then inside each cluster mark as a
+    * duplicate every point whose cosine to a SMALLER-ID member reaches
+    * `tauMicro` (micro-quantized — floor(cos·10⁶), the q_vector_ops
+    * cross-engine recipe; raw double thresholds are last-ulp-unstable across
+    * engines). The greedy min-id keeper makes the choice a total order:
+    * rerun-, layout-, and engine-invariant, no iterative component labeling
+    * (the paper likewise keeps one exemplar per tau-ball; which exemplar is
+    * policy — min id is the deterministic one, like dedupExact).
+    *
+    * Output: (idCol, cluster, nn_sim_micro, keep) — nn_sim_micro is the max
+    * quantized cosine to any smaller-id same-cluster member (null when the
+    * point is its cluster's min id), keep = no such member reaches tauMicro.
+    *
+    * Scale shape: THE all-pairs stage is CLUSTER-BOUNDED — the self-join
+    * keys on the cluster id, so pairs materialize only within a cell (the
+    * paper's n²/k trick; pick k ≈ n/targetCellSize). A bounded guard job
+    * (k-row groupBy collect) fails loudly BEFORE the join when clustering
+    * collapsed (a degenerate cell above `maxClusterSize` would otherwise
+    * melt one task with a quadratic blowup). Assignment is the same
+    * broadcast-argmax narrow map as [[kmeansAssign]]; training is
+    * [[trainCentroids]]'s deterministic Lloyd.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      k: Int,
+      tauMicro: Long = 950000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidsOut: Option[String] = None,
+      maxClusterSize: Int = 1000000
+  ): DataFrame = {
+    require(maxClusterSize > 1, s"maxClusterSize=$maxClusterSize out of range")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, k, idCol = idCol, vecCol = vecCol)
+    centroidsOut.foreach { path =>
+      centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosine(cs(c), v)
+          if (s > bestSim) { bestSim = s; best = c } // strict >: ties keep lowest cluster
+          c += 1
+        }
+        (id, best, v)
+      }
+      .toDF("id", "cluster", "vec")
+    // loud guard BEFORE the self-join: bounded by construction (<= k rows)
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("c")).collect()
+    val biggest = if (sizes.isEmpty) 0L else sizes.map(_.getLong(1)).max
+    require(biggest <= maxClusterSize,
+      s"semDedup cluster of $biggest members exceeds maxClusterSize=$maxClusterSize — " +
+        "raise k (target ~n/k members per cell) or the cap explicitly")
+    val nn = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id"))
+      .select(col("a.id").as("id"), col("a.vec").as("va"), col("b.vec").as("vb"))
+      .as[(Long, Array[Float], Array[Float])]
+      .map { case (id, va, vb) => (id, math.floor(cosine(va, vb) * 1000000.0).toLong) }
+      .toDF("id", "sim_micro")
+      .groupBy(col("id")).agg(max(col("sim_micro")).as("nn_sim_micro"))
+    assigned.select(col("id"), col("cluster"))
+      .join(nn, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("nn_sim_micro"),
+        (col("nn_sim_micro").isNull || col("nn_sim_micro") < tauMicro).as("keep"))
+  }
 }

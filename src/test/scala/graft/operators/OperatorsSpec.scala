@@ -388,6 +388,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.count() == 0)
   }
 
+  test("semDedup: planted duplicates drop under the min-id rule; guard fires on collapsed clustering") {
+    import spark.implicits._
+    // RANDOM 16-dim base vectors (uniform random high-dim cosines sit near 0,
+    // far under tau — NOT the jittered-direction kmeans geometry, where every
+    // same-cluster pair is ~0.999 and legitimately a semantic dup) + exact
+    // copies of ids 0..9 at +1000 and a near-copy (1e-4 jitter) of id 20
+    val rnd = new scala.util.Random(5)
+    val baseVecs = (0L until 90L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val near = baseVecs(20)._2.clone(); near(0) += 1e-4f
+    val vecs = baseVecs ++ baseVecs.take(10).map { case (i, v) => (i + 1000L, v) } :+ ((2000L, near))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, k = 3, tauMicro = 950000L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 101)
+    (0L until 10L).foreach { i =>
+      assert(out(i)._3, s"original $i must keep")
+      assert(!out(i + 1000L)._3, s"planted copy of $i must drop")
+      // identical vectors: dot/(norm·norm) lands an ulp under 1.0, so the
+      // floor quantizer gives 999999 or 1000000 — both are exact-copy signal
+      assert(out(i + 1000L)._2.exists(_ >= 999999L), s"exact copy cosine must quantize to ~1.0")
+      assert(out(i)._1 == out(i + 1000L)._1, "copy must share its original's cluster")
+    }
+    assert(!out(2000L)._3 && out(20L)._3, "near-copy drops, its original keeps")
+    // everything unplanted keeps (jittered directions stay below tau)
+    (21L until 30L).foreach(i => assert(out(i)._3, s"unplanted $i dropped"))
+    // layout invariance: same keep set after a repartition
+    val out2 = Similarity.semDedup(df.repartition(7), k = 3, tauMicro = 950000L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out.view.mapValues(_._3).toMap == out2, "keep set must be layout-invariant")
+    // collapsed clustering fails loudly before the quadratic join
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(df, k = 3, maxClusterSize = 10).count()
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+  }
+
   test("kmeansAssign: argmax re-derivation, layout invariance, planted clusters separate") {
     import spark.implicits._
     // planted geometry: 3 well-separated directions + jitter
