@@ -833,6 +833,38 @@ object SparkEntry {
         .repartition(col("doc_id")).sortWithinPartitions("doc_id", "chunk_idx")
     }),
 
+    // Chat-template rendering + per-turn loss-mask offsets: the SFT step
+    // between extraction and tokenization. Turns derive deterministically
+    // from the documents table (conv = doc_id/10, turn = doc_id%10, role
+    // cycles system/user/assistant), so the twin replays from the same
+    // parquet with no side dump; doc_md5 pins the rendered text, the
+    // offsets pin the sidecar alignment.
+    "q_render_chat" -> ((s, dir) => {
+      val turns = t(s, dir, "documents").select(
+        floor(col("doc_id") / 10).cast("long").as("conv_id"),
+        (col("doc_id") % 10).cast("int").as("turn_idx"),
+        when(col("doc_id") % 3 === 0, "system")
+          .when(col("doc_id") % 3 === 1, "user")
+          .otherwise("assistant").as("role"),
+        col("text"))
+      val offs = graft.operators.Transcripts.turnOffsets(turns, "conv_id", "turn_idx", "role", "text")
+      val docs = graft.operators.Transcripts.renderDocs(turns, "conv_id", "turn_idx", "role", "text")
+        .select(col("conv_id"), md5(col("doc").cast("binary")).as("doc_md5"))
+      offs.join(docs, "conv_id")
+        .select("conv_id", "turn_idx", "role", "char_start", "char_end", "mask", "doc_md5")
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // Duplication-aware epoch upsampling: zh (rare in the skewed sf mix) is
+    // replicated toward a 0.5 share (epochs > 1 — multiple full copies plus
+    // a deterministic fractional epoch), en is thinned (epochs < 1), the
+    // other languages are untargeted and emit nothing.
+    "q_epoch_mix" -> ((s, dir) => {
+      graft.operators.Sampling.epochMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("zh" -> 0.5, "en" -> 0.05), salt = 21L)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ---- similarity search ----------------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
@@ -2210,6 +2242,32 @@ object SparkEntry {
         "q AS (SELECT doc_id, lang, ((m1 % 2147483648) * 2246822519) % 4294967296 AS hv FROM m) " +
         "SELECT q.doc_id, q.lang, f.keep_frac, hv < round(f.keep_frac * 4294967296.0) AS keep " +
         "FROM q JOIN f USING (lang) ORDER BY q.doc_id"),
+    // chat-render twin: same template as a string concat, offsets via the
+    // same cumulative window, doc_md5 over the ordered string_agg
+    "q_render_chat" ->
+      ("WITH t AS (SELECT doc_id // 10 AS conv_id, CAST(doc_id % 10 AS INT) AS turn_idx, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'system' WHEN doc_id % 3 = 1 THEN 'user' ELSE 'assistant' END AS role, text FROM documents), " +
+        "r AS (SELECT *, '<|' || role || '|>' || chr(10) || text || chr(10) AS seg FROM t), " +
+        "o AS (SELECT conv_id, turn_idx, role, " +
+        "CAST(coalesce(SUM(length(seg)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS char_start, " +
+        "CAST(length(seg) AS BIGINT) AS seg_len, role <> 'assistant' AS mask FROM r), " +
+        "d AS (SELECT conv_id, md5(string_agg(seg, '' ORDER BY turn_idx)) AS doc_md5 FROM r GROUP BY conv_id) " +
+        "SELECT o.conv_id, o.turn_idx, o.role, o.char_start, o.char_start + o.seg_len AS char_end, o.mask, d.doc_md5 " +
+        "FROM o JOIN d USING (conv_id) ORDER BY conv_id, turn_idx"),
+    // epoch-mix twin: counts + uncapped IEEE epochs (share*total/avail in
+    // the same op order), floor/fractional split, the salt-21 hash chain,
+    // epochs generated by range()
+    "q_epoch_mix" ->
+      ("WITH cc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cc), " +
+        "sh AS (SELECT * FROM (VALUES ('zh', CAST(0.5 AS DOUBLE)), ('en', CAST(0.05 AS DOUBLE))) s(lang, share)), " +
+        "f AS (SELECT cc.lang, sh.share * CAST(n AS DOUBLE) / CAST(c AS DOUBLE) AS epochs FROM cc JOIN sh USING (lang) CROSS JOIN tot), " +
+        "g AS (SELECT lang, CAST(floor(epochs) AS INT) AS n_full, CAST(round((epochs - floor(epochs)) * 4294967296.0) AS BIGINT) AS thresh FROM f), " +
+        "p AS (SELECT d.doc_id, d.lang, g.n_full, g.thresh, ((((d.doc_id % 2147483648) + 2147483648) % 2147483648) + 21) % 2147483648 AS s0 FROM documents d JOIN g USING (lang)), " +
+        "h AS (SELECT *, (s0 * 2654435761) % 4294967296 AS h1 FROM p), " +
+        "m AS (SELECT *, xor(h1, h1 >> 16) AS m1 FROM h), " +
+        "q AS (SELECT doc_id, lang, n_full + CASE WHEN ((m1 % 2147483648) * 2246822519) % 4294967296 < thresh THEN 1 ELSE 0 END AS ne FROM m) " +
+        "SELECT doc_id, lang, CAST(i AS INT) AS epoch FROM q, unnest(range(ne)) AS t(i) WHERE ne > 0 ORDER BY doc_id, epoch"),
     // streaming rebalance twin: identical CASE arithmetic at salt 17 with
     // en/de/fr targeted and everything else share 0 (left join + coalesce)
     "q_stream_rebalance" ->

@@ -230,6 +230,63 @@ object Sampling {
     rebalanceWith(stream, idCol, domainCol, targets, counts, salt)
   }
 
+  /** Duplication-aware EPOCH UPSAMPLING (the other half of the mixture knob:
+    * [[rebalance]] only thins — this hits a target share exactly by
+    * REPLICATING under-share domains across training epochs, the "books seen
+    * 3.2 times per epoch of web" shape every published data mixture uses).
+    * Per domain, `epochs = share · total / available` (uncapped: < 1
+    * downsamples like rebalance, > 1 replicates); every row emits
+    * floor(epochs) full copies tagged epoch 0..floor-1, plus one more at
+    * epoch floor(epochs) iff its salted hash clears the fractional
+    * remainder — so the realized count tracks share·total exactly and the
+    * extra-epoch subset is deterministic, layout/rerun-invariant, and
+    * SQL-replayable. Returns the input plus (`epoch` int) rows; NULL or
+    * untargeted domains emit nothing.
+    *
+    * Scale shape: one bounded domain-count collect (same guard as
+    * rebalance), then ONE codegen'd CASE + sequence-explode in the scan
+    * stage — amplification is exactly the target epoch count, bounded by
+    * the loud `maxEpochs` contract (upsampling a 3-row domain to match a
+    * billion-row one is a data bug, not a plan).
+    */
+  def epochMix(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: Map[String, Double],
+      salt: Long = 0L,
+      maxEpochs: Int = 100,
+      maxDomains: Int = 100000
+  ): DataFrame = {
+    require(targets.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"target shares must be in [0,1]: $targets")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs out of range")
+    val counts = collectDomainCounts(df.groupBy(col(domainCol).cast("string").as("dom"))
+      .agg(count(lit(1)).as("c")), maxDomains)
+    val total = counts.map(_._2).sum
+    val plan: Seq[(String, Int, Long)] = counts.map { case (dom, c) =>
+      val share = targets.getOrElse(dom, 0.0)
+      val epochs = share * total.toDouble / c.toDouble // fixed IEEE op order
+      require(epochs <= maxEpochs,
+        s"epochMix would replicate domain '$dom' ${epochs}x (> maxEpochs=$maxEpochs) — " +
+          "a share this far above availability is a data bug; raise maxEpochs explicitly if intended")
+      val nFull = math.floor(epochs).toInt
+      val thresh = math.round((epochs - nFull) * Space)
+      (dom, nFull, thresh)
+    }.sortBy(_._1) // deterministic CASE chains
+    val nFullCol = plan.foldLeft(lit(0)) { case (acc, (dom, nf, _)) =>
+      when(col(domainCol) === dom, lit(nf)).otherwise(acc)
+    }
+    val threshCol = plan.foldLeft(lit(0L)) { case (acc, (dom, _, th)) =>
+      when(col(domainCol) === dom, lit(th)).otherwise(acc)
+    }
+    val extra = when(saltedHash(col(idCol), salt) < threshCol, 1).otherwise(0)
+    df.withColumn("_n_epochs", nFullCol + extra)
+      .where(col("_n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_n_epochs") - 1)))
+      .drop("_n_epochs")
+  }
+
   /** Stratified sampling: a per-stratum fraction (strata not listed take
     * `default`). One codegen'd CASE — no per-stratum scans, no shuffle.
     */

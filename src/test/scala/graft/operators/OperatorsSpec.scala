@@ -388,6 +388,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.count() == 0)
   }
 
+  test("transcripts: rendered docs and offset/mask sidecar align to the character") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0, "system", "be helpful"),
+      (1L, 2, "assistant", "hi there"), // idx gap: order by idx, not density
+      (1L, 1, "user", "hello"),
+      (2L, 0, "user", "solo")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val docs = Transcripts.renderDocs(turns, "conv_id", "turn_idx", "role", "text")
+      .as[(Long, String)].collect().toMap
+    assert(docs(1L) == "<|system|>\nbe helpful\n<|user|>\nhello\n<|assistant|>\nhi there\n")
+    assert(docs(2L) == "<|user|>\nsolo\n")
+    val offs = Transcripts.turnOffsets(turns, "conv_id", "turn_idx", "role", "text")
+      .as[(Long, Int, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // the sidecar's [start, end) slice of the rendered doc must be exactly
+    // the turn's own rendered segment — alignment to the character
+    val segs = Map(
+      (1L, 0) -> "<|system|>\nbe helpful\n",
+      (1L, 1) -> "<|user|>\nhello\n",
+      (1L, 2) -> "<|assistant|>\nhi there\n",
+      (2L, 0) -> "<|user|>\nsolo\n")
+    segs.foreach { case (key @ (conv, _), seg) =>
+      val (role, s, e, mask) = offs(key)
+      assert(docs(conv).substring(s.toInt, e.toInt) == seg, s"$key misaligned")
+      assert(mask == (role != "assistant"), s"$key mask wrong")
+    }
+    // spans tile the doc exactly (no gaps/overlap)
+    assert(offs.filter(_._1._1 == 1L).values.map(v => v._3 - v._2).sum == docs(1L).length)
+  }
+
   test("semDedup: planted duplicates drop under the min-id rule; guard fires on collapsed clustering") {
     import spark.implicits._
     // RANDOM 16-dim base vectors (uniform random high-dim cosines sit near 0,

@@ -495,6 +495,39 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("epochMix: under-share domains replicate across epochs, realized counts track targets") {
+    import spark.implicits._
+    // 9000 web / 1000 books; books targeted at 0.5 share -> epochs = 5.0
+    // exactly (4 full + the fractional 1.0 -> threshold 2^32, everyone gets
+    // the 5th); web at 0.05 -> epochs = 0.055... (pure fractional thinning)
+    val df = ((0L until 9000L).map((_, "web")) ++ (9000L until 10000L).map((_, "books")))
+      .toDF("doc_id", "dom")
+    val out = Sampling.epochMix(df, "doc_id", "dom",
+      Map("books" -> 0.5, "web" -> 0.05), salt = 3L)
+    val byDom = out.groupBy("dom").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books: 0.5*10000/1000 = 5.0 epochs -> exactly 5000 rows, epochs 0..4
+    assert(byDom("books") == 5000L, s"books rows ${byDom("books")}")
+    assert(out.where($"dom" === "books").agg(max($"epoch")).as[Int].head() == 4)
+    // web: 0.0555... epochs -> ~500 rows (hash equidistributes), all epoch 0
+    assert(math.abs(byDom("web") - 500L) < 60, s"web rows ${byDom("web")}")
+    assert(out.where($"dom" === "web").agg(max($"epoch")).as[Int].head() == 0)
+    // untargeted domain emits nothing
+    val out2 = Sampling.epochMix(df, "doc_id", "dom", Map("books" -> 0.2), salt = 3L)
+    assert(out2.where($"dom" === "web").count() == 0L)
+    // deterministic + layout-invariant row multiset
+    val a = out.select("doc_id", "epoch").as[(Long, Int)].collect().sorted.toSeq
+    val b = Sampling.epochMix(df.repartition(13), "doc_id", "dom",
+      Map("books" -> 0.5, "web" -> 0.05), salt = 3L)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().sorted.toSeq
+    assert(a == b, "epoch set must be layout-invariant")
+    // runaway replication fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochMix(df, "doc_id", "dom", Map("books" -> 0.5), maxEpochs = 3)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+  }
+
   test("rebalance: NULL domains land on keep false without failing the job (ADVICE r7)") {
     import spark.implicits._
     // 100 'web' + 50 NULL-domain rows: the null group used to reach the
