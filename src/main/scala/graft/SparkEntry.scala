@@ -687,6 +687,20 @@ object SparkEntry {
           col("n_tokens"), col("n_oov"))
         .orderBy("doc_id")
     }),
+    // Model-based quality filtering (fastText-style linear classifier
+    // INFERENCE): hashed bag-of-words (FNV-1a 64 mod 4096) against a
+    // deterministic fixed-point weight table (the trained artifact — here a
+    // pseudo-random milli-weight per bucket so both engines rebuild it),
+    // integer score sum + bias, keep = score >= 0. Exercises hashing, the
+    // broadcast weight join, and the per-doc rollup with an exact oracle.
+    "q_quality_classifier" -> ((s, dir) => {
+      val weights = s.range(4096).select(col("id").cast("int").as("bucket"),
+        ((col("id") * 2654435761L) % 4097L - 2048L).as("w_milli"))
+      graft.operators.Quality.classifierScore(
+        t(s, dir, "documents"), "text", "doc_id", weights, dim = 4096,
+        biasMilli = 100L, thresholdMilli = 0L)
+        .orderBy("doc_id")
+    }),
     // Gopher §A1.1 quality-rule battery — integer metrics + per-rule booleans
     // + conjunction, one codegen'd pass. The sf corpus varies the word-count
     // rule (30-99 tokens vs minWords=50), the mean-word-length boundaries,
@@ -2091,6 +2105,17 @@ object SparkEntry {
         "r AS (SELECT *, CAST(pos % 8 AS INT) AS shard FROM q), " +
         "f AS (SELECT *, CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM r) " +
         "SELECT doc_id, token_ids_s, n_tokens, n_oov, shard, pos, tokens_before, tokens_before // 256 AS seq_id FROM f ORDER BY doc_id"),
+    // classifier twin: same pseudo-random milli-weight table, the fnv chain
+    // replayed per WORD (unsigned HUGEINT % 4096 == the signed nonneg
+    // residue because 4096 divides 2^64), integer sum + bias
+    "q_quality_classifier" ->
+      ("WITH w AS (SELECT CAST(i AS INT) AS bucket, (i * 2654435761) % 4097 - 2048 AS wm FROM unnest(range(4096)) t(i)), " +
+        "tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0)) AS word FROM documents), " +
+        s"b AS (SELECT doc_id, CAST(${fnvSql("word")} % 4096 AS INT) AS bucket FROM tok), " +
+        "g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, CAST(sum(coalesce(w.wm, 0)) + 100 AS BIGINT) AS score_milli " +
+        "FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens, CAST(coalesce(g.score_milli, 100) AS BIGINT) AS score_milli, " +
+        "coalesce(g.score_milli, 100) >= 0 AS keep FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"),
     // gopher-quality twin: identical integer rule arithmetic (milli mean via
     // floor division, cross-multiplied fractions, char-wise symbol counts
     // with the three-dot ellipsis counted once per triple)

@@ -270,6 +270,67 @@ object Quality {
         coalesce(col("n_oov"), lit(0)).as("n_oov"))
   }
 
+  /** MODEL-BASED QUALITY FILTERING inference (the fastText-style linear
+    * classifier stage of GPT-3/LLaMA-family pipelines — "does this look like
+    * reference text?"): score = bias + Σ over tokens of w[h(token) mod dim],
+    * hashed bag-of-words features (FNV-1a 64 of the lowercased word, nonneg
+    * residue; `dim` must be a power of two so the signed-vs-unsigned residue
+    * agrees across engines) against a trained weight TABLE in FIXED-POINT
+    * integer milli-units — the sum is exact integer arithmetic, so the score
+    * (and therefore the keep decision) is engine-, layout- and rerun-exact,
+    * immune to float summation order. Training happens elsewhere; this is
+    * the inference operator (weights = any (bucket int, w_milli long) frame).
+    *
+    * Output: (idCol, n_tokens, score_milli, keep) with keep = score >=
+    * thresholdMilli; an empty doc scores the bias alone.
+    *
+    * Scale shape: tokens hash in a NARROW flatMap (no shuffle on the token),
+    * the weight table broadcasts (maxWeightRows guard — the enrichStream
+    * pattern for explicit broadcast hints), and the per-doc rollup is one
+    * map-side-combined groupBy on the doc id. Missing buckets weigh 0.
+    */
+  def classifierScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      weights: DataFrame,
+      dim: Int,
+      biasMilli: Long = 0L,
+      thresholdMilli: Long = 0L,
+      maxWeightRows: Int = 10000000
+  ): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim=$dim must be a positive power of two (unsigned/signed residue parity)")
+    require(maxWeightRows > 0, s"maxWeightRows=$maxWeightRows out of range")
+    val probe = weights.limit(maxWeightRows + 1).count()
+    require(probe <= maxWeightRows,
+      s"weights exceed maxWeightRows=$maxWeightRows — a weight table this large " +
+        "belongs in a shuffle join, not a broadcast")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.select(col(weights.columns(0)).cast("int").as("_bucket"),
+      col(weights.columns(1)).cast("long").as("_w"))
+    val feats = df.select(col(idCol).cast("long").as("_id"),
+        lower(trim(col(textCol))).as("_t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.split("\\s+").iterator.filter(_.nonEmpty).map { word =>
+          val h = graft.functions.TextFunctions.fnv1a64(word)
+          (id, (((h % dim) + dim) % dim).toInt)
+        }
+      }
+      .toDF("_id", "_bucket")
+    val scored = feats.join(broadcast(w), Seq("_bucket"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        (sum(coalesce(col("_w"), lit(0L))) + lit(biasMilli)).as("score_milli"))
+    df.select(col(idCol).cast("long").as("_id")).join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("score_milli"), lit(biasMilli)).as("score_milli"))
+      .withColumn("keep", col("score_milli") >= thresholdMilli)
+  }
+
   /** Apply a LEARNED BPE merge table to every document: lowercased whitespace
     * words (the same tokenization [[bpeTrain]] trains on), each word greedily
     * merged by every (lhs, rhs) in merge order ([[mergeGreedy]] — the exact

@@ -495,6 +495,40 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierScore: hashed-feature integer scores re-derive exactly; guards fire") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "Alpha  ALPHA alpha"), // case folding + repeated feature
+      (3L, "")                    // empty doc scores the bias alone
+    ).toDF("doc_id", "text")
+    val dim = 4096
+    val weights = spark.range(dim).select($"id".cast("int").as("bucket"),
+      (($"id" * 2654435761L) % 4097L - 2048L).as("w_milli"))
+    val out = Quality.classifierScore(docs, "text", "doc_id", weights, dim,
+      biasMilli = 100L, thresholdMilli = 0L)
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def wOf(word: String): Long = {
+      val h = graft.functions.TextFunctions.fnv1a64(word.toLowerCase)
+      val b = ((h % dim) + dim) % dim
+      (b * 2654435761L) % 4097L - 2048L
+    }
+    val s1 = 100L + Seq("alpha", "beta", "gamma").map(wOf).sum
+    val s2 = 100L + 3 * wOf("alpha")
+    assert(out(1L) == ((3, s1, s1 >= 0)), s"doc 1: ${out(1L)} != $s1")
+    assert(out(2L) == ((3, s2, s2 >= 0)), s"doc 2: ${out(2L)} != $s2")
+    assert(out(3L) == ((0, 100L, true)))
+    // guards: non-power-of-two dim; oversized weight table
+    intercept[IllegalArgumentException] {
+      Quality.classifierScore(docs, "text", "doc_id", weights, dim = 1000)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Quality.classifierScore(docs, "text", "doc_id", weights, dim, maxWeightRows = 10)
+    }
+    assert(e.getMessage.contains("maxWeightRows"))
+  }
+
   test("epochMix: under-share domains replicate across epochs, realized counts track targets") {
     import spark.implicits._
     // 9000 web / 1000 books; books targeted at 0.5 share -> epochs = 5.0
