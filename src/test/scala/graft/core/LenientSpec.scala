@@ -527,7 +527,14 @@ class LenientSpec extends AnyFunSuite {
         "objstm mutation fuzz target words", compress = false)),
       ("objstm-perm", 15, graft.pipeline.MiniPdf.synthesizeObjStm(
         "objstm mutation fuzz target words", memberOrder = Seq(4, 2, 0, 3, 1),
-        sep = "", firstPad = 3, compress = false)))
+        sep = "", firstPad = 3, compress = false)),
+      // compressed container: flips land in DEFLATE bytes — corrupt-zlib
+      // decode must fail as PdfParseException, never leak a raw
+      // DataFormatException (this is lenient-only surface, so no inflate-stub
+      // vs JDK-Inflater comparison concern applies here — the gate is the
+      // engine contract, not parity)
+      ("objstm-flate", 16, graft.pipeline.MiniPdf.synthesizeObjStm(
+        "objstm mutation fuzz target words", compress = true)))
     bases.foreach { case (name, seed, base) =>
       val rnd = new scala.util.Random(seed)
       var ok = 0

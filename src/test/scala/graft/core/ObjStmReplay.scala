@@ -2,13 +2,16 @@ package graft.core
 
 /** Dev replay for the LENIENT ObjStm mutation fuzz (LenientSpec "ObjStm
   * MUTATION" — MutProbe replays the same seed-14 raw base under STRICT).
-  * Usage: Test/runMain graft.core.ObjStmReplay <index> [raw|perm]
+  * Usage: Test/runMain graft.core.ObjStmReplay <index> [raw|perm|flate]
   */
 object ObjStmReplay {
   def main(args: Array[String]): Unit = {
     val target = args(0).toInt
     val (base, seed) =
-      if (args.length > 1 && args(1) == "perm")
+      if (args.length > 1 && args(1) == "flate")
+        (graft.pipeline.MiniPdf.synthesizeObjStm("objstm mutation fuzz target words",
+          compress = true), 16)
+      else if (args.length > 1 && args(1) == "perm")
         (graft.pipeline.MiniPdf.synthesizeObjStm("objstm mutation fuzz target words",
           memberOrder = Seq(4, 2, 0, 3, 1), sep = "", firstPad = 3, compress = false), 15)
       else
