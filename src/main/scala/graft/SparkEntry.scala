@@ -879,6 +879,43 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // CURATION v4 — the round-8 operators composed as one modern funnel over
+    // a crawl-with-duplicates (every doc and its embedding appear again at
+    // +10000): model-based quality filter (classifierScore keep) ->
+    // SEMANTIC dedup over the survivors' embeddings (semDedup: planted
+    // copies drop, min-id originals keep) -> duplication-aware epoch mix
+    // (en thins, zh/de replicate; salt 27) -> deterministic 90/5/5 split
+    // (salt 29 — a doc's every epoch lands in ONE split: no train/val
+    // leakage through replication). The twin replays the entire chain in
+    // one DuckDB query from the dumped centroids.
+    "q_curation_v4" -> ((s, dir) => {
+      import s.implicits._
+      tagOracle(dir)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val docs2 = docs.select($"doc_id", $"lang", $"text")
+        .union(docs.select(($"doc_id" + 10000).as("doc_id"), $"lang", $"text"))
+      val emb2 = emb.select($"vec_id", $"embedding")
+        .union(emb.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      val weights = s.range(4096).select($"id".cast("int").as("bucket"),
+        (($"id" * 2654435761L) % 4097L - 2048L).as("w_milli"))
+      val cls = graft.operators.Quality.classifierScore(
+          docs2, "text", "doc_id", weights, dim = 4096, biasMilli = 100L)
+        .where($"keep").select($"doc_id", $"score_milli")
+      val clsDocs = docs2.select($"doc_id", $"lang").join(cls, "doc_id")
+      val sem = Similarity.semDedup(
+          emb2.join(clsDocs.select($"doc_id".as("vec_id")), "vec_id"),
+          k = 8, centroidsOut = dumpPath(SemDedupV4CentroidsPath))
+        .where($"keep").select($"vec_id".as("doc_id"))
+      val surv = clsDocs.join(sem, "doc_id")
+      val mixed = graft.operators.Sampling.epochMix(surv, "doc_id", "lang",
+        Map("en" -> 0.3, "zh" -> 0.3, "de" -> 0.2), salt = 27L)
+      graft.operators.Sampling.splitAssign(mixed, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = 29L)
+        .select($"doc_id", $"lang", $"epoch", $"split", $"score_milli")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ---- similarity search ----------------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
@@ -1634,6 +1671,11 @@ object SparkEntry {
     */
   def SemDedupCentroidsPath: String = s"$oracleRoot/semdedup_centroids"
 
+  /** q_curation_v4's own semDedup centroid dump (per-query path — no
+    * cross-query ordering assumption).
+    */
+  def SemDedupV4CentroidsPath: String = s"$oracleRoot/semdedup_v4_centroids"
+
   /** q_tokenize_bpe's learned merge table — the twin replays merge
     * application, vocab construction, id assignment, and packing from
     * exactly these (merge_idx, lhs, rhs) rows (bpeTrain itself is spec-gated
@@ -2105,6 +2147,50 @@ object SparkEntry {
         "r AS (SELECT *, CAST(pos % 8 AS INT) AS shard FROM q), " +
         "f AS (SELECT *, CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM r) " +
         "SELECT doc_id, token_ids_s, n_tokens, n_oov, shard, pos, tokens_before, tokens_before // 256 AS seq_id FROM f ORDER BY doc_id"),
+    // curation v4 twin: classifier keep (fnv chain + weight table over the
+    // doubled corpus) -> semDedup keep (assignment from the dumped v4
+    // centroids, smaller-id max-cosine, micro threshold) -> epoch mix at
+    // salt 27 over the survivors -> split cut points at salt 29, all in one
+    // WITH chain
+    "q_curation_v4" ->
+      (s"WITH w AS (SELECT CAST(i AS INT) AS bucket, (i * 2654435761) % 4097 - 2048 AS wm FROM unnest(range(4096)) t(i)), " +
+        "d0 AS (SELECT doc_id, lang, text FROM documents UNION ALL SELECT doc_id + 10000, lang, text FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0)) AS word FROM d0), " +
+        s"b AS (SELECT doc_id, CAST(${fnvSql("word")} % 4096 AS INT) AS bucket FROM tok), " +
+        "g AS (SELECT doc_id, CAST(sum(coalesce(w.wm, 0)) + 100 AS BIGINT) AS score_milli FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id), " +
+        "cls AS (SELECT d0.doc_id, d0.lang, CAST(coalesce(g.score_milli, 100) AS BIGINT) AS score_milli " +
+        "FROM d0 LEFT JOIN g USING (doc_id) WHERE coalesce(g.score_milli, 100) >= 0), " +
+        s"c AS (SELECT cluster, centroid FROM read_parquet('$SemDedupV4CentroidsPath/*.parquet')), " +
+        "u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings), " +
+        "ue AS (SELECT u.vec_id, u.embedding FROM u JOIN cls ON cls.doc_id = u.vec_id), " +
+        "sa AS (SELECT vec_id, cluster FROM (SELECT ue.vec_id, c.cluster, " +
+        "row_number() OVER (PARTITION BY ue.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(ue.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) DESC, c.cluster ASC) AS rn " +
+        "FROM ue CROSS JOIN c) WHERE rn = 1), " +
+        "e2 AS (SELECT sa.vec_id, sa.cluster, ue.embedding FROM sa JOIN ue USING (vec_id)), " +
+        "pp AS (SELECT a.vec_id AS vid, " +
+        "max(CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) * 1000000) AS BIGINT)) AS nn " +
+        "FROM e2 a JOIN e2 b2 ON a.cluster = b2.cluster AND b2.vec_id < a.vec_id GROUP BY a.vec_id), " +
+        "surv AS (SELECT cls.doc_id, cls.lang, cls.score_milli FROM cls LEFT JOIN pp ON pp.vid = cls.doc_id " +
+        "WHERE pp.nn IS NULL OR pp.nn < 950000), " +
+        "cc AS (SELECT lang, count(*) AS cn FROM surv GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(cn) AS BIGINT) AS n FROM cc), " +
+        "sh AS (SELECT * FROM (VALUES ('en', CAST(0.3 AS DOUBLE)), ('zh', CAST(0.3 AS DOUBLE)), " +
+        "('de', CAST(0.2 AS DOUBLE))) s(lang, share)), " +
+        "f AS (SELECT cc.lang, sh.share * CAST(n AS DOUBLE) / CAST(cn AS DOUBLE) AS epochs FROM cc JOIN sh USING (lang) CROSS JOIN tot), " +
+        "g2 AS (SELECT lang, CAST(floor(epochs) AS INT) AS n_full, CAST(round((epochs - floor(epochs)) * 4294967296.0) AS BIGINT) AS thresh FROM f), " +
+        "p1 AS (SELECT s2.doc_id, s2.lang, s2.score_milli, g2.n_full, g2.thresh, " +
+        "((((s2.doc_id % 2147483648) + 2147483648) % 2147483648) + 27) % 2147483648 AS s0 FROM surv s2 JOIN g2 USING (lang)), " +
+        "h1c AS (SELECT *, (s0 * 2654435761) % 4294967296 AS h1 FROM p1), " +
+        "m1c AS (SELECT *, xor(h1, h1 >> 16) AS m1 FROM h1c), " +
+        "q1 AS (SELECT doc_id, lang, score_milli, n_full + CASE WHEN ((m1 % 2147483648) * 2246822519) % 4294967296 < thresh THEN 1 ELSE 0 END AS ne FROM m1c), " +
+        "ex AS (SELECT doc_id, lang, score_milli, CAST(i AS INT) AS epoch FROM q1, unnest(range(ne)) AS t(i) WHERE ne > 0), " +
+        "p2 AS (SELECT *, ((((doc_id % 2147483648) + 2147483648) % 2147483648) + 29) % 2147483648 AS s0b FROM ex), " +
+        "h2 AS (SELECT *, (s0b * 2654435761) % 4294967296 AS h1b FROM p2), " +
+        "m2 AS (SELECT *, xor(h1b, h1b >> 16) AS m1b FROM h2), " +
+        "q2 AS (SELECT doc_id, lang, score_milli, epoch, ((m1b % 2147483648) * 2246822519) % 4294967296 AS hv FROM m2) " +
+        "SELECT doc_id, lang, epoch, CASE WHEN hv < 3865470566 THEN 'train' WHEN hv < 4080218931 THEN 'val' ELSE 'test' END AS split, score_milli " +
+        "FROM q2 ORDER BY doc_id, epoch"),
     // classifier twin: same pseudo-random milli-weight table, the fnv chain
     // replayed per WORD (unsigned HUGEINT % 4096 == the signed nonneg
     // residue because 4096 divides 2^64), integer sum + bias
