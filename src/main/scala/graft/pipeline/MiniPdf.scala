@@ -331,9 +331,11 @@ object MiniPdf {
       memberOrder: Seq[Int] = 0 until 5,
       sep: String = "\n",
       firstPad: Int = 0,
-      compress: Boolean = true
+      compress: Boolean = true,
+      containers: Int = 1
   ): Array[Byte] = {
     require(memberOrder.sorted == (0 until 5), s"memberOrder must permute 0..4: $memberOrder")
+    require(containers >= 1 && containers <= 5, s"containers=$containers out of 1..5")
     val baseMembers = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -341,20 +343,28 @@ object MiniPdf {
       5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
       6 -> s"<< /Title (${escapeLiteral(titleOf(text))}) /Author (graft) /Creator (minipdf) >>")
     val members = memberOrder.map(baseMembers)
-    val bodies = members.map(_._2.getBytes(ISO_8859_1))
-    val rel = bodies.scanLeft(firstPad)(_ + _.length + sep.length).init
-    val header = members.zip(rel).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
-    val objStmData = header.getBytes(ISO_8859_1) ++ (" " * firstPad).getBytes(ISO_8859_1) ++
-      bodies.flatMap(b => b ++ sep.getBytes(ISO_8859_1))
-    val first = header.length
-    val stmBytes =
-      if (compress) {
-        val d = new java.util.zip.Deflater(6)
-        d.setInput(objStmData); d.finish()
-        val buf = new Array[Byte](objStmData.length + 64)
-        val m = d.deflate(buf); d.end()
-        java.util.Arrays.copyOf(buf, m)
-      } else objStmData
+    // round-robin the (already permuted) members across N containers — real
+    // producers split type-2 objects over several /Type /ObjStm streams
+    val byContainer: Seq[Seq[(Int, String)]] =
+      (0 until containers).map(c => members.zipWithIndex.collect {
+        case (m, i) if i % containers == c => m
+      })
+    def buildStm(ms: Seq[(Int, String)]): (Array[Byte], Int) = {
+      val bodies = ms.map(_._2.getBytes(ISO_8859_1))
+      val rel = bodies.scanLeft(firstPad)(_ + _.length + sep.length).init
+      val header = ms.zip(rel).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+      val data = header.getBytes(ISO_8859_1) ++ (" " * firstPad).getBytes(ISO_8859_1) ++
+        bodies.flatMap(b => b ++ sep.getBytes(ISO_8859_1))
+      val stm =
+        if (compress) {
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(data); d.finish()
+          val buf = new Array[Byte](data.length + 64)
+          val m = d.deflate(buf); d.end()
+          java.util.Arrays.copyOf(buf, m)
+        } else data
+      (stm, header.length)
+    }
     val content = s"BT\n70 50 TD\n/F1 12 Tf\n(${escapeLiteral(text)}) Tj\nET\n"
       .getBytes(ISO_8859_1)
     val out = new java.io.ByteArrayOutputStream()
@@ -363,28 +373,39 @@ object MiniPdf {
     val off4 = out.size()
     w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
     out.write(content); w("\nendstream\nendobj\n")
-    val off7 = out.size()
-    w(s"7 0 obj\n<< /Type /ObjStm /N ${members.length} /First $first " +
-      (if (compress) "/Filter /FlateDecode " else "") +
-      s"/Length ${stmBytes.length} >>\nstream\n")
-    out.write(stmBytes); w("\nendstream\nendobj\n")
-    val off8 = out.size()
-    // pair index of each member object under the chosen order
-    val pairIdx = members.map(_._1).zipWithIndex.toMap
+    // containers are objects 7 .. 6+N; the xref stream is 7+N
+    val containerObjs = (0 until containers).map(7 + _)
+    val containerOffs = byContainer.zip(containerObjs).map { case (ms, objNum) =>
+      val off = out.size()
+      val (stm, first) = buildStm(ms)
+      w(s"$objNum 0 obj\n<< /Type /ObjStm /N ${ms.length} /First $first " +
+        (if (compress) "/Filter /FlateDecode " else "") +
+        s"/Length ${stm.length} >>\nstream\n")
+      out.write(stm); w("\nendstream\nendobj\n")
+      off
+    }
+    val xrefObj = 7 + containers
+    val offXref = out.size()
+    // (container, pair index) of each member object under the chosen layout
+    val where: Map[Int, (Int, Int)] = byContainer.zipWithIndex.flatMap {
+      case (ms, c) => ms.map(_._1).zipWithIndex.map { case (num, i) => num -> ((containerObjs(c), i)) }
+    }.toMap
     val rows = new java.io.ByteArrayOutputStream()
     def row(t: Int, mid: Int, lo: Int): Unit = {
       rows.write(t); rows.write((mid >> 16) & 0xff); rows.write((mid >> 8) & 0xff)
       rows.write(mid & 0xff); rows.write(lo)
     }
-    row(2, 7, pairIdx(1)); row(2, 7, pairIdx(2)); row(2, 7, pairIdx(3)) // 1 2 3
+    def memberRow(num: Int): Unit = { val (c, i) = where(num); row(2, c, i) }
+    memberRow(1); memberRow(2); memberRow(3)
     row(1, off4, 0) // 4
-    row(2, 7, pairIdx(5)); row(2, 7, pairIdx(6)) // 5 6
-    row(1, off7, 0); row(1, off8, 0) // 7 8
+    memberRow(5); memberRow(6)
+    containerOffs.foreach(off => row(1, off, 0)) // 7 .. 6+N
+    row(1, offXref, 0) // the xref stream itself
     val rb = rows.toByteArray
-    w(s"8 0 obj\n<< /Type /XRef /Size 9 /Index [1 8] /W [1 3 1] /Root 1 0 R /Info 6 0 R " +
-      s"/Length ${rb.length} >>\nstream\n")
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /Index [1 $xrefObj] /W [1 3 1] " +
+      s"/Root 1 0 R /Info 6 0 R /Length ${rb.length} >>\nstream\n")
     out.write(rb); w("\nendstream\nendobj\n")
-    w(s"startxref\n$off8\n%%EOF")
+    w(s"startxref\n$offXref\n%%EOF")
     out.toByteArray
   }
 

@@ -505,9 +505,12 @@ class LenientSpec extends AnyFunSuite {
       val sep = Seq("\n", " ", "\r\n", "")(rnd.nextInt(4))
       val pad = rnd.nextInt(8)
       val compress = rnd.nextBoolean()
-      val pdf = graft.pipeline.MiniPdf.synthesizeObjStm(text, order, sep, pad, compress)
+      // 1..5 containers: real producers split type-2 objects over several
+      // /Type /ObjStm streams (round-8 widening of the axis)
+      val nc = 1 + rnd.nextInt(5)
+      val pdf = graft.pipeline.MiniPdf.synthesizeObjStm(text, order, sep, pad, compress, nc)
       assert(Pdf.lenient(pdf).extract(ExtractText) == text,
-        s"variant $i (order=$order sep=${sep.map(_.toInt).mkString(",")} pad=$pad compress=$compress)")
+        s"variant $i (order=$order sep=${sep.map(_.toInt).mkString(",")} pad=$pad compress=$compress containers=$nc)")
       assert(Pdf.lenient(pdf).readInfo.flatMap(_.author).contains("graft"), s"variant $i info")
       intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
     }
@@ -534,7 +537,10 @@ class LenientSpec extends AnyFunSuite {
       // vs JDK-Inflater comparison concern applies here — the gate is the
       // engine contract, not parity)
       ("objstm-flate", 16, graft.pipeline.MiniPdf.synthesizeObjStm(
-        "objstm mutation fuzz target words", compress = true)))
+        "objstm mutation fuzz target words", compress = true)),
+      // three containers: flips reach a MULTI-ObjStm pair-table/xref layout
+      ("objstm-multi", 17, graft.pipeline.MiniPdf.synthesizeObjStm(
+        "objstm mutation fuzz target words", compress = false, containers = 3)))
     bases.foreach { case (name, seed, base) =>
       val rnd = new scala.util.Random(seed)
       var ok = 0
