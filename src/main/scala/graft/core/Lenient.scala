@@ -216,7 +216,10 @@ object Lenient {
     * flate data, multi-pair /Index.
     */
   private def parseStreamSection(raw: Array[Byte], offset: Int): Section = {
-    val ctx = new Ctx(raw, XRef.default)
+    // lenient ctx: the stream body must be read SPEC-EXACTLY (the strict
+    // whitespace-skip eats a leading NUL row byte under wide /W fields —
+    // round-8 W-width sweep find; Lexer.nextNExact)
+    val ctx = new Ctx(raw, XRef.default, lenient = true)
     val s = ObjParser.parse(Lemmatizer(raw, offset, ctx)) match {
       case ps: PStream => ps
       case o           => Err.fail(s"xref stream expected, found $o")

@@ -118,6 +118,26 @@ final class PdfTokenizer(val bytes: Array[Byte], var pos: Int) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** SPEC-EXACT stream-body read (PDF 32000-1 §7.3.8: data begins after the
+    * single CRLF or LF following the `stream` keyword) — LENIENT-ONLY. The
+    * strict path keeps the reference's skip-ALL-whitespace clone ([[nextN]],
+    * tokenizer.rs:173-185), which EATS leading stream bytes that happen to
+    * be NUL/space/EOL: found by the round-8 W-width ObjStm layout sweep —
+    * an uncompressed xref-stream row under /W [2 ...] legitimately begins
+    * 0x00 (NUL = PDF whitespace), and the whitespace-skip read the table one
+    * byte short ("entry type 512"). Real strict-shaped corpora never hit
+    * this (Flate data starts 0x78, content streams start with an operator),
+    * so strict keeps byte fidelity while lenient reads per the spec.
+    * Negative/oversized lengths clamp to EOF exactly like nextN.
+    */
+  def nextNExact(length: Int): Array[Byte] = {
+    if (pos < bytes.length && bytes(pos) == '\r') pos += 1
+    if (pos < bytes.length && bytes(pos) == '\n') pos += 1
+    val end = if (length < 0) bytes.length
+              else math.min(pos.toLong + length, bytes.length.toLong).toInt
+    Arrays.copyOfRange(bytes, pos, math.max(pos, end))
+  }
+
   /** Next token or null at end — tokenizer.rs:204-374. Hot path: single-pass
     * scans that slice the backing array once per token (no per-byte buffers);
     * the escape-bearing literal-string path falls back to a build buffer.
@@ -418,7 +438,10 @@ object PdfTokenizer {
   * appears to end (tokenizer.rs:122-155 control flow).
   */
 final class Lemmatizer(val tok: PdfTokenizer, val ctx: Ctx) {
-  def nextN(length: Int): Array[Byte] = tok.nextN(length)
+  // lenient ctx reads stream bodies spec-exactly (see PdfTokenizer.nextNExact);
+  // strict keeps the reference's whitespace-skip byte for byte
+  def nextN(length: Int): Array[Byte] =
+    if (ctx != null && ctx.lenient) tok.nextNExact(length) else tok.nextN(length)
 
   def next(): Tok = {
     var t = tok.next()

@@ -332,10 +332,15 @@ object MiniPdf {
       sep: String = "\n",
       firstPad: Int = 0,
       compress: Boolean = true,
-      containers: Int = 1
+      containers: Int = 1,
+      wWidths: (Int, Int, Int) = (1, 3, 1)
   ): Array[Byte] = {
     require(memberOrder.sorted == (0 until 5), s"memberOrder must permute 0..4: $memberOrder")
     require(containers >= 1 && containers <= 5, s"containers=$containers out of 1..5")
+    // w1 >= 1 (type-2 member rows can't use the implied-type-1 zero width);
+    // w2 must hold the byte offsets, w3 the pair indexes
+    require(wWidths._1 >= 1 && wWidths._1 <= 4 && wWidths._2 >= 2 && wWidths._2 <= 4
+      && wWidths._3 >= 1 && wWidths._3 <= 4, s"unsupported /W $wWidths")
     val baseMembers = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -391,9 +396,13 @@ object MiniPdf {
       case (ms, c) => ms.map(_._1).zipWithIndex.map { case (num, i) => num -> ((containerObjs(c), i)) }
     }.toMap
     val rows = new java.io.ByteArrayOutputStream()
+    def field(v: Int, width: Int): Unit = {
+      require(width == 4 || v < (1 << (8 * width)), s"value $v overflows /W field width $width")
+      var k = width - 1
+      while (k >= 0) { rows.write((v >>> (8 * k)) & 0xff); k -= 1 }
+    }
     def row(t: Int, mid: Int, lo: Int): Unit = {
-      rows.write(t); rows.write((mid >> 16) & 0xff); rows.write((mid >> 8) & 0xff)
-      rows.write(mid & 0xff); rows.write(lo)
+      field(t, wWidths._1); field(mid, wWidths._2); field(lo, wWidths._3)
     }
     def memberRow(num: Int): Unit = { val (c, i) = where(num); row(2, c, i) }
     memberRow(1); memberRow(2); memberRow(3)
@@ -402,7 +411,8 @@ object MiniPdf {
     containerOffs.foreach(off => row(1, off, 0)) // 7 .. 6+N
     row(1, offXref, 0) // the xref stream itself
     val rb = rows.toByteArray
-    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /Index [1 $xrefObj] /W [1 3 1] " +
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /Index [1 $xrefObj] " +
+      s"/W [${wWidths._1} ${wWidths._2} ${wWidths._3}] " +
       s"/Root 1 0 R /Info 6 0 R /Length ${rb.length} >>\nstream\n")
     out.write(rb); w("\nendstream\nendobj\n")
     w(s"startxref\n$offXref\n%%EOF")

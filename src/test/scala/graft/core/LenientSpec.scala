@@ -508,9 +508,12 @@ class LenientSpec extends AnyFunSuite {
       // 1..5 containers: real producers split type-2 objects over several
       // /Type /ObjStm streams (round-8 widening of the axis)
       val nc = 1 + rnd.nextInt(5)
-      val pdf = graft.pipeline.MiniPdf.synthesizeObjStm(text, order, sep, pad, compress, nc)
+      // variable /W field widths — every (type, offset, index) byte width
+      // the lenient decoder claims to support
+      val ws = (1 + rnd.nextInt(2), 2 + rnd.nextInt(3), 1 + rnd.nextInt(2))
+      val pdf = graft.pipeline.MiniPdf.synthesizeObjStm(text, order, sep, pad, compress, nc, ws)
       assert(Pdf.lenient(pdf).extract(ExtractText) == text,
-        s"variant $i (order=$order sep=${sep.map(_.toInt).mkString(",")} pad=$pad compress=$compress containers=$nc)")
+        s"variant $i (order=$order sep=${sep.map(_.toInt).mkString(",")} pad=$pad compress=$compress containers=$nc W=$ws)")
       assert(Pdf.lenient(pdf).readInfo.flatMap(_.author).contains("graft"), s"variant $i info")
       intercept[PdfParseException](Pdf(pdf).extract(ExtractText))
     }

@@ -523,11 +523,16 @@ class QuirkDifferentialSpec extends AnyFunSuite {
         case _ => ()
       }
       val content = s"BT\n70 50 TD\n/F1 12 Tf\n$tj(tail) Tj\nET\n"
-      val pdf =
-        if (i % 2 == 0) graft.pipeline.MiniPdf.synthesizeRawContent(content)
-        else graft.pipeline.MiniPdf.synthesizeWithCMap(content,
+      val pdf = (i % 3) match {
+        case 0 => graft.pipeline.MiniPdf.synthesizeRawContent(content)
+        case 1 => graft.pipeline.MiniPdf.synthesizeWithCMap(content,
           "3 beginbfchar <41> <0058> <42> <0059> <43> <005A> endbfchar")
-      val shape = if (i % 2 == 0) "plain" else "cmap"
+        case _ => graft.pipeline.MiniPdf.synthesizeWithCMap(content,
+          // two-byte codespace: hex codes pair up, odd tails pad — the other
+          // TJ-with-cmap assembly route
+          "2 beginbfchar <0041> <0058> <0042> <0059> endbfchar", twoByte = true)
+      }
+      val shape = Seq("plain", "cmap", "cmap2")(i % 3)
       check(RefBinary.parity(s"tj-$i-$shape", pdf, ExtractChars, "chars"))
       check(RefBinary.parity(s"tj-$i-$shape", pdf, ExtractText, "text"))
       checkSpans(s"tj-$i-$shape", pdf)
