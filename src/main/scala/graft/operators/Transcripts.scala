@@ -58,10 +58,16 @@ object Transcripts {
       roleCol: String,
       textCol: String
   ): DataFrame = {
-    val segLen = length(renderTurn(col(roleCol), col(textCol))).cast("long")
-    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    val seg = renderTurn(col(roleCol), col(textCol))
+    // order ties on a duplicate turn_idx by the rendered segment itself —
+    // the SAME total order renderDocs' sort_array(struct(idx, seg)) uses,
+    // so the sidecar can never disagree with the document on tie layout
+    // (a window ordered by idx alone would leave tied rows in
+    // partition-dependent order — rerun-nondeterministic offsets)
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol), col("_seg"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(convCol), col(idxCol), col(roleCol), segLen.as("_len"))
+    df.select(col(convCol), col(idxCol), col(roleCol),
+        seg.as("_seg"), length(seg).cast("long").as("_len"))
       .withColumn("char_start", coalesce(sum(col("_len")).over(w), lit(0L)))
       .select(col(convCol), col(idxCol), col(roleCol),
         col("char_start"),

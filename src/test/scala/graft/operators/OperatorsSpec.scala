@@ -417,6 +417,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
     // spans tile the doc exactly (no gaps/overlap)
     assert(offs.filter(_._1._1 == 1L).values.map(v => v._3 - v._2).sum == docs(1L).length)
+    // DUPLICATE turn_idx: ties order by the rendered segment (the same total
+    // order renderDocs uses), so doc and sidecar agree and offsets are
+    // rerun/layout-deterministic
+    val dup = Seq((5L, 0, "user", "bbb"), (5L, 0, "user", "aaa"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val dupDoc = Transcripts.renderDocs(dup, "conv_id", "turn_idx", "role", "text")
+      .as[(Long, String)].collect().toMap
+    assert(dupDoc(5L) == "<|user|>\naaa\n<|user|>\nbbb\n")
+    val dupOffs = Transcripts.turnOffsets(dup.repartition(4), "conv_id", "turn_idx", "role", "text")
+      .as[(Long, Int, String, Long, Long, Boolean)].collect().sortBy(_._4)
+    assert(dupOffs.map(r => dupDoc(5L).substring(r._4.toInt, r._5.toInt)).toSeq ==
+      Seq("<|user|>\naaa\n", "<|user|>\nbbb\n"))
   }
 
   test("semDedup: planted duplicates drop under the min-id rule; guard fires on collapsed clustering") {
