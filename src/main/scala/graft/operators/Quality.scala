@@ -252,6 +252,14 @@ object Quality {
     require(probe <= maxVocabRows,
       s"vocab exceeds maxVocabRows=$maxVocabRows — a vocabulary this large belongs " +
         "in a shuffle join, not a broadcast")
+    // a duplicate word would SILENTLY duplicate every occurrence through the
+    // join (inflating n_tokens and the id arrays) — fail loudly instead;
+    // the check is one more bounded job over the small-by-contract side
+    val distinctProbe = vocab.select(col(vocab.columns(0)))
+      .distinct().limit(maxVocabRows + 1).count()
+    require(distinctProbe == probe,
+      s"vocab has ${probe - distinctProbe} duplicate word keys — id assignment would " +
+        "silently duplicate tokens")
     val v = vocab.select(col(vocab.columns(0)).as("_tok"), col(vocab.columns(1)).cast("int").as("_tid"))
     val toks = df.select(col(idCol), posexplode(toksCol).as(Seq("_ord", "_tok")))
     val ids = toks.join(broadcast(v), Seq("_tok"), "left")
@@ -306,6 +314,13 @@ object Quality {
     require(probe <= maxWeightRows,
       s"weights exceed maxWeightRows=$maxWeightRows — a weight table this large " +
         "belongs in a shuffle join, not a broadcast")
+    // duplicate buckets would silently double-count every feature hit
+    // through the join — same loud-guard discipline as tokenizeWithVocabTable
+    val distinctProbe = weights.select(col(weights.columns(0)))
+      .distinct().limit(maxWeightRows + 1).count()
+    require(distinctProbe == probe,
+      s"weights have ${probe - distinctProbe} duplicate bucket keys — scores would " +
+        "silently double-count features")
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights.select(col(weights.columns(0)).cast("int").as("_bucket"),

@@ -190,6 +190,10 @@ object Sampling {
     require(targets.values.forall(w => w >= 0.0 && w <= 1.0),
       s"target shares must be in [0,1]: $targets")
     require(domainCounts.forall(_._1 != null), "NULL domain in domainCounts")
+    // a duplicate domain would make the CASE chain silently keep only the
+    // fold-last fraction — corpus-stats tables must key uniquely
+    require(domainCounts.map(_._1).distinct.length == domainCounts.length,
+      "duplicate domain in domainCounts")
     val total = domainCounts.map(_._2).sum
     val fracs: Seq[(String, Double)] = domainCounts.map { case (dom, c) =>
       val share = targets.getOrElse(dom, 0.0)

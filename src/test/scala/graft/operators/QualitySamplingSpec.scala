@@ -527,6 +527,24 @@ class QualitySamplingSpec extends AnyFunSuite {
       Quality.classifierScore(docs, "text", "doc_id", weights, dim, maxWeightRows = 10)
     }
     assert(e.getMessage.contains("maxWeightRows"))
+    // duplicate keys in the broadcast tables fail loudly instead of silently
+    // double-counting (classifier weights + tokenizer vocab + rebalance counts)
+    val dupW = weights.union(weights.limit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.classifierScore(docs, "text", "doc_id", dupW, dim)
+    }
+    assert(e2.getMessage.contains("duplicate bucket"))
+    val dupV = Seq(("alpha", 0), ("alpha", 1)).toDF("word", "tid")
+    val e3 = intercept[IllegalArgumentException] {
+      Quality.tokenizeWithVocabTable(docs.select($"doc_id", split($"text", " ").as("w")),
+        "doc_id", col("w"), dupV, oovId = 99)
+    }
+    assert(e3.getMessage.contains("duplicate word"))
+    val e4 = intercept[IllegalArgumentException] {
+      Sampling.rebalanceWith(docs, "doc_id", "text", Map("x" -> 0.5),
+        Seq(("x", 1L), ("x", 2L)))
+    }
+    assert(e4.getMessage.contains("duplicate domain"))
   }
 
   test("epochMix: under-share domains replicate across epochs, realized counts track targets") {
