@@ -321,20 +321,18 @@ object Quality {
     require(distinctProbe == probe,
       s"weights have ${probe - distinctProbe} duplicate bucket keys — scores would " +
         "silently double-count features")
-    val spark = df.sparkSession
-    import spark.implicits._
     val w = weights.select(col(weights.columns(0)).cast("int").as("_bucket"),
       col(weights.columns(1)).cast("long").as("_w"))
-    val feats = df.select(col(idCol).cast("long").as("_id"),
-        lower(trim(col(textCol))).as("_t"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        t.split("\\s+").iterator.filter(_.nonEmpty).map { word =>
-          val h = graft.functions.TextFunctions.fnv1a64(word)
-          (id, (((h % dim) + dim) % dim).toInt)
-        }
-      }
-      .toDF("_id", "_bucket")
+    // feature hashing as PURE column expressions: split/filter/explode plus
+    // the native codegen'd Fnv1a64Expr — the whole token->bucket pipeline
+    // stays inside whole-stage codegen (a typed flatMap here would insert a
+    // Serialize/DeserializeToObject boundary); pmod = the nonneg residue
+    val feats = df
+      .select(col(idCol).cast("long").as("_id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("_w0"))
+      .select(col("_id"),
+        pmod(graft.functions.FnvExpr.fnv1a64(col("_w0")), lit(dim.toLong)).cast("int").as("_bucket"))
     val scored = feats.join(broadcast(w), Seq("_bucket"), "left")
       .groupBy(col("_id"))
       .agg(count(lit(1)).cast("int").as("n_tokens"),

@@ -495,6 +495,38 @@ class QualitySamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("Fnv1a64Expr: native codegen expression matches the Scala hash bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("", "a", "alpha", "élève", "中文 words",
+      new String(Character.toChars(0x1F600)) + "mix") ++
+      (0 until 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(24)).mkString)
+    // codegen path (DataFrame projection)
+    val got = samples.toDF("s")
+      .select(graft.functions.FnvExpr.fnv1a64($"s").as("h"))
+      .as[Long].collect().toSeq
+    val want = samples.map(graft.functions.TextFunctions.fnv1a64)
+    assert(got == want, "codegen path diverged from TextFunctions.fnv1a64")
+    // interpreted path (direct eval) + null propagation
+    samples.take(20).foreach { s =>
+      val e = graft.functions.Fnv1a64Expr(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))
+      assert(e.eval(null) == graft.functions.TextFunctions.fnv1a64(s))
+    }
+    assert(graft.functions.Fnv1a64Expr(
+      Literal(null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+    // the classifier's feature stage stays in whole-stage codegen: no typed
+    // map boundary in the plan, and the native expression is present
+    val weights = spark.range(16).select($"id".cast("int").as("bucket"), $"id".as("w_milli"))
+    val plan = Quality.classifierScore(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "text", "doc_id", weights, dim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"typed-map boundary leaked into the classifier plan:\n${plan.take(800)}")
+    assert(plan.contains("graft_fnv1a64"), "native fnv expression missing from plan")
+  }
+
   test("classifierScore: hashed-feature integer scores re-derive exactly; guards fire") {
     import spark.implicits._
     val docs = Seq(
