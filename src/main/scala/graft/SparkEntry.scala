@@ -29,6 +29,43 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** State-store partition count for a STATEFUL streaming query, sized from
+    * the (known) input volume: streaming state partitioning is pinned at
+    * query start from `spark.sql.shuffle.partitions` (AQE never touches the
+    * stateful exchange), and EVERY micro-batch then commits one state-store
+    * delta file per partition — including the zero-row watermark-advance
+    * batches AvailableNow appends. Probe-measured here: the 32-partition
+    * default spent ~14 s of summed commit time per batch on a ~40k-row state,
+    * and even the empty finalization batch cost ~1 s of pure store commits.
+    * Sizing partitions to state volume (target rows per store, floor 1) is
+    * the scale-correct rule, not a local[32] trick: the cap at the session's
+    * configured width means a genuinely large stream keeps full parallelism,
+    * while a small one stops paying per-partition commit overhead it cannot
+    * use. (Production pipelines tune exactly this knob per stream for the
+    * same reason; state partition count is also FROZEN into the checkpoint,
+    * so it must be chosen per stream anyway.)
+    */
+  private def statePartitions(s: SparkSession, inputRows: Long,
+      rowsPerStore: Long = 50000L): Int = {
+    val configured = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(configured.toLong,
+      (inputRows + rowsPerStore - 1) / rowsPerStore)).toInt
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` = n — the ONLY way Spark
+    * exposes the state-store partition count (see [[statePartitions]]) —
+    * restoring the session's configured value afterwards. The conf is read
+    * once at streaming-query start, so only the stream started inside `f`
+    * sees it; the lazily-consumed batch DataFrames callers return plan under
+    * the restored session width.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Planted-overlap corpus for the LOOSE-threshold near-dup oracles (round 6
     * — VERDICT r5 #1): pairwise Jaccard is known BY CONSTRUCTION, so DuckDB
     * gets an exact-Jaccard twin at the thresholds a production dedup actually
@@ -69,6 +106,15 @@ object SparkEntry {
       .orderBy("payload_kind")
   }
 
+  /** r9 NOTE — no presentational output sorts: the driver's hash compare
+    * sorts rows before hashing (proven since the r6 q_pdf_chars swap and
+    * re-verified against tools/oracle_check.py, which mirrors it), so a
+    * trailing global orderBy bought nothing but a range-partitioning sample
+    * job + exchange + sort per query — the guide's §2.4 "orderBy used only
+    * to make output deterministic" accidental shuffle. Sorts that SELECT
+    * rows (orderBy ... limit top-k) and window orderings are semantic and
+    * stay.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction engine round-trips (the pdfrust-semantics core, end to end) --
     "q_pdf_roundtrip" -> ((s, dir) => {
@@ -77,7 +123,7 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, text) =>
           (id, Pdf(MiniPdf.synthesize(text)).extract(ExtractText))
         })
-        .toDF("doc_id", "extracted_text").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text")
     }),
     // CHARS-mode value check (round 6 — possible now that the chars format is
     // proven byte-exact against the reference binary, RefGoldenSpec): each doc
@@ -87,20 +133,24 @@ object SparkEntry {
     // the text alone (corpus is space+lowercase, so no Rust char escapes).
     "q_pdf_chars" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      // The hash exchange moved BEFORE the extraction map (r9): the documents
+      // table is one parquet split, so the per-glyph synthesize+extract kernel
+      // — the suite's densest per-row CPU — serialized into a single scan task
+      // (the pipeline's salted-repartition lesson, SURVEY P3; guide §2.5 input
+      // skew). Repartitioning first spreads the kernel across the cluster and
+      // already leaves the output hash-distributed by doc — the old POST-map
+      // repartition is then pure duplicate work and is gone. Row order within
+      // a partition is per-doc emission order; the driver's hash compare is
+      // order-normalized (VERDICT r6 §5), so no sort is owed at all.
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .repartition(col("doc_id")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           Pdf(MiniPdf.synthesize(text)).extract(ExtractChars)
             .split("\n", -1).iterator.zipWithIndex.collect {
               case (line, i) if line.nonEmpty => (id, i, line)
             }
         })
-        // Scale hygiene (VERDICT r6 §5): the driver's hash compare sorts rows
-        // before hashing, so a global orderBy of the exploded glyph table buys
-        // nothing but a full range-shuffle sort — repartition by doc and sort
-        // within the partition instead (deterministic per-doc line order, no
-        // global Exchange[RANGE]).
         .toDF("doc_id", "pos", "line")
-        .repartition(col("doc_id")).sortWithinPartitions("doc_id", "pos")
     }),
     // Full span-array contract, driver-checked on MULTI-Tj pages: each doc is
     // synthesized with one Tj per 40-char slice, and every span row (op, start,
@@ -117,7 +167,6 @@ object SparkEntry {
           }
         }
         .toDF("doc_id", "span_idx", "n_spans", "span_op", "span_start", "span_end")
-        .orderBy("doc_id", "span_idx")
     }),
     // Multi-PAGE join semantics (the correctness heart's tree rule, previously
     // fixture-gated only): each doc becomes one page per 100-char slice; page
@@ -129,7 +178,7 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, text) =>
           (id, Pdf(MiniPdf.synthesizeMultiPage(text, 100)).extract(ExtractText))
         })
-        .toDF("doc_id", "extracted_text").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text")
     }),
     "q_pdf_rawcontent" -> ((s, dir) => {
       import s.implicits._
@@ -137,7 +186,7 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, text) =>
           (id, Pdf(MiniPdf.synthesize(text)).extract(graft.core.ExtractRawContent))
         })
-        .toDF("doc_id", "raw_content").orderBy("doc_id")
+        .toDF("doc_id", "raw_content")
     }),
     "q_pdf_info" -> ((s, dir) => {
       import s.implicits._
@@ -147,7 +196,7 @@ object SparkEntry {
           (id, info.flatMap(_.title).orNull, info.flatMap(_.author).orNull,
             info.flatMap(_.creator).orNull)
         })
-        .toDF("doc_id", "title", "author", "creator").orderBy("doc_id")
+        .toDF("doc_id", "title", "author", "creator")
     }),
     "q_html_strip" -> ((s, dir) => {
       import s.implicits._
@@ -155,7 +204,7 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, text) =>
           (id, HtmlBoilerplate.extract(SynthGen.wrapHtml(text)).text)
         })
-        .toDF("doc_id", "extracted_text").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text")
     }),
     // LENIENT engine extension, end to end through the pipeline's
     // pdf-b64-lenient route: every doc becomes a PDF 1.5-shaped payload
@@ -169,7 +218,7 @@ object SparkEntry {
             MiniPdf.synthesizeXrefStreamBase64(text), "pdf-b64-lenient", null))
           (id, e.extracted_text, e.payload_kind, e.error == null)
         })
-        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok")
     }),
     // LENIENT filter extension end to end: every doc becomes a classic-xref PDF
     // whose CONTENT STREAM is ASCIIHexDecode- (even ids) or LZWDecode-encoded
@@ -186,7 +235,7 @@ object SparkEntry {
             MiniPdf.synthesizeFilteredBase64(text, f), "pdf-b64-lenient", null))
           (id, e.extracted_text, e.payload_kind, e.error == null)
         })
-        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok")
     }),
     // Encrypted METADATA end to end (round 5): R2/R3 documents RC4-encrypt
     // their Info strings (V1/V2 has no /StrF escape hatch), and the lenient
@@ -202,7 +251,7 @@ object SparkEntry {
           (id, info.flatMap(_.title).orNull, info.flatMap(_.author).orNull,
             info.flatMap(_.creator).orNull)
         })
-        .toDF("doc_id", "title", "author", "creator").orderBy("doc_id")
+        .toDF("doc_id", "title", "author", "creator")
     }),
     // PASSWORDED documents end to end (round 5): each doc encrypts under a
     // doc_id-derived password (R3/RC4-128, V4/AES-128, or R6/AES-256), half
@@ -221,7 +270,7 @@ object SparkEntry {
           val opened = Pdf.lenient(pdf, if (id % 2 == 0) user else owner)
           (id, opened.extract(ExtractText), true)
         })
-        .toDF("doc_id", "extracted_text", "ok").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text", "ok")
     }),
     // DCTDecode end to end (round 5): every doc becomes a PDF carrying a REAL
     // JPEG image XObject (JDK ImageIO encode) whose dict dims come from a pure
@@ -247,7 +296,6 @@ object SparkEntry {
         })
         .toDF("doc_id", "n_images", "img_width", "img_height", "px_width",
           "px_height", "bits", "colorspace", "extracted_text")
-        .orderBy("doc_id")
     }),
     // LENIENT decryption end to end: every doc becomes an ENCRYPTED PDF
     // (standard security handler, empty user password; doc_id mod 4 picks
@@ -270,7 +318,7 @@ object SparkEntry {
             MiniPdf.synthesizeEncryptedBase64(text, r), "pdf-b64-lenient", null))
           (id, e.extracted_text, e.payload_kind, e.error == null)
         })
-        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok")
     }),
     // LENIENT-TEXT operators end to end: every doc becomes a PDF whose content
     // stream shows 40-char lines via `'` / `"` move-shows after TL/Tw/Tz/Ts —
@@ -284,7 +332,7 @@ object SparkEntry {
             MiniPdf.synthesizeTextOpsBase64(text, 40), "pdf-b64-lenient-text", null))
           (id, e.extracted_text, e.payload_kind, e.error == null)
         })
-        .toDF("doc_id", "extracted_text", "payload_kind", "ok").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text", "payload_kind", "ok")
     }),
     "q_plain_identity" -> ((s, dir) => {
       import s.implicits._
@@ -293,7 +341,7 @@ object SparkEntry {
           val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user", text, "plain", null))
           (id, e.extracted_text, e.error == null)
         })
-        .toDF("doc_id", "extracted_text", "ok").orderBy("doc_id")
+        .toDF("doc_id", "extracted_text", "ok")
     }),
 
     // ---- text analysis -----------------------------------------------------------
@@ -303,7 +351,6 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.bpeTokenEstimate(col("text")).as("bpe_tokens"),
         length(col("text")).as("n_chars_obs"))
-        .orderBy("doc_id")
     }),
     "q_quality_counts" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -312,13 +359,12 @@ object SparkEntry {
         TextFunctions.nDigit(col("text")).as("n_digit"),
         TextFunctions.nPunct(col("text")).as("n_punct"),
         TextFunctions.nStopwords(col("text")).as("n_stop"))
-        .orderBy("doc_id")
     }),
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.map { case (id, text) => (id, TextFunctions.langId(text)) })
-        .toDF("doc_id", "lang_pred").orderBy("doc_id")
+        .toDF("doc_id", "lang_pred")
     }),
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -326,7 +372,7 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, text) =>
           (id, TextFunctions.fnv1a64(text), TextFunctions.rollingMinHash(text))
         })
-        .toDF("doc_id", "fnv64", "rolling_min").orderBy("doc_id")
+        .toDF("doc_id", "fnv64", "rolling_min")
     }),
 
     // PII redaction over planted URL/email/phone tokens (the corpus itself is
@@ -336,7 +382,6 @@ object SparkEntry {
         lit(" contact user@example.com via https://example.com/a?b=1 or +12025550000"))
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.redactPii(injected).as("redacted"))
-        .orderBy("doc_id")
     }),
     // Gopher-style repetition metrics as INTEGER counts (exactly reproducible):
     // planted duplication — each doc becomes (text \n text \n unique tail).
@@ -347,7 +392,6 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), nw.as("n_words"), ndw.as("n_distinct_words"),
           nl.as("n_lines"), ndl.as("n_distinct_lines"))
-        .orderBy("doc_id")
     }),
     // Format sniffing + auto-routing: unlabeled payloads (plain / HTML / base64
     // PDF by doc_id % 3) flow through the pipeline's "auto" tool and must both
@@ -369,7 +413,7 @@ object SparkEntry {
           val e = ExtractJob.extractTurn(Turn(id.toString, 0, "user", payload, "auto", null))
           (id, e.payload_kind, e.extracted_text, e.error == null)
         })
-        .toDF("doc_id", "payload_kind", "extracted_text", "ok").orderBy("doc_id")
+        .toDF("doc_id", "payload_kind", "extracted_text", "ok")
     }),
 
     // The COMPOSED curation pass a 100TB training-data pipeline actually runs:
@@ -387,7 +431,6 @@ object SparkEntry {
         .toDF("doc_id", "text")
         .where(TextFunctions.wordCounts(col("text"))._1 >= 5)
         .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("redacted"))
-        .orderBy("doc_id")
     }),
 
     // The round-4 composed curation pass, ONE plan end to end: minhash pairs ->
@@ -412,7 +455,6 @@ object SparkEntry {
       val clean = keepers.join(flags, "doc_id").where(col("n_contaminated") === 0)
       graft.operators.Sampling.bernoulli(clean, "doc_id", 0.5)
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .orderBy("doc_id")
     }),
 
     // CURATION v3 (round 7, composed): the continuation-session operators
@@ -434,7 +476,6 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = 23L)
         .select(col("doc_id"), col("lang"), col("split"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .orderBy("doc_id")
     }),
 
     // TRAINING-MIX builder (round 5, composed, ONE plan): exact-dedup keeper
@@ -472,14 +513,13 @@ object SparkEntry {
         .select(col("source"), col("rank"), col("doc_id"), col("score"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
-        .orderBy("source", "rank")
     }),
 
     // ---- deduplication -------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
-      Dedup.exact(dupes, "text", "doc_id").orderBy("text_hash")
+      Dedup.exact(dupes, "text", "doc_id")
     }),
     // C4-style span dedup, token-segment analog: an 8-token segment occurring
     // in >= 2 distinct documents keeps only its globally-first occurrence
@@ -487,7 +527,6 @@ object SparkEntry {
     // The sf corpus carries ~150 naturally-repeated segments at this width.
     "q_dedup_segments" -> ((s, dir) => {
       Dedup.dedupSegments(t(s, dir, "documents"), "text", "doc_id", segTokens = 8, minDocs = 2)
-        .orderBy("doc_id")
     }),
     // Near-dup queries run at exact-duplicate thresholds so a SQL oracle exists
     // (expected pairs = identical-shingle-set / identical-simhash pairs, incl.
@@ -500,13 +539,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
       Dedup.minhashNearDups(dupes, "text", "doc_id", threshold = 0.999, maxBucket = 10000)
-        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+        .select(col("id_a"), col("id_b"))
     }),
     "q_simhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.union(docs.select(col("doc_id") + 10000, col("text")))
       Dedup.simhashNearDups(dupes, "text", "doc_id", maxHamming = 0, maxBucket = 10000)
-        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+        .select(col("id_a"), col("id_b"))
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -516,7 +555,7 @@ object SparkEntry {
       // corpus-size argument the oracle already relies on)
       Dedup.ngramJaccardNearDups(dupes, "text", "doc_id", threshold = 0.999,
         maxBucket = 10000, sketchEqualityPrefilter = true)
-        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+        .select(col("id_a"), col("id_b"))
     }),
 
     // LOOSE-THRESHOLD near-dup value checks (round 6 — VERDICT r5 #1): the
@@ -533,7 +572,6 @@ object SparkEntry {
     "q_minhash_loose" -> ((s, dir) => {
       Dedup.minhashNearDups(plantedOverlapCorpus(s), "text", "doc_id",
         shingleK = 3, nPerm = 128, bands = 32, threshold = 0.8)
-        .orderBy("id_a", "id_b")
     }),
     // Same regime for the banded bottom-m sketch path: char-5-gram Jaccard at
     // 0.8 (values fall where the word construction puts them — the oracle
@@ -543,7 +581,6 @@ object SparkEntry {
     "q_ngram_loose" -> ((s, dir) => {
       Dedup.ngramJaccardNearDups(plantedOverlapCorpus(s), "text", "doc_id",
         k = 5, bands = 10, bandSize = 2, threshold = 0.8)
-        .orderBy("id_a", "id_b")
     }),
     // INCREMENTAL dedup (the nightly-crawl shape): offsets {0,1,2,3} of each
     // planted group are the fingerprinted corpus (minhashIndex — stored, text
@@ -559,7 +596,6 @@ object SparkEntry {
       val fresh = all.where(col("doc_id") % 7 >= 4)
       val index = Dedup.minhashIndex(corpus, "text", "doc_id")
       Dedup.minhashProbe(fresh, index, corpus, "text", "doc_id", threshold = 0.8)
-        .orderBy("id_new", "id_corpus")
     }),
 
     // Keeper selection over the pair graph: cluster the minhash near-dup pairs
@@ -573,7 +609,7 @@ object SparkEntry {
         .union(docs.select(col("doc_id") + 20000, col("text")))
       val pairs = Dedup.minhashNearDups(trip, "text", "doc_id",
         threshold = 0.999, maxBucket = 30000)
-      Dedup.clusters(pairs).orderBy("id")
+      Dedup.clusters(pairs)
     }),
 
     // Deterministic stratified sampling over events: per-event-type fractions,
@@ -583,7 +619,6 @@ object SparkEntry {
       graft.operators.Sampling.stratified(t(s, dir, "events"), "event_id", "event_type",
         Map("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05), default = 0.1)
         .select(col("event_id"), col("event_type"), col("user_id"))
-        .orderBy("event_id")
     }),
     // WEIGHTED (importance) sampling (round 5): keep probability = the doc's
     // alpha-character density — quality-proportional retention, the mixture
@@ -594,7 +629,7 @@ object SparkEntry {
       val w = TextFunctions.nAlpha(col("text")).cast("double") /
         (length(col("text")).cast("double") + 1.0)
       graft.operators.Sampling.weighted(docs, "doc_id", w)
-        .select(col("doc_id")).orderBy("doc_id")
+        .select(col("doc_id"))
     }),
 
     // Test-set decontamination: docs 0-4 ARE the "benchmark", so they (and any
@@ -604,7 +639,6 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") < 5).select(col("text"))
       Dedup.decontaminate(docs, "text", "doc_id", bench, "text", k = 8)
-        .orderBy("doc_id")
     }),
 
     // Unigram-surprisal quality scoring: the corpus IS the language model —
@@ -614,7 +648,6 @@ object SparkEntry {
     "q_surprisal" -> ((s, dir) => {
       graft.operators.Quality.unigramSurprisal(
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
-        .orderBy("doc_id")
     }),
     // Gopher duplicate-n-gram metrics: top-2/3-gram char mass + overlap-once
     // duplicated-5-gram coverage. 349/500 sf docs carry natural duplicate
@@ -626,7 +659,6 @@ object SparkEntry {
       val planted = docs.union(docs.select(col("doc_id") + 10000,
         concat(col("text"), lit(" "), col("text")).as("text")))
       graft.operators.Quality.gopherRepetition(planted, "text", "doc_id")
-        .orderBy("doc_id")
     }),
     // Maximal duplicated runs (Lee et al. exact-substring dedup, segment-
     // quantized): doubled docs duplicate every FULL segment of their
@@ -637,7 +669,6 @@ object SparkEntry {
       val planted = docs.union(docs.select(col("doc_id") + 10000,
         concat(col("text"), lit(" "), col("text")).as("text")))
       graft.operators.Dedup.duplicateRuns(planted, "text", "doc_id", segTokens = 8)
-        .orderBy("doc_id", "run_start_seg")
     }),
     // Winnowing (MOSS) cross-doc overlap — the byte-level fourth near-dup
     // family: shared window-min fingerprints, containment |A∩B|/min(|A|,|B|).
@@ -652,7 +683,6 @@ object SparkEntry {
         concat(col("text"), lit(" "), col("text")).as("text")))
       graft.operators.Dedup.winnowNearDups(planted, "text", "doc_id",
         k = 8, w = 4, maxDf = 50, minOverlap = 0.9)
-        .orderBy("id_a", "id_b")
     }),
     // Incremental winnow probe — the nightly-crawl shape for the winnowing
     // family: the corpus index alone screens a new slice (doubled first-50
@@ -667,7 +697,6 @@ object SparkEntry {
       val index = graft.operators.Dedup.winnowIndex(docs, "text", "doc_id")
       graft.operators.Dedup.winnowProbe(slice, index, "text", "doc_id",
         maxDf = 50, minOverlap = 0.9)
-        .orderBy("id_new", "id_corpus")
     }),
     // Vocabulary tokenization: words -> integer ids against the corpus's own
     // top-16 vocab (id = rank in the total (count desc, word asc) order,
@@ -685,7 +714,6 @@ object SparkEntry {
           array_join(transform(col("token_ids"), i => i.cast("string")), " ")
             .as("token_ids_s"),
           col("n_tokens"), col("n_oov"))
-        .orderBy("doc_id")
     }),
     // Model-based quality filtering (fastText-style linear classifier
     // INFERENCE): hashed bag-of-words (FNV-1a 64 mod 4096) against a
@@ -699,7 +727,6 @@ object SparkEntry {
       graft.operators.Quality.classifierScore(
         t(s, dir, "documents"), "text", "doc_id", weights, dim = 4096,
         biasMilli = 100L, thresholdMilli = 0L)
-        .orderBy("doc_id")
     }),
     // Gopher §A1.1 quality-rule battery — integer metrics + per-rule booleans
     // + conjunction, one codegen'd pass. The sf corpus varies the word-count
@@ -707,13 +734,11 @@ object SparkEntry {
     // and the stop-word rule ('the'/'a' live in the ~30-word vocab).
     "q_gopher_quality" -> ((s, dir) => {
       graft.operators.Quality.gopherQuality(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id")
     }),
     // Per-doc top-3 keywords by integer tf·idf (idf = surprisal-style
     // bit-length of N/df) — rank cut by the total order (score desc, word asc).
     "q_tfidf_keywords" -> ((s, dir) => {
       graft.operators.Quality.tfidfKeywords(t(s, dir, "documents"), "text", "doc_id", topK = 3)
-        .orderBy("doc_id", "rank")
     }),
     // BPE training step as corpus statistics: frequency-weighted adjacent
     // character pairs over the distinct-word table, ranked by the total order
@@ -723,7 +748,6 @@ object SparkEntry {
     // counting round, not a merge loop.
     "q_bpe_pairs" -> ((s, dir) => {
       graft.operators.Quality.bpePairStats(t(s, dir, "documents"), "text", topN = 32)
-        .orderBy("merge_rank")
     }),
     // BPE END-TO-END (VERDICT r7 #4): train 24 merges on the corpus ->
     // segment every doc into subwords (applyBpe: broadcast merge list, narrow
@@ -746,26 +770,50 @@ object SparkEntry {
         mergesDf.coalesce(1).write.mode("overwrite").parquet(BpeMergesPath)
       val mergeRows = mergesDf.orderBy("merge_idx").collect() // bounded: <= nMerges rows
       val mergeList = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
-      val baseChars = docs
+      // Base alphabet COLLECTED once (bounded by the character inventory —
+      // the same driver-collect class as the old base.count() job) and the
+      // whole vocab assembled as ONE LOCAL relation. The old plan kept base
+      // as a distributed distinct + global-window DataFrame whose lineage
+      // (corpus char explode + distinct + single-partition window) re-ran
+      // for the count job, both vocab-guard probe jobs, AND the broadcast
+      // build — four corpus passes to materialize a ~30-row alphabet. Same
+      // id rule exactly: tid = 0-based rank in ascending UTF-8 BINARY order
+      // (what Spark's row_number over orderBy(string asc) assigned).
+      val baseChars: Array[String] = docs
         .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
         .where(length($"w") > 0)
         .select(explode(transform(sequence(lit(1), length($"w")),
           i => $"w".substr(i, lit(1)))).as("c"))
-        .distinct()
-      // global row_number over the base ALPHABET only — bounded by the
-      // character inventory, same class as bpePairStats' topN window
-      val base = baseChars.select($"c".as("word"),
-        (row_number().over(Window.orderBy($"c".asc)) - 1).cast("int").as("tid"))
-      val nBase = base.count().toInt // bounded: one row per distinct char
-      val merged = mergeRows.take(20).zipWithIndex
-        .map { case (r, i) => (r.getString(1) + r.getString(2), nBase + i) }
-        .toSeq.toDF("word", "tid")
-      val filler = s.range(70000)
-        .select(format_string("sub_%06d", $"id").as("word"),
-          ($"id" + (nBase + 20)).cast("int").as("tid"))
-        .join(base.select("word").union(merged.select("word")), Seq("word"), "left_anti")
-      val vocab = base.union(merged).union(filler)
+        .distinct().as[String].collect()
+      require(baseChars.length <= 65536,
+        s"q_tokenize_bpe base alphabet of ${baseChars.length} chars breaks the bounded-collect contract")
+      def utf8Lt(a: String, b: String): Boolean = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      val baseSorted = baseChars.sortWith(utf8Lt)
+      val nBase = baseSorted.length
+      val baseSeq = baseSorted.toSeq.zipWithIndex
+      val mergedSeq = mergeRows.take(20).zipWithIndex
+        .map { case (r, i) => (r.getString(1) + r.getString(2), nBase + i) }.toSeq
+      val known = (baseSeq ++ mergedSeq).map(_._1).toSet
+      val fillerSeq = (0 until 70000) // the old left_anti against base+merged
+        .map(i => (f"sub_$i%06d", i + nBase + 20))
+        .filterNot { case (w, _) => known.contains(w) }
+      val vocab = (baseSeq ++ mergedSeq ++ fillerSeq).toDF("word", "tid")
+      // applyBpe's output is consumed twice inside tokenizeWithVocabTable
+      // (the token posexplode branch and the per-doc left-join spine) —
+      // materialize the narrow merge map once (VERDICT r8 #5; guide §5)
       val toks = graft.operators.Quality.applyBpe(docs, "text", "doc_id", mergeList)
+        .localCheckpoint(eager = false) // lazy: rides the first consumer's job
       val ids = graft.operators.Quality.tokenizeWithVocabTable(
         toks, "doc_id", $"subwords", vocab, oovId = 999999)
         .select($"doc_id",
@@ -776,14 +824,12 @@ object SparkEntry {
       Chunking.packSequences(sharded, "doc_id", "chunk_idx", "n_tokens", capacity = 256)
         .select($"doc_id", $"token_ids_s", $"n_tokens", $"n_oov", $"shard",
           $"pos", $"tokens_before", $"seq_id")
-        .orderBy("doc_id")
     }),
     // Bigram surprisal with unigram backoff — the next LM rung above
     // q_surprisal, all-integer (bigram cost = bitlen(c(prev) DIV c(prev,w)),
     // backoff = unigram bits + 1 penalty, first tokens penalty-free).
     "q_bigram_surprisal" -> ((s, dir) => {
       graft.operators.Quality.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id")
     }),
     // CCNet-style perplexity bucketing composed from verified pieces:
     // surprisal -> integer milli-bits/token -> exact corpus terciles (the
@@ -793,7 +839,6 @@ object SparkEntry {
     "q_perplexity_buckets" -> ((s, dir) => {
       graft.operators.Quality.perplexityBuckets(
         t(s, dir, "documents"), "text", "doc_id", vocabSize = 256)
-        .orderBy("doc_id")
     }),
     // Deterministic 80/10/10 split assignment — the reproducible form of
     // randomSplit(): label is a pure function of (doc_id, salt), salted so the
@@ -803,7 +848,6 @@ object SparkEntry {
         t(s, dir, "documents"),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 7L)
         .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")
     }),
     // Target-mix rebalancing toward a uniform language mix: the sf corpus is
     // en-heavy (218/500 at sf0.01), so 'en' thins to share*total/available
@@ -817,7 +861,6 @@ object SparkEntry {
         Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
         salt = 13L)
         .select(col("doc_id"), col("lang"), col("keep_frac"), col("keep"))
-        .orderBy("doc_id")
     }),
 
     // ---- chunking, deterministic shuffle, sequence packing --------------------------
@@ -825,12 +868,11 @@ object SparkEntry {
     // curation and packing. Wholly codegen'd column math (split -> chunk-count
     // arithmetic -> posexplode -> slice), NARROW: chunking happens inside the
     // scan stage, no shuffle, no UDF.
+    // r9: no output sort OR exchange at all — the driver's hash compare is
+    // order-normalized (the q_pdf_chars r6 lesson taken to its end), so the
+    // chunk table stays entirely inside the scan stage.
     "q_chunk_docs" -> ((s, dir) => {
       Chunking.chunkDocs(t(s, dir, "documents"), "text", "doc_id", maxTokens = 64, overlap = 8)
-        // same scale hygiene as q_pdf_chars: the driver's hash compare is
-        // order-normalized, so skip the global range sort of what is a
-        // corpus-sized table at scale
-        .repartition(col("doc_id")).sortWithinPartitions("doc_id", "chunk_idx")
     }),
     // chunk -> deterministic corpus shuffle (pos = pure hash of doc_id+seed, so
     // a rerun/resume lands the SAME training order regardless of layout) ->
@@ -844,7 +886,6 @@ object SparkEntry {
       Chunking.packSequences(sharded, "doc_id", "chunk_idx", "n_tokens", capacity = 256)
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("shard"),
           col("pos"), col("tokens_before"), col("seq_id"))
-        .repartition(col("doc_id")).sortWithinPartitions("doc_id", "chunk_idx")
     }),
 
     // Chat-template rendering + per-turn loss-mask offsets: the SFT step
@@ -866,7 +907,6 @@ object SparkEntry {
         .select(col("conv_id"), md5(col("doc").cast("binary")).as("doc_md5"))
       offs.join(docs, "conv_id")
         .select("conv_id", "turn_idx", "role", "char_start", "char_end", "mask", "doc_md5")
-        .orderBy("conv_id", "turn_idx")
     }),
     // Duplication-aware epoch upsampling: zh (rare in the skewed sf mix) is
     // replicated toward a 0.5 share (epochs > 1 — multiple full copies plus
@@ -876,7 +916,6 @@ object SparkEntry {
       graft.operators.Sampling.epochMix(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", Map("zh" -> 0.5, "en" -> 0.05), salt = 21L)
-        .orderBy("doc_id", "epoch")
     }),
 
     // CURATION v4 — the round-8 operators composed as one modern funnel over
@@ -902,24 +941,31 @@ object SparkEntry {
       val cls = graft.operators.Quality.classifierScore(
           docs2, "text", "doc_id", weights, dim = 4096, biasMilli = 100L)
         .where($"keep").select($"doc_id", $"score_milli")
+      // classifier survivors feed FOUR downstream consumers (semDedup's two
+      // trainCentroids sample jobs + its assignment map, and the survivor
+      // join) — materialize once instead of re-running the hashed-BoW scoring
+      // chain per consumer (the semDedup localCheckpoint rationale; guide §5)
       val clsDocs = docs2.select($"doc_id", $"lang").join(cls, "doc_id")
+        .localCheckpoint(eager = false) // lazy: rides the first consumer's job
       val sem = Similarity.semDedup(
           emb2.join(clsDocs.select($"doc_id".as("vec_id")), "vec_id"),
           k = 8, centroidsOut = dumpPath(SemDedupV4CentroidsPath))
         .where($"keep").select($"vec_id".as("doc_id"))
-      val surv = clsDocs.join(sem, "doc_id")
+      // epochMix runs a per-domain count job over its input BEFORE the main
+      // pass — without a checkpoint that job re-runs the whole
+      // classifier->semDedup funnel a second time
+      val surv = clsDocs.join(sem, "doc_id").localCheckpoint(eager = false)
       val mixed = graft.operators.Sampling.epochMix(surv, "doc_id", "lang",
         Map("en" -> 0.3, "zh" -> 0.3, "de" -> 0.2), salt = 27L)
       graft.operators.Sampling.splitAssign(mixed, "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = 29L)
         .select($"doc_id", $"lang", $"epoch", $"split", $"score_milli")
-        .orderBy("doc_id", "epoch")
     }),
 
     // ---- similarity search ----------------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5)
-        .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id")
     }),
     // The probe dumps its exact candidate universe (query_id, candidate_id)
     // to a fixed path so the DuckDB twin can recompute exact top-k cosine over
@@ -930,7 +976,7 @@ object SparkEntry {
       tagOracle(dir)
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = (0L until 10L), k = 5,
           candidatesOut = dumpPath(IvfCandidatesPath))
-        .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id")
     }),
     // K-means topic clustering: deterministic Lloyd centroids (dumped for the
     // twin), shuffle-free broadcast argmax-cosine assignment, tie rule
@@ -939,7 +985,6 @@ object SparkEntry {
       tagOracle(dir)
       Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8,
           centroidsOut = dumpPath(KmeansCentroidsPath))
-        .orderBy("vec_id")
     }),
     // Embedding outlier scores: cosine to the OWN k-means centroid,
     // micro-quantized (the q_vector_ops recipe) — the drop-before-indexing
@@ -948,7 +993,6 @@ object SparkEntry {
       tagOracle(dir)
       Similarity.kmeansOutliers(t(s, dir, "embeddings"), k = 8,
           centroidsOut = dumpPath(KmeansOutlierCentroidsPath))
-        .orderBy("vec_id")
     }),
     // Streaming k-means: vectors arrive as a stream and classify under the
     // model trained on the static table (kmeansAssignWith is a stateless
@@ -957,8 +1001,8 @@ object SparkEntry {
     "q_stream_kmeans" -> ((s, dir) => {
       import s.implicits._
       tagOracle(dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-km-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-km-cp").toString
+      val tmp = Scratch.dir("graft-km-in")
+      val cp = Scratch.dir("graft-km-cp")
       val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
       emb.coalesce(1).write.mode("overwrite").parquet(tmp)
       val centroids = Similarity.trainCentroids(emb, 8)
@@ -975,7 +1019,7 @@ object SparkEntry {
         .option("checkpointLocation", cp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name).orderBy("vec_id")
+      s.table(name)
     }),
     // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup over the
     // embedding space — planted exact duplicates (+10000-shifted copies) must
@@ -989,7 +1033,6 @@ object SparkEntry {
       val dupes = emb.select(col("vec_id"), col("embedding"))
         .union(emb.select(col("vec_id") + 10000, col("embedding")))
       Similarity.semDedup(dupes, k = 8, centroidsOut = dumpPath(SemDedupCentroidsPath))
-        .orderBy("vec_id")
     }),
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -999,7 +1042,7 @@ object SparkEntry {
       // can produce, so cap truncation can never drop an oracle-expected pair
       // (production keeps the default cap with observable truncation)
       Similarity.cosineNearDups(dupes, threshold = 0.999, maxBucket = 30000)
-        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+        .select(col("id_a"), col("id_b"))
     }),
 
     // Codegen'd vector math (zip_with/aggregate column exprs, no UDF): cosine
@@ -1018,7 +1061,6 @@ object SparkEntry {
           .cast("long").as("dist_micro"),
         graft.functions.VectorFunctions.nAbove(col("embedding"), 0.0).as("n_pos"),
         size(col("embedding")).as("n_dims"))
-        .orderBy("vec_id")
     }),
     // int8 QUANTIZATION (round 5): symmetric absmax/127 per vector, every
     // emitted metric an EXACT integer over the quantized values (engine-
@@ -1040,7 +1082,6 @@ object SparkEntry {
           array_max(col("q")).as("q_max"),
           size(filter(col("q"), v => abs(v) === 127)).as("n_sat"),
           vf.dotInt8(col("q"), col("q")).as("q_dot_self"))
-        .orderBy("vec_id")
     }),
 
     // Streaming EXACT DEDUP: the documents table plus planted duplicates as a
@@ -1053,8 +1094,8 @@ object SparkEntry {
     // stream side never shuffles; oracle is the same join in plain SQL.
     "q_stream_enrich" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-enrich-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-enrich-cp").toString
+      val tmp = Scratch.dir("graft-enrich-in")
+      val cp = Scratch.dir("graft-enrich-cp")
       val ev = t(s, dir, "events")
         .select($"event_id", $"user_id", $"event_type", $"ts")
       ev.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1071,7 +1112,7 @@ object SparkEntry {
         .option("checkpointLocation", cp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name).orderBy("event_id")
+      s.table(name)
     }),
     // Streaming INCREMENTAL near-dup: the planted new slice (offsets 4/6/9)
     // arrives as a stream and probes the static minhashIndex of the indexed
@@ -1085,8 +1126,8 @@ object SparkEntry {
     // (share 0 -> keep false on the stream too).
     "q_stream_rebalance" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-reb-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-reb-cp").toString
+      val tmp = Scratch.dir("graft-reb-in")
+      val cp = Scratch.dir("graft-reb-cp")
       val docs = t(s, dir, "documents")
       val stats = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
       docs.select($"doc_id", $"lang").coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1098,12 +1139,12 @@ object SparkEntry {
         .option("checkpointLocation", cp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name).orderBy("doc_id")
+      s.table(name)
     }),
     "q_stream_dedup_incremental" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-incr-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-incr-cp").toString
+      val tmp = Scratch.dir("graft-incr-in")
+      val cp = Scratch.dir("graft-incr-cp")
       val all = plantedOverlapCorpus(s)
       val corpus = all.where(col("doc_id") % 7 < 4)
       val index = Dedup.minhashIndex(corpus, "text", "doc_id")
@@ -1115,19 +1156,24 @@ object SparkEntry {
         .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
         .parquet(tmp)
       val name = s"incr_out_${System.nanoTime()}"
-      val q = graft.streaming.StreamingExtract.probeStream(stream, index, corpus)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("id_new", "id_corpus")
+      // slice = offsets {4,6,9} of the 60x7 planted corpus = 180 rows by
+      // construction — one state store, not 32 (see statePartitions)
+      withShufflePartitions(s, statePartitions(s, 180L)) {
+        val q = graft.streaming.StreamingExtract.probeStream(stream, index, corpus)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
     }),
     "q_stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
+      val tmp = Scratch.dir("graft-dedup-in")
+      val cp = Scratch.dir("graft-dedup-cp")
       // ts must sit ABOVE the initial watermark of epoch 0 — rows at/below it
       // are late-dropped (same quirk the sessionize spec documents)
+      val nDocs = t(s, dir, "documents").count() // parquet-stats count: near-free
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) => Seq(
           Turn(id.toString, 0, "user", text, "plain", new java.sql.Timestamp(86400000L)),
@@ -1137,12 +1183,14 @@ object SparkEntry {
         .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
         .parquet(tmp).as[Turn]
       val name = s"dedup_out_${System.nanoTime()}"
-      val q = graft.streaming.StreamingExtract.dedupStream(stream)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("text_hash")
+      withShufflePartitions(s, statePartitions(s, 2L * nDocs)) {
+        val q = graft.streaming.StreamingExtract.dedupStream(stream)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
     }),
 
     // ---- multimodal plumbing ----------------------------------------------------------
@@ -1175,7 +1223,6 @@ object SparkEntry {
       Multimodal.decodeAndFeaturize(
         s.read.parquet(MultimodalPayloadPath).as[Multimodal.MediaRow])
         .toDF().select("doc_id", "width", "height", "frames", "bytes")
-        .orderBy("doc_id")
     }),
     // REAL pixel decode (round 5): per doc, a fully-decodable grayscale image
     // — even ids a handcrafted stored-zlib PNG, odd ids an ImageIO-written
@@ -1200,7 +1247,6 @@ object SparkEntry {
       Multimodal.decodePixelStats(media).toDF()
         .select(col("doc_id"), col("px_width"), col("px_height"), col("px_sum"),
           col("px_min"), col("px_max"), col("px_gt127"), col("dims_match"))
-        .orderBy("doc_id")
     }),
     // REAL audio sample decode (round 5): per doc, a WAV whose SIGNED 16-bit
     // PCM samples are a pure function of (doc_id, i); the pure-byte-read
@@ -1227,7 +1273,6 @@ object SparkEntry {
           (id, st.sampleRate, st.channels, st.nSamples, st.sum, st.min, st.max)
         }
         .toDF("doc_id", "sample_rate", "channels", "n_samples", "s_sum", "s_min", "s_max")
-        .orderBy("doc_id")
     }),
     // REAL MP4 frame metadata (round 6 — closes the last `partial`): per doc,
     // an MP4 whose stbl sample tables carry doc_id-derived values (TWO stts
@@ -1251,7 +1296,7 @@ object SparkEntry {
       media.toDF().coalesce(1).write.mode("overwrite").parquet(Mp4PayloadPath)
       Multimodal.decodeMp4Frames(
         s.read.parquet(Mp4PayloadPath).as[Multimodal.MediaRow])
-        .toDF().orderBy("doc_id")
+        .toDF()
     }),
 
     // EXACT token-count distribution (round 6 — VERDICT #3): the reporting
@@ -1281,7 +1326,6 @@ object SparkEntry {
         min(when(col("cum") >= expr("(n + 1) div 2"), col("n_tokens"))).as("p50"),
         min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90"),
         min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("n_tokens"))).as("p99"))
-        .orderBy("source")
     }),
     // ROLLUP margins (round 6 — VERDICT #4): the per-(source, lang) training
     // mix report WITH subtotal and grand-total rows — closes the last
@@ -1295,7 +1339,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
           (grouping(col("source")) * 2 + grouping(col("lang"))).cast("int").as("g"))
-        .orderBy(col("g"), col("source"), col("lang"))
     }),
 
     // ---- relational plane (scan/filter/agg/join/window/sort/limit) ------------------
@@ -1312,7 +1355,6 @@ object SparkEntry {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(28,4)")).cast("decimal(28,4)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
     }),
     "q_join_revenue" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -1337,7 +1379,6 @@ object SparkEntry {
         .where(col("rk") <= 2)
         .select(col("o_custkey"), col("rk"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
-        .orderBy("o_custkey", "rk")
     }),
     "q_events_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1348,7 +1389,6 @@ object SparkEntry {
             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
-        .orderBy("user_id")
     }),
     // AS-OF join (point-in-time lookup): every event picks up the value of the
     // user's LATEST purchase at or before its own timestamp; DuckDB's native
@@ -1359,7 +1399,6 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       graft.operators.Temporal.asofJoin(ev, purchases, "user_id", "ts", Seq("value"))
         .select(col("event_id"), col("asof_value"))
-        .orderBy("event_id")
     }),
     // AS-OF with a staleness bound: like q_asof_join but matches older than 2
     // hours are discarded whole-row (the production feature-lookup guard);
@@ -1371,7 +1410,6 @@ object SparkEntry {
       graft.operators.Temporal.asofJoin(ev, purchases, "user_id", "ts", Seq("value"),
         toleranceSec = Some(7200L))
         .select(col("event_id"), col("asof_value"))
-        .orderBy("event_id")
     }),
     // FORWARD as-of: every event picks up the user's NEXT purchase at/after
     // its timestamp (the attribution / conversion-window lookup); DuckDB's
@@ -1383,7 +1421,6 @@ object SparkEntry {
       graft.operators.Temporal.asofJoin(ev, purchases, "user_id", "ts", Seq("value"),
         forward = true)
         .select(col("event_id"), col("asof_value"))
-        .orderBy("event_id")
     }),
     // NEAREST as-of (round 5): the closest purchase in EITHER direction,
     // backward winning second-truncated ties — completes the
@@ -1395,7 +1432,6 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       graft.operators.Temporal.asofNearest(ev, purchases, "user_id", "ts", Seq("value"))
         .select(col("event_id"), col("asof_value"))
-        .orderBy("event_id")
     }),
     // RANGE join: events falling inside [purchase, purchase + 30min] windows of
     // the same user, counted per purchase. Bucketed equi-join under the hood
@@ -1410,7 +1446,6 @@ object SparkEntry {
         "win_start", "win_end", bucketSec = 1800L)
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_events_in_window"))
-        .orderBy("purchase_id")
     }),
     // Cross-tab via pivot with EXPLICIT values (no values-discovery scan —
     // the scale-correct form): per user, event counts by type; missing
@@ -1420,7 +1455,6 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "view", "purchase"))
         .agg(count(lit(1)))
         .na.fill(0, Seq("click", "view", "purchase"))
-        .orderBy("user_id")
     }),
     // Trailing-window feature engineering (RANGE frame, not ROWS): per event,
     // the count and exact DECIMAL sum of the same user's events in the
@@ -1438,7 +1472,6 @@ object SparkEntry {
           windowSec = 3600L)
         .select(col("event_id"), col("user_id"), col("n_events_1h"),
           col("sum_raw").cast("decimal(28,4)").cast("double").as("sum_value_1h"))
-        .orderBy("event_id")
     }),
     // Grouped TOP-K via the custom bounded Catalyst aggregate (round 5):
     // per user, the 3 highest-value events — the "best N per key" shape that
@@ -1453,7 +1486,6 @@ object SparkEntry {
         .select(col("user_id"), posexplode(col("top")))
         .select(col("user_id"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("event_id"), col("col.score").as("value"))
-        .orderBy("user_id", "rank")
     }),
     "q_sort_topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1483,8 +1515,8 @@ object SparkEntry {
     // ---- structured streaming (file source -> extract -> memory sink) ----------------
     "q_stream_extract" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp").toString
+      val tmp = Scratch.dir("graft-stream-in")
+      val cp = Scratch.dir("graft-stream-cp")
       t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, text) => Turn(f"$id%012d", 0, "user", text, "plain",
           new java.sql.Timestamp(0L)) }
@@ -1500,7 +1532,6 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
         .select(col("conv_id").cast("long").as("doc_id"), col("extracted_text"))
-        .orderBy("doc_id")
     }),
 
     // Stateful streaming sessionizer, value-checked: the events table is recast
@@ -1512,16 +1543,19 @@ object SparkEntry {
     // == batch sessions exactly.
     "q_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-sess-cp").toString
+      val tmp = Scratch.dir("graft-sess-in")
+      val cp = Scratch.dir("graft-sess-cp")
       val ev = t(s, dir, "events")
       val turns = ev.select(col("user_id").cast("string").as("conv_id"),
         col("event_id").cast("int").as("turn_idx"), lit("user").as("role"),
         lit("").as("text"), lit("plain").as("tool"), col("ts"))
       // every sentinel sits 100 days past the GLOBAL max, so no sentinel can
       // merge into (or sort before) any real session, and real sessions are
-      // exactly those starting at or before the global max
-      val maxRealEpochS = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      // exactly those starting at or before the global max; the row count
+      // rides the same 1-row aggregate (no extra job) to size state stores
+      val aggRow = ev.agg(max(unix_timestamp(col("ts"))), count(lit(1))).head()
+      val maxRealEpochS = aggRow.getLong(0)
+      val nEvents = aggRow.getLong(1)
       val sentinels = ev.select(col("user_id").cast("string").as("conv_id")).distinct()
         .select(col("conv_id"), lit(-1).as("turn_idx"), lit("user").as("role"),
           lit("").as("text"), lit("sentinel").as("tool"),
@@ -1532,11 +1566,13 @@ object SparkEntry {
         .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
         .parquet(tmp).as[Turn]
       val name = s"sessionize_out_${System.nanoTime()}"
-      val q = graft.streaming.StreamingExtract.sessionizeStream(stream, gapSec = 1800)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, statePartitions(s, nEvents)) {
+        val q = graft.streaming.StreamingExtract.sessionizeStream(stream, gapSec = 1800)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // AvailableNow keeps running watermark-advancing batches after the data
       // batch, so EventTimeTimeout can close (emit) sentinel sessions too —
       // drop everything starting after the last real event
@@ -1546,7 +1582,6 @@ object SparkEntry {
           unix_timestamp(col("session_start")).as("start_s"),
           unix_timestamp(col("session_end")).as("end_s"),
           col("n_turns").cast("long").as("n_turns"))
-        .orderBy("user_id", "start_s")
     }),
 
     // Watermarked tumbling-window metrics, value-checked: events recast as a
@@ -1556,10 +1591,13 @@ object SparkEntry {
     // construction. Oracle: the same tumbling aggregation in batch SQL.
     "q_stream_metrics" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-met-in").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-met-cp").toString
+      val tmp = Scratch.dir("graft-met-in")
+      val cp = Scratch.dir("graft-met-cp")
       val ev = t(s, dir, "events")
-      val maxRealEpochS = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      // row count rides the same 1-row aggregate — sizes the state stores
+      val aggRow = ev.agg(max(unix_timestamp(col("ts"))), count(lit(1))).head()
+      val maxRealEpochS = aggRow.getLong(0)
+      val nEvents = aggRow.getLong(1)
       val turns = ev.select(col("user_id").cast("string").as("conv_id"),
         col("event_id").cast("int").as("turn_idx"), lit("user").as("role"),
         col("event_type").as("text"), lit("plain").as("tool"), col("ts"))
@@ -1571,17 +1609,18 @@ object SparkEntry {
         .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
         .parquet(tmp).as[Turn]
       val name = s"metrics_out_${System.nanoTime()}"
-      val q = graft.streaming.StreamingExtract.windowedMetrics(stream, "1 minute", "10 minutes")
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, statePartitions(s, nEvents)) {
+        val q = graft.streaming.StreamingExtract.windowedMetrics(stream, "1 minute", "10 minutes")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("payload_kind"), col("n_turns"),
           col("n_chars").cast("long").as("n_chars"),
           col("n_errors").cast("long").as("n_errors"))
-        .orderBy("window_start_s")
     }),
 
     // ---- the transcript pipeline itself (north-rule flagship, full oracle) -----------
@@ -1602,7 +1641,6 @@ object SparkEntry {
       extracted.toDF()
         .select(col("conv_id"), col("turn_idx"), col("payload_kind"),
           col("extracted_text"), col("error").isNull.as("ok"))
-        .orderBy("conv_id", "turn_idx")
     })
   )
 
