@@ -447,9 +447,12 @@ object SparkEntry {
       val cl = Dedup.clusters(pairs)
       // every doc has a planted twin, so every id appears in a cluster;
       // keeper = the member that IS the cluster minimum
+      // keepers feed both the decontamination probe and the clean join —
+      // checkpoint so the dupes-join-clusters chain runs once (guide §5)
       val keepers = dupes.join(cl, dupes("doc_id") === cl("id"))
         .where(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint(eager = false)
       val bench = docs.where(col("doc_id") < 5).select(col("text"))
       val flags = Dedup.decontaminate(keepers, "text", "doc_id", bench, "text", k = 8)
       val clean = keepers.join(flags, "doc_id").where(col("n_contaminated") === 0)
@@ -1356,18 +1359,28 @@ object SparkEntry {
             .cast("decimal(28,4)")).cast("decimal(28,4)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
+    // r9: lineitem pre-aggregates to per-order revenue BEFORE any join (guide
+    // §2.3 "aggregate before you shuffle") — the fact table collapses 4x in
+    // its own map-side-combined groupBy, the countDistinct(o_orderkey) (whose
+    // Expand-based plan shuffled the joined fact table twice) becomes a plain
+    // count of pre-aggregated rows, and only order-grain rows reach the
+    // joins. DECIMAL addition is exact, so regrouping the sum cannot change a
+    // single bit of the revenue; same inner-join semantics throughout (the
+    // twin is unchanged and stays hash-green).
     "q_join_revenue" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val lineitem = t(s, dir, "lineitem")
       val customer = t(s, dir, "customer")
-      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val perOrder = lineitem.groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("o_rev"))
+      perOrder.join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"))
         .agg(
-          sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("decimal(28,4)").cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("o_rev")).cast("decimal(28,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -1560,8 +1573,14 @@ object SparkEntry {
         .select(col("conv_id"), lit(-1).as("turn_idx"), lit("user").as("role"),
           lit("").as("text"), lit("sentinel").as("tool"),
           to_timestamp(lit(maxRealEpochS + 100L * 86400)).as("ts"))
-      // one file -> one deterministic batch: gap closure happens inline
-      turns.union(sentinels).coalesce(1).write.mode("overwrite").parquet(tmp)
+      // one LISTING -> one deterministic batch (AvailableNow with no
+      // maxFilesPerTrigger takes every file in the single data batch, so gap
+      // closure still happens inline; within-batch arrival order is
+      // irrelevant — the state function sorts each conversation's turns).
+      // Written MULTI-file (r9): a coalesce(1) input gave the micro-batch a
+      // single-split scan, serializing the whole per-event map into one task.
+      turns.union(sentinels).repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream
         .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
         .parquet(tmp).as[Turn]
@@ -1604,7 +1623,11 @@ object SparkEntry {
       val sentinel = ev.limit(1).select(lit("sentinel").as("conv_id"),
         lit(-1).as("turn_idx"), lit("user").as("role"), lit("x").as("text"),
         lit("plain").as("tool"), to_timestamp(lit(maxRealEpochS + 100L * 86400)).as("ts"))
-      turns.union(sentinel).coalesce(1).write.mode("overwrite").parquet(tmp)
+      // multi-file input for scan parallelism in the data batch (see
+      // q_stream_sessionize); the sentinel stays in the same single batch,
+      // so the watermark only advances after every real row is aggregated
+      turns.union(sentinel).repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream
         .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
         .parquet(tmp).as[Turn]

@@ -32,8 +32,11 @@ object StreamCostProbe {
         lit("plain").as("tool"), to_timestamp(lit(maxRealEpochS + 100L * 86400)).as("ts"))
       val tmp = graft.Scratch.dir("probe-met-in")
       val cp = graft.Scratch.dir("probe-met-cp")
+      val multiFile = sys.env.get("PROBE_MULTIFILE").contains("1")
       phase("input parquet write")(
-        turns.union(sentinel).coalesce(1).write.mode("overwrite").parquet(tmp))
+        (if (multiFile) turns.union(sentinel).repartition(s.sparkContext.defaultParallelism)
+         else turns.union(sentinel).coalesce(1)).write.mode("overwrite").parquet(tmp))
+      sys.env.get("PROBE_STATE_PARTS").foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
       val stream = s.readStream
         .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
         .parquet(tmp).as[graft.pipeline.Turn](org.apache.spark.sql.Encoders.product[graft.pipeline.Turn])
