@@ -697,7 +697,11 @@ object SparkEntry {
       val slice = docs.where(col("doc_id") < 50)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text"))
+      // the probe consumes the index from four subtrees (stop guard, stop
+      // aggregate behind two broadcasts, the rare anti join) — in production
+      // it is a STORED table; materialize the in-query stand-in once (r9)
       val index = graft.operators.Dedup.winnowIndex(docs, "text", "doc_id")
+        .localCheckpoint(eager = false)
       graft.operators.Dedup.winnowProbe(slice, index, "text", "doc_id",
         maxDf = 50, minOverlap = 0.9)
     }),

@@ -361,10 +361,17 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The fingerprint table is consumed by FIVE subtrees below (df count,
+    // rare join, per-doc sizes, buckets, shared counts) and column pruning
+    // gives each a different projection, so exchange reuse never fires — the
+    // plan re-ran the byte-level winnowing kernel once per branch (5
+    // MapPartitions nodes in the r8 plan). Materialize it once, lazily
+    // (r9; guide §8 "decide with small rows" — (id, fp) IS the small proxy).
     val fps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) => TextFunctions.winnowFingerprints(t, k, w).map((id, _)) }
       .toDF("id", "fp")
+      .localCheckpoint(eager = false)
     val dfc0 = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
     val stopExprs = Seq(
       sum(when(col("dfreq") > maxDf, 1L).otherwise(0L)).as("stop_fps"),
@@ -373,6 +380,12 @@ object Dedup {
       case Some(o) => dfc0.observe(o, stopExprs.head, stopExprs.tail: _*)
       case None    => dfc0.observe("graft.dedup.winnow", stopExprs.head, stopExprs.tail: _*)
     }).where(col("dfreq") <= maxDf)
+    // NOT checkpointed: rare sits DOWNSTREAM of the observed stop-fp
+    // aggregation, and a localCheckpoint there hides the CollectMetrics node
+    // behind a LogicalRDD — the stop_fps/fps observation silently stops
+    // reporting (found by OperatorsSpec in r9). The fps checkpoint above
+    // already collapses the expensive kernel; the df join recompute is two
+    // cheap block scans.
     val rare = fps.join(dfc.select("fp"), "fp")
     val cnt = rare.groupBy("id").agg(count(lit(1)).as("nfp"))
     val pairs = rare.groupBy("fp").agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -471,6 +484,12 @@ object Dedup {
     // df 0 is rare by definition). The stop set is bounded by the contract
     // guard above, so it broadcasts explicitly. The SLICE's keys below are
     // the small-by-contract side (same contract as minhashProbe).
+    // NOT checkpointed (r9): both rare tables sit DOWNSTREAM of the observed
+    // stop aggregation — a localCheckpoint there hides the CollectMetrics
+    // node behind a LogicalRDD and the stop_fps observation stops reporting
+    // (OperatorsSpec caught exactly that on the batch path). Callers instead
+    // materialize the INDEX side (upstream of the observe) when it is an
+    // in-query stand-in rather than a stored table.
     val corpusRare = corpusIndex.select(col("id").as("id_corpus"), col("fp"))
       .join(broadcast(stop), Seq("fp"), "left_anti")
     val newRare = newFps.join(broadcast(stop), Seq("fp"), "left_anti")
@@ -521,8 +540,15 @@ object Dedup {
   ): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // LAZY checkpoints (r9): lineage truncation is what matters — an eager
+    // materialization job per round doubled the action count (ckpt + the
+    // convergence isEmpty). Lazily-marked blocks are saved when the next
+    // action (the convergence check, or the following round's joins) first
+    // computes them, so each round costs ONE action and the same single
+    // computation of its labels.
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val e0 = pairs.select(col(pairs.columns(0)).cast("long").as("src"),
       col(pairs.columns(1)).cast("long").as("dst"))
     val edges = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
