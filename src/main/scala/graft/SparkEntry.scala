@@ -468,10 +468,13 @@ object SparkEntry {
     // split assignment, all decisions salted independently (17 / 23).
     "q_curation_v3" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      // rebalance runs a per-domain count job over its input before the main
+      // pass — checkpoint so the Gopher battery + join run once (r9)
       val kept = docs.join(
         graft.operators.Quality.gopherQuality(docs, "text", "doc_id", minWords = 40)
           .where(col("keep")).select("doc_id"),
         "doc_id")
+        .localCheckpoint(eager = false)
       val balanced = graft.operators.Sampling.rebalance(kept, "doc_id", "lang",
         Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
         salt = 17L).where(col("keep"))
@@ -1105,10 +1108,14 @@ object SparkEntry {
       val cp = Scratch.dir("graft-enrich-cp")
       val ev = t(s, dir, "events")
         .select($"event_id", $"user_id", $"event_type", $"ts")
-      ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+      ev.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp) // multi-file: parallel batch scan (r9)
+      // the dimension is consumed by the enrichStream broadcast guard AND the
+      // broadcast build — checkpoint so the distinct runs once (r9)
       val dim = ev.select($"user_id").distinct()
         .where($"user_id" % 2 === 0)
         .withColumn("segment", ($"user_id" % 5).cast("int"))
+        .localCheckpoint(eager = false)
       val stream = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
         .parquet(tmp)

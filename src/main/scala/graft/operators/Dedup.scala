@@ -834,7 +834,10 @@ object Dedup {
   ): DataFrame = {
     require(segTokens > 0, s"segTokens $segTokens must be positive")
     require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would delete every segment)")
-    val seg = segmentize(df, textCol, idCol, segTokens)
+    // the segment table feeds both the stats rollup and the dup-mark join —
+    // materialize the narrow explode once (r9; it IS the working table any
+    // span-dedup materializes)
+    val seg = segmentize(df, textCol, idCol, segTokens).localCheckpoint(eager = false)
     // distinct-doc counting without countDistinct's two-shuffle expansion on
     // the exploded table: first collapse to one (seg_text, doc) row carrying
     // the doc's MIN position (map-side combined), then one aggregate yields
@@ -914,7 +917,8 @@ object Dedup {
   ): DataFrame = {
     require(segTokens > 0, s"segTokens $segTokens must be positive")
     require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would mark every segment)")
-    val seg = segmentize(df, textCol, idCol, segTokens)
+    // same single-materialization rationale as dedupSegments (r9)
+    val seg = segmentize(df, textCol, idCol, segTokens).localCheckpoint(eager = false)
     val dup = seg.groupBy(col("seg_text"), col(idCol)).agg(count(lit(1)).as("_n"))
       .groupBy(col("seg_text")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)

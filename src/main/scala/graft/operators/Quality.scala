@@ -44,7 +44,11 @@ object Quality {
     val words = df
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
+    // the word-count table is consumed twice (total + top-V cut) — lazily
+    // materialize so the corpus explode+count runs once (r9; it is the
+    // Zipf-bounded distinct-word table, the natural working set)
     val counts = words.groupBy("word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     // total BEFORE the top-V cut: N is the corpus token count, so OOV cost and
     // in-vocab bits stay comparable however small vocabSize is. Collected as a
     // SINGLE row (bounded by construction — the same driver-collect contract
@@ -428,6 +432,9 @@ object Quality {
     val scored = unigramSurprisal(df, textCol, idCol, vocabSize)
       .withColumn("bpt_milli",
         when(col("n_tokens") > 0, expr("surprisal_bits * 1000 DIV n_tokens")))
+      // consumed by the histogram/tercile job AND the final labeling pass —
+      // materialize the whole surprisal chain once (r9)
+      .localCheckpoint(eager = false)
     val hist = scored.where(col("n_tokens") > 0)
       .groupBy(col("bpt_milli")).agg(count(lit(1)).as("c"))
     val cum = hist
@@ -491,7 +498,12 @@ object Quality {
     val toks = df
       .select(col(idCol), posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "word")))
       .where(length(col("word")) > 0)
+    // uni feeds four subtrees (total, the unigram join, the context join)
+    // and paired feeds two (bigram counts, the scored spine) — materialize
+    // both once so the corpus token explode runs twice (uni + paired) rather
+    // than ~5x, and the per-doc lag window sorts once (r9)
     val uni = toks.groupBy("word").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = false)
     val nTotal: Long = {
       val r = uni.agg(sum(col("cu"))).collect()(0) // 1 row by construction
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -499,6 +511,7 @@ object Quality {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val paired = toks.withColumn("prev", lag(col("word"), 1).over(w))
+      .localCheckpoint(eager = false)
     val bi = paired.where(col("prev").isNotNull)
       .groupBy(col("prev"), col("word")).agg(count(lit(1)).as("cb"))
     val ctx = uni.select(col("word").as("prev"), col("cu").as("cp"))
@@ -617,7 +630,10 @@ object Quality {
     val tokens = df.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
+    // tf feeds both the document-frequency rollup and the scored join —
+    // materialize once (r9)
     val tf = tokens.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs: Long = {
       val r = df.select(countDistinct(col(idCol))).collect()(0) // 1 row by construction
