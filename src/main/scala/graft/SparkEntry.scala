@@ -789,11 +789,14 @@ object SparkEntry {
       // build — four corpus passes to materialize a ~30-row alphabet. Same
       // id rule exactly: tid = 0-based rank in ascending UTF-8 BINARY order
       // (what Spark's row_number over orderBy(string asc) assigned).
+      // chars-of-words == non-whitespace chars of lower(trim(text)): split on
+      // \s+ removes exactly the maximal \s runs (a leading empty token is
+      // length-filtered), so one char explode replaces the old
+      // word-explode + per-word substr transform (which paid O(len) substr
+      // per char) — same set, ~2x cheaper scan
       val baseChars: Array[String] = docs
-        .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
-        .where(length($"w") > 0)
-        .select(explode(transform(sequence(lit(1), length($"w")),
-          i => $"w".substr(i, lit(1)))).as("c"))
+        .select(explode(split(lower(trim($"text")), "")).as("c"))
+        .where(length($"c") > 0 && !$"c".rlike("^\\s$"))
         .distinct().as[String].collect()
       require(baseChars.length <= 65536,
         s"q_tokenize_bpe base alphabet of ${baseChars.length} chars breaks the bounded-collect contract")
@@ -818,7 +821,11 @@ object SparkEntry {
       val fillerSeq = (0 until 70000) // the old left_anti against base+merged
         .map(i => (f"sub_$i%06d", i + nBase + 20))
         .filterNot { case (w, _) => known.contains(w) }
+      // checkpoint the 70k-row LOCAL relation: each of the operator's two
+      // guard-probe jobs (and the broadcast build) would otherwise
+      // re-serialize the whole local table from the driver per job
       val vocab = (baseSeq ++ mergedSeq ++ fillerSeq).toDF("word", "tid")
+        .localCheckpoint(eager = false)
       // applyBpe's output is consumed twice inside tokenizeWithVocabTable
       // (the token posexplode branch and the per-doc left-join spine) —
       // materialize the narrow merge map once (VERDICT r8 #5; guide §5)
