@@ -562,9 +562,12 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .select(col("src").as("id"), col("nlabel"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
+      // prop feeds BOTH sides of the jump self-join below — lazily
+      // checkpointed, the second side reads the first's blocks inside the
+      // same action instead of re-running the neighbor join+aggregate (r9)
+      val prop = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       val jumped = ckpt(prop
         .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
           prop("label") === col("jid"), "left")
