@@ -551,8 +551,18 @@ object Dedup {
       else df.localCheckpoint(eager = false)
     val e0 = pairs.select(col(pairs.columns(0)).cast("long").as("src"),
       col(pairs.columns(1)).cast("long").as("dst"))
+    // ONE exchange builds the undirected edge list AND leaves it clustered
+    // by dst (r9, guide §2.4): HashPartitioning(dst) satisfies the
+    // (src, dst) distinct's distribution, and the checkpoint preserves the
+    // partitioning, so every round's edges-side of the probe join needs no
+    // exchange (the old distinct-partitioned table reshuffled per round).
     val edges = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .distinct())
+    // labels stay clustered by id across rounds: the init distinct leaves
+    // HashPartitioning(src->id); each round's jump output is repartitioned
+    // back to id before its checkpoint (one exchange replacing the two that
+    // the probe join + prop join would otherwise pay next round).
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var iter = 0
@@ -568,10 +578,14 @@ object Dedup {
       val prop = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+      // jump lookup side rides prop's id partitioning (alias-mapped to jid,
+      // no exchange); only the probe side shuffles by label, and the result
+      // returns to id clustering for the next round's exchange-free joins
       val jumped = ckpt(prop
         .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
           prop("label") === col("jid"), "left")
-        .select(col("id"), col("__old"), coalesce(col("jlabel"), col("label")).as("label")))
+        .select(col("id"), col("__old"), coalesce(col("jlabel"), col("label")).as("label"))
+        .repartition(col("id")))
       converged = jumped.where(col("label") =!= col("__old")).isEmpty
       labels = jumped.drop("__old")
       iter += 1

@@ -106,13 +106,16 @@ object Quality {
     * Tokens are lowercased whitespace words (the dedup-matching convention).
     *
     * Scale shape: ONE narrow gram explode (slice over the in-row token
-    * array) emits all three gram widths, so a single map-side-combined
-    * (doc, k, gram) count shuffle serves every metric; the top picks are
-    * partial-merge min(struct) aggregates widened per doc (no per-doc window
-    * over exploded rows); dup marking joins exploded 5-grams to the per-doc
-    * duplicated-gram set on (doc, gram). Everything keys on doc or
-    * (doc, gram) — bounded by document size, never corpus-keyed. No UDF
-    * anywhere — the whole chain is column expressions.
+    * array) emits all three gram widths, then ONE hash exchange on the doc
+    * id serves every metric (r9, guide §2.4): the duplicate counts for all
+    * three widths are per-(doc, gram) window counts and the top-2-/3-gram
+    * picks per-doc min(struct(-c, gram)) aggregates over the SAME partitioned
+    * rows — HashPartitioning(doc) satisfies every downstream window/agg
+    * distribution, so the plan holds a single shuffle of the token table
+    * (the previous shape paid a separate (doc, k, gram) count shuffle plus
+    * two window exchanges, and scanned the corpus twice). Everything keys on
+    * doc — bounded by document size, never corpus-keyed. No UDF anywhere —
+    * the whole chain is column expressions.
     */
   def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -122,56 +125,50 @@ object Quality {
     // the token table three more times for nch/gram5/tokLen and ran a
     // 24-exchange plan): every token position carries its token LENGTH and
     // the 2-/3-/5-gram STARTING here (null past the tail). Every downstream
-    // branch derives from this table; the corpus is scanned once.
+    // metric derives from this table; the corpus is scanned once.
     def gram(k: Int) = when(col("pos") <= col("m") - k,
       array_join(slice(col("w"), col("pos") + 1, lit(k)), " ")).as(s"g$k")
     val ex = base
       .select(col(idCol), col("w"), col("m"), posexplode(col("w")).as(Seq("pos", "tk")))
       .select(col(idCol), col("pos"), length(col("tk")).as("l"), gram(2), gram(3), gram(5))
-    // top duplicated 2-/3-gram: one count shuffle on (id, k, gram) over the
-    // two narrow widths; both top picks in one (id, k) aggregate (the total
-    // order min(struct(-c, gram))), widened by a tiny per-id aggregate
-    val counts23 = ex
-      .select(col(idCol), explode(array(
-        struct(lit(2).as("k"), col("g2").as("gram")),
-        struct(lit(3).as("k"), col("g3").as("gram")))).as("kg"))
-      .where(col("kg.gram").isNotNull)
-      .groupBy(col(idCol), col("kg.k").as("k"), col("kg.gram").as("gram"))
-      .agg(count(lit(1)).as("c"))
-    val topWide = counts23.where(col("c") >= 2)
-      .groupBy(col(idCol), col("k"))
-      .agg(min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("t"))
-      .groupBy(col(idCol))
-      .agg(
-        max(when(col("k") === 2, -col("t.nc"))).cast("int").as("top2_count"),
-        max(when(col("k") === 2, -col("t.nc") * length(col("t.g")))).cast("int").as("top2_chars"),
-        max(when(col("k") === 3, -col("t.nc"))).cast("int").as("top3_count"),
-        max(when(col("k") === 3, -col("t.nc") * length(col("t.g")))).cast("int").as("top3_chars"))
-    // duplicated-5-gram coverage with NO counts join and NO distinct: a
-    // window count over (id, g5) flags duplicated starts in place, then a
-    // per-doc RANGE window (positions are contiguous ints) marks every
-    // position within 4 of a flagged start — the interval union — and
-    // n_chars_tok + dup5_chars ride ONE per-doc aggregate over the same rows
-    // (per-doc windows only, never corpus-wide)
-    val dupStart = col("g5").isNotNull &&
-      (count(lit(1)).over(Window.partitionBy(col(idCol), col("g5"))) >= 2)
+      .repartition(col(idCol)) // the ONE token-table exchange (scale-adaptive
+      // width: AQE coalesces; partitions bounded by doc size as before)
+    // per-(doc, gram) occurrence counts as WINDOW counts over the id-
+    // partitioned rows (no exchange: HashPartitioning(id) satisfies the
+    // (id, gk) ClusteredDistribution; each window adds only a local sort)
+    def cnt(g: String) = count(lit(1)).over(Window.partitionBy(col(idCol), col(g)))
+    // duplicated-5-gram coverage with NO counts join and NO distinct: the
+    // window count flags duplicated starts in place, then a per-doc RANGE
+    // window (positions are contiguous ints) marks every position within 4
+    // of a flagged start — the interval union
     val covWin = Window.partitionBy(col(idCol)).orderBy(col("pos")).rangeBetween(-4, 0)
-    val perDoc = ex
-      .withColumn("dup5start", dupStart)
+    val marked = ex
+      .withColumn("c2", cnt("g2"))
+      .withColumn("c3", cnt("g3"))
+      .withColumn("dup5start", col("g5").isNotNull && cnt("g5") >= 2)
       .withColumn("cov", max(when(col("dup5start"), 1).otherwise(0)).over(covWin))
+    // every output metric in ONE per-doc aggregate (no exchange): the top
+    // duplicated 2-/3-gram is min(struct(-c, gram)) — the same total order
+    // the old (doc, k, gram) count-shuffle branch used; min over the c
+    // copies of each gram row is idempotent, so window counts feed it
+    // directly
+    def top(g: String, c: String) = min(when(col(g).isNotNull && col(c) >= 2,
+      struct((-col(c)).as("nc"), col(g).as("g"))))
+    val perDoc = marked
       .groupBy(col(idCol))
       .agg(
         sum(col("l")).cast("int").as("n_chars_tok"),
-        sum(when(col("cov") === 1, col("l")).otherwise(lit(0))).cast("int").as("dup5_chars"))
+        sum(when(col("cov") === 1, col("l")).otherwise(lit(0))).cast("int").as("dup5_chars"),
+        top("g2", "c2").as("t2"),
+        top("g3", "c3").as("t3"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left") // empty docs explode to no rows
-      .join(topWide, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_chars_tok"), lit(0)).as("n_chars_tok"),
-        coalesce(col("top2_count"), lit(0)).as("top2_count"),
-        coalesce(col("top2_chars"), lit(0)).as("top2_chars"),
-        coalesce(col("top3_count"), lit(0)).as("top3_count"),
-        coalesce(col("top3_chars"), lit(0)).as("top3_chars"),
+        coalesce((-col("t2.nc")).cast("int"), lit(0)).as("top2_count"),
+        coalesce((-col("t2.nc") * length(col("t2.g"))).cast("int"), lit(0)).as("top2_chars"),
+        coalesce((-col("t3.nc")).cast("int"), lit(0)).as("top3_count"),
+        coalesce((-col("t3.nc") * length(col("t3.g"))).cast("int"), lit(0)).as("top3_chars"),
         coalesce(col("dup5_chars"), lit(0)).as("dup5_chars"))
   }
 
