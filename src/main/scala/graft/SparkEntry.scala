@@ -775,29 +775,39 @@ object SparkEntry {
       import s.implicits._
       tagOracle(dir)
       val docs = t(s, dir, "documents")
-      val mergesDf = graft.operators.Quality.bpeTrain(docs, "text", nMerges = 24)
+      val (mergesDf, trainWords) =
+        graft.operators.Quality.bpeTrainWithWords(docs, "text", nMerges = 24)
       if (oracleDumpsEnabled)
         mergesDf.coalesce(1).write.mode("overwrite").parquet(BpeMergesPath)
       val mergeRows = mergesDf.orderBy("merge_idx").collect() // bounded: <= nMerges rows
       val mergeList = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
-      // Base alphabet COLLECTED once (bounded by the character inventory —
-      // the same driver-collect class as the old base.count() job) and the
-      // whole vocab assembled as ONE LOCAL relation. The old plan kept base
-      // as a distributed distinct + global-window DataFrame whose lineage
-      // (corpus char explode + distinct + single-partition window) re-ran
-      // for the count job, both vocab-guard probe jobs, AND the broadcast
-      // build — four corpus passes to materialize a ~30-row alphabet. Same
-      // id rule exactly: tid = 0-based rank in ascending UTF-8 BINARY order
-      // (what Spark's row_number over orderBy(string asc) assigned).
-      // chars-of-words == non-whitespace chars of lower(trim(text)): split on
-      // \s+ removes exactly the maximal \s runs (a leading empty token is
-      // length-filtered), so one char explode replaces the old
-      // word-explode + per-word substr transform (which paid O(len) substr
-      // per char) — same set, ~2x cheaper scan
-      val baseChars: Array[String] = docs
-        .select(explode(split(lower(trim($"text")), "")).as("c"))
-        .where(length($"c") > 0 && !$"c".rlike("^\\s$"))
-        .distinct().as[String].collect()
+      // Base alphabet WITHOUT its own corpus scan (r9): the trainer already
+      // collected the distinct-word table to the driver (bounded guard), and
+      // chars-of-words == non-whitespace chars of lower(trim(text)) — split
+      // on \s+ removes exactly the maximal \s runs (a leading empty token is
+      // length-filtered), the equivalence the old char-explode scan relied
+      // on too. Distinct code points of the collected words ARE the
+      // alphabet; the distributed distinct runs only when the word table
+      // blew the driver guard (then a second pass is the price of scale).
+      // Same id rule exactly: tid = 0-based rank in ascending UTF-8 BINARY
+      // order (what Spark's row_number over orderBy(string asc) assigned).
+      val baseChars: Array[String] = trainWords match {
+        case Some(words) =>
+          val set = scala.collection.mutable.HashSet.empty[String]
+          words.foreach { case (w, _) =>
+            var i = 0
+            while (i < w.length) {
+              val cp = w.codePointAt(i)
+              set += new String(Character.toChars(cp))
+              i += Character.charCount(cp)
+            }
+          }
+          set.toArray
+        case None => docs
+          .select(explode(split(lower(trim($"text")), "")).as("c"))
+          .where(length($"c") > 0 && !$"c".rlike("^\\s$"))
+          .distinct().as[String].collect()
+      }
       require(baseChars.length <= 65536,
         s"q_tokenize_bpe base alphabet of ${baseChars.length} chars breaks the bounded-collect contract")
       def utf8Lt(a: String, b: String): Boolean = {

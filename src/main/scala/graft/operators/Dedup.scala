@@ -367,6 +367,13 @@ object Dedup {
     // plan re-ran the byte-level winnowing kernel once per branch (5
     // MapPartitions nodes in the r8 plan). Materialize it once, lazily
     // (r9; guide §8 "decide with small rows" — (id, fp) IS the small proxy).
+    // An fp-clustered AQE-off checkpoint ([[Ckpt.clusteredBy]]) was tried
+    // here in r9 and reverted: it does drop the dfc/rare exchanges (12 -> 8
+    // in the plan) but pins the session's full shuffle width on a table AQE
+    // otherwise coalesces — same-session A/B (WinnowAbProbe): 9 stages/43
+    // tasks/1.85 s plain vs 12 stages/232 tasks/1.87 s clustered. A wash on
+    // wall clock with more scheduling; the plain checkpoint keeps AQE in
+    // charge of the width.
     val fps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) => TextFunctions.winnowFingerprints(t, k, w).map((id, _)) }
@@ -546,23 +553,21 @@ object Dedup {
     // action (the convergence check, or the following round's joins) first
     // computes them, so each round costs ONE action and the same single
     // computation of its labels.
+    // Partitioning-aware (AQE-off) checkpoints were tried here in r9 and
+    // REVERTED on measurement: the loop's label/edge tables are small
+    // relative to the corpus, and AQE's runtime coalescing (1-2-task stages,
+    // 55 tasks per full run) beats exchange elimination at fixed session
+    // width (465 tasks, 1.72 s -> 2.77 s min in a same-session A/B —
+    // ClusterCostProbe). The plain lazy checkpoint keeps AQE in charge;
+    // [[Ckpt.clusteredBy]] remains the right tool where the checkpointed
+    // table is corpus-sized (winnowNearDups' fingerprints).
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
     val e0 = pairs.select(col(pairs.columns(0)).cast("long").as("src"),
       col(pairs.columns(1)).cast("long").as("dst"))
-    // ONE exchange builds the undirected edge list AND leaves it clustered
-    // by dst (r9, guide §2.4): HashPartitioning(dst) satisfies the
-    // (src, dst) distinct's distribution, and the checkpoint preserves the
-    // partitioning, so every round's edges-side of the probe join needs no
-    // exchange (the old distinct-partitioned table reshuffled per round).
     val edges = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
       .distinct())
-    // labels stay clustered by id across rounds: the init distinct leaves
-    // HashPartitioning(src->id); each round's jump output is repartitioned
-    // back to id before its checkpoint (one exchange replacing the two that
-    // the probe join + prop join would otherwise pay next round).
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var iter = 0
@@ -578,14 +583,10 @@ object Dedup {
       val prop = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      // jump lookup side rides prop's id partitioning (alias-mapped to jid,
-      // no exchange); only the probe side shuffles by label, and the result
-      // returns to id clustering for the next round's exchange-free joins
       val jumped = ckpt(prop
         .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
           prop("label") === col("jid"), "left")
-        .select(col("id"), col("__old"), coalesce(col("jlabel"), col("label")).as("label"))
-        .repartition(col("id")))
+        .select(col("id"), col("__old"), coalesce(col("jlabel"), col("label")).as("label")))
       converged = jumped.where(col("label") =!= col("__old")).isEmpty
       labels = jumped.drop("__old")
       iter += 1

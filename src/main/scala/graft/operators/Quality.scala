@@ -741,7 +741,23 @@ object Quality {
       nMerges: Int,
       marker: Option[String] = None,
       maxDistinctWords: Int = 5000000
-  ): DataFrame = {
+  ): DataFrame = bpeTrainWithWords(df, textCol, nMerges, marker, maxDistinctWords)._1
+
+  /** [[bpeTrain]] plus the collected distinct-word table when the
+    * driver-side path ran (None when the guard forced the distributed
+    * loop). The word table is a byproduct the trainer already paid for —
+    * callers that also need corpus-derived driver-side artifacts (e.g. the
+    * base-character alphabet of a vocab) read them from here instead of
+    * paying another corpus scan (r9, guide §1.2: don't compute things
+    * twice).
+    */
+  def bpeTrainWithWords(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      marker: Option[String] = None,
+      maxDistinctWords: Int = 5000000
+  ): (DataFrame, Option[Array[(String, Long)]]) = {
     require(nMerges >= 0 && nMerges <= 65536, s"nMerges $nMerges out of range")
     require(maxDistinctWords >= 0 && maxDistinctWords <= 50000000,
       s"maxDistinctWords=$maxDistinctWords out of range (0..50000000; 0 forces the distributed loop)")
@@ -753,10 +769,12 @@ object Quality {
     // bounded materialization probe: at most max+1 rows reach the driver
     // however large the vocabulary (decontaminate's guard pattern)
     val head = wordCounts.as[(String, Long)].limit(maxDistinctWords + 1).collect()
-    val merges =
-      if (head.length <= maxDistinctWords) trainDriverSide(head, nMerges, marker)
-      else trainDistributed(wordCounts, nMerges, marker)
-    merges.toDF("merge_idx", "lhs", "rhs", "pair_count")
+    if (head.length <= maxDistinctWords)
+      (trainDriverSide(head, nMerges, marker).toDF("merge_idx", "lhs", "rhs", "pair_count"),
+        Some(head))
+    else
+      (trainDistributed(wordCounts, nMerges, marker).toDF("merge_idx", "lhs", "rhs", "pair_count"),
+        None)
   }
 
   /** UTF-8 binary string order — Spark's (and DuckDB's) ORDER BY semantics
