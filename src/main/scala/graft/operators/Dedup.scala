@@ -583,12 +583,21 @@ object Dedup {
       val prop = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      val jumped = ckpt(prop
-        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
-          prop("label") === col("jid"), "left")
-        .select(col("id"), col("__old"), coalesce(col("jlabel"), col("label")).as("label")))
-      converged = jumped.where(col("label") =!= col("__old")).isEmpty
-      labels = jumped.drop("__old")
+      // convergence is checked on PROP, not on the jump (r9): a neighbor-min
+      // fixpoint already labels every vertex with its component minimum (if
+      // any vertex were above it, some edge on the path to the min vertex
+      // would still propagate — not a fixpoint), and the jump maps
+      // root labels to themselves, so prop-unchanged implies jump-unchanged.
+      // The final round therefore skips the jump self-join (its two
+      // exchanges + checkpoint) outright; non-final rounds still jump, so
+      // chain diameter keeps halving per round exactly as before.
+      converged = prop.where(col("label") =!= col("__old")).isEmpty
+      labels =
+        if (converged) prop.drop("__old")
+        else ckpt(prop
+          .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
+            prop("label") === col("jid"), "left")
+          .select(col("id"), coalesce(col("jlabel"), col("label")).as("label")))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
