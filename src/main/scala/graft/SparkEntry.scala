@@ -974,14 +974,23 @@ object SparkEntry {
       // chain per consumer (the semDedup localCheckpoint rationale; guide §5)
       val clsDocs = docs2.select($"doc_id", $"lang").join(cls, "doc_id")
         .localCheckpoint(eager = false) // lazy: rides the first consumer's job
-      val sem = Similarity.semDedup(
+      // semDedup only sees classifier survivors that HAVE an embedding; a doc
+      // with no embedding row can't be semantically deduped and passes the
+      // stage untouched (the twin's LEFT JOIN pp ... WHERE pp.nn IS NULL rule).
+      // An inner join on the KEPT side here silently dropped every
+      // embedding-less doc — invisible at sf0.001/sf0.01 (embeddings cover all
+      // docs there) but 4x the funnel at sf0.1, where only 2000 of 5000 docs
+      // carry vectors. Anti-join on the DROPPED side instead: dropped is the
+      // small set by construction, and absence == kept.
+      val semDropped = Similarity.semDedup(
           emb2.join(clsDocs.select($"doc_id".as("vec_id")), "vec_id"),
           k = 8, centroidsOut = dumpPath(SemDedupV4CentroidsPath))
-        .where($"keep").select($"vec_id".as("doc_id"))
+        .where(!$"keep").select($"vec_id".as("doc_id"))
       // epochMix runs a per-domain count job over its input BEFORE the main
       // pass — without a checkpoint that job re-runs the whole
       // classifier->semDedup funnel a second time
-      val surv = clsDocs.join(sem, "doc_id").localCheckpoint(eager = false)
+      val surv = clsDocs.join(semDropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = false)
       val mixed = graft.operators.Sampling.epochMix(surv, "doc_id", "lang",
         Map("en" -> 0.3, "zh" -> 0.3, "de" -> 0.2), salt = 27L)
       graft.operators.Sampling.splitAssign(mixed, "doc_id",
